@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+    functions.TextAnalysis.defs ++
+    operators.Dedup.defs ++
+    operators.AnnSearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

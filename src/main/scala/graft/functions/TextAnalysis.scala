@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline layer (language ID, quality scoring, token stats, content
+  * fingerprinting). All built from codegen'd `functions._` expressions; no
+  * UDFs, so whole-stage codegen stays intact and the scan prunes to
+  * (doc_id, text) only.
+  *
+  * Oracle-portability rules used throughout (see SURVEY.md §5.2.4):
+  * token arithmetic is integer-exact; every double is produced by the same
+  * IEEE op sequence in Spark and DuckDB; DuckDB regexp_replace needs the
+  * 'g' flag to match Spark's global-by-default semantics.
+  */
+object TextAnalysis {
+
+  private val enStops = Seq("the", "a", "of", "and", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist")
+  private val esStops = Seq("el", "los", "las", "y", "es")
+  private val frStops = Seq("le", "les", "et", "est", "ou")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** tokens / distinct tokens / avg token length, integer-exact. */
+  val tokenStats: QueryDef = QueryDef(
+    "text_token_stats",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(col("ts"))).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Composite quality score: length saturation + type-token ratio +
+    * stopword ratio, combined left-to-right so both engines run the same
+    * IEEE op sequence.
+    */
+  val qualityScore: QueryDef = QueryDef(
+    "text_quality_score",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ts")))
+        .withColumn("stop_hits",
+          size(expr(s"filter(ts, t -> t IN ${sqlList(enStops)})")))
+        .select(
+          col("doc_id"),
+          ((least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)) +
+            ((size(array_distinct(col("ts"))).cast("double") / col("n_tokens")) * lit(0.3)) +
+            ((col("stop_hits").cast("double") / col("n_tokens")) * lit(0.2))).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             (least(len(ts) / 100.0, 1.0) * 0.5)
+             + ((CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.3)
+             + ((CAST(len(list_filter(ts, t -> t IN ${sqlList(enStops)})) AS DOUBLE) / len(ts)) * 0.2) AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** n-gram/stopword-hit language ID heuristic with a fixed-priority
+    * tiebreak (en > de > es > fr > unknown). CJK presence short-circuits
+    * to 'zh'.
+    */
+  val langId: QueryDef = QueryDef(
+    "text_langid",
+    (s, dir) => {
+      def hits(ws: Seq[String]) = size(expr(s"filter(ts, t -> t IN ${sqlList(ws)})")).cast("long")
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .withColumn("c_en", hits(enStops))
+        .withColumn("c_de", hits(deStops))
+        .withColumn("c_es", hits(esStops))
+        .withColumn("c_fr", hits(frStops))
+        .withColumn("lang_pred",
+          when(col("text").rlike("[一-鿿]"), "zh")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+                  col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+                  col("c_de") > 0, "de")
+            .when(col("c_es") >= col("c_fr") && col("c_es") > 0, "es")
+            .when(col("c_fr") > 0, "fr")
+            .otherwise("unknown"))
+        .select("doc_id", "lang", "lang_pred", "c_en", "c_de", "c_es", "c_fr")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang,
+             CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                  WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                  WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                  WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                  WHEN c_fr > 0 THEN 'fr'
+                  ELSE 'unknown' END AS lang_pred,
+             c_en, c_de, c_es, c_fr
+      FROM (
+        SELECT doc_id, lang, text,
+               CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(enStops)})) AS BIGINT) AS c_en,
+               CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(deStops)})) AS BIGINT) AS c_de,
+               CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(esStops)})) AS BIGINT) AS c_es,
+               CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(frStops)})) AS BIGINT) AS c_fr
+        FROM documents) t
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Canonicalizing content fingerprint: lowercase → strip non-alnum →
+    * collapse runs of spaces → trim → md5 (md5 hex is identical across
+    * engines, unlike builtin hash()).
+    */
+  val fingerprint: QueryDef = QueryDef(
+    "text_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS fp
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint)
+}

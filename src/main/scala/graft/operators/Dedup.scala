@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the near-dup family a 100 TB training-data pipeline needs: exact
+  * (hash-groupBy), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (band-bucket join), SimHash (chunk-pigeonhole join), and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is all-pairs-first. Pair generation always
+  * goes through an equi-join key (shingle, LSH band, signature chunk) so
+  * Spark executes it as a shuffled hash join keyed by content — the same
+  * plan shape survives a 1000-executor cluster. Hash functions are md5
+  * (bit-identical in DuckDB) so every operator is oracle-checkable.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document.
+    * Word shingles (not char 3-grams): the synthetic corpus has a tiny
+    * character-trigram vocabulary (~380), which would make an inverted
+    * index useless; word shingles give ~27k distinct keys.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id,
+      |       ts[CAST(i.range AS INT)] || ' ' || ts[CAST(i.range AS INT) + 1] || ' ' || ts[CAST(i.range AS INT) + 2] AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      |CROSS JOIN range(1, 10001) i
+      |WHERE i.range <= len(ts) - 2""".stripMargin
+
+  /** Exact dedup: canonical doc per identical text (hash-groupBy). */
+  val exact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_doc_id")
+    },
+    Some("""
+      SELECT md5(text) AS content_hash,
+             min(doc_id) AS keeper_doc_id,
+             count(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY keeper_doc_id
+    """.stripMargin.trim))
+
+  /** Exact n-gram Jaccard ≥ 0.5 via inverted-index self-join on shingles
+    * (shuffle keyed by shingle; no all-pairs stage). Jaccard is an exact
+    * BIGINT/BIGINT division → bit-identical double.
+    */
+  val ngramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir).cache()  // referenced 3× (a-side, b-side, sizes)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia, ib,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pair
+      JOIN sz sa ON sa.doc_id = ia
+      JOIN sz sb ON sb.doc_id = ib
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  /** MinHash + LSH candidate pairs: 16 minhashes (lexicographic min of
+    * md5(seed:shingle) — md5 hex min is a valid permutation surrogate and
+    * portable), banded 4×4; pairs sharing any band bucket are candidates.
+    * The banding join is the scale path: cost is O(Σ bucket²), never
+    * all-pairs.
+    */
+  val minhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
+      val mh = sh.crossJoin(broadcast(seeds))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")).cast("binary"))).as("h"))
+      val bands = mh
+        .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
+        .agg(md5(concat_ws(",",
+          max(when(col("i") % 4 === 0, col("h"))),
+          max(when(col("i") % 4 === 1, col("h"))),
+          max(when(col("i") % 4 === 2, col("h"))),
+          max(when(col("i") % 4 === 3, col("h")))).cast("binary")).as("bkey"))
+        .cache()  // self-joined below; avoids recomputing the minhash pipeline twice
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2)
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  /** 32-bit frequency-weighted SimHash; near-dup pairs = Hamming ≤ 3,
+    * found exactly via the 4×8-bit chunk pigeonhole (≤3 differing bits ⇒
+    * at least one of 4 chunks identical), so candidate generation is an
+    * equi-join on chunks, not all-pairs. Integer-only → exact oracle.
+    */
+  val simhash: QueryDef = QueryDef(
+    "dedup_simhash",
+    (s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val bitIdx = s.range(0, 32).withColumnRenamed("id", "j")
+      val sig = tc.crossJoin(broadcast(bitIdx))
+        .withColumn("v", expr(
+          "instr('0123456789abcdef', substring(h, CAST(j % 16 AS INT) + 1, 1)) - 1"))
+        .withColumn("bit", expr("shiftright(v, CAST(j / 16 AS INT)) % 2"))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("w") * (col("bit") * 2 - 1)).as("sv"))
+        .withColumn("b", when(col("sv") > 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(concat_ws("", expr("transform(array_sort(collect_list(struct(j, b))), x -> x.b)")).as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(expr("transform(sequence(0, 3), k -> struct(k AS k, substring(sig, k * 8 + 1, 8) AS chunk))")).as("c"))
+        .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+        .cache()  // self-joined below; sig pipeline is the expensive part
+      chunks.as("a").join(chunks.as("b"),
+          col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+        .withColumn("hamming",
+          expr("size(filter(sequence(1, 32), p -> substring(sa, p, 1) != substring(sb, p, 1)))").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("ia", "ib", "hamming")
+        .orderBy("ia", "ib")
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, count(*) AS w, md5(tok) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY doc_id, tok),
+      bits AS (
+        SELECT doc_id, CAST(i.range AS INT) AS j,
+               SUM(w * (((strpos('0123456789abcdef', substr(h, CAST(i.range AS INT) % 16 + 1, 1)) - 1)
+                         >> CAST(i.range // 16 AS INT)) % 2 * 2 - 1)) AS sv
+        FROM tc CROSS JOIN range(0, 32) i
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        FROM bits GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, sig, CAST(k.range AS INT) AS k,
+               substr(sig, CAST(k.range AS INT) * 8 + 1, 8) AS chunk
+        FROM sig CROSS JOIN range(0, 4) k),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.sig AS sa, b.sig AS sb
+        FROM chunks a JOIN chunks b
+          ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT ia, ib,
+             CAST(len(list_filter(generate_series(1, 32),
+                  p -> substr(sa, CAST(p AS INT), 1) != substr(sb, CAST(p AS INT), 1))) AS BIGINT) AS hamming
+      FROM cand
+      WHERE len(list_filter(generate_series(1, 32),
+                p -> substr(sa, CAST(p AS INT), 1) != substr(sb, CAST(p AS INT), 1))) <= 3
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  /** Embedding cosine near-dup: pairs with cos ≥ 0.4. Dot products fold
+    * left-to-right in double on both engines (Spark `aggregate` HOF vs
+    * DuckDB `list_reduce`) so the doubles are bit-identical.
+    * Scale note: all-pairs is the sf0.x-correctness form; the scale path
+    * is the LSH/IVF bucketing in AnnSearch — same scoring expression.
+    */
+  val embeddingCosine: QueryDef = QueryDef(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+        .cache()  // both sides of the pair join
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          (expr("""aggregate(zip_with(a.embedding, b.embedding,
+                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+            / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("ia", "ib")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)),
+               (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)),
+               (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+}
