@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.npm.{Pipeline, Retention, model}
+
+/** Structured Streaming binding of the NPM pipeline (SURVEY.md §3.1-3.2).
+  *
+  * The stages are the exact same DataFrame functions as the batch replay
+  * (graft.npm.Pipeline); only source/sink/trigger differ (§7.1). The
+  * reference's hand-rolled offset file (K7/S5: update_seq.json,
+  * producer.ts:151) and its restart-from-last-Kafka-message bootstrap
+  * (run_scripts.sh:10) collapse into the checkpointLocation; its
+  * at-least-once commit-after-process loop (changes_consumer.py:408)
+  * becomes micro-batch + idempotent parquet append, deduplicated by seq
+  * (exactly-once upgrade, SURVEY.md §2.9).
+  */
+object NpmStream {
+
+  /** S3: the canonical Kafka ingress (topic npm-changes). Not exercised
+    * in tests (no broker / no kafka connector jar in this environment) —
+    * the file source below drives the identical downstream plan.
+    */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String = "npm-changes"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      // reference caps: broker message 10 MB (docker-compose.yml:44),
+      // consumer fetch 10 MB (changes_consumer.py:68)
+      .option("kafka.max.partition.fetch.bytes", (10 * 1024 * 1024).toString)
+      // bound each micro-batch (reference has no backpressure at all, O6)
+      .option("maxOffsetsPerTrigger", "100000")
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** S1-parity test source: a directory of JSONL change files. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "4")
+      .text(dir)
+
+  /** Run the pipeline as one streaming query writing the four parquet
+    * sinks via foreachBatch. Retention state lives inside the batch
+    * replay here (per-batch exactness); the pure streaming-state variant
+    * is Retention.streamingEvictions, tested separately.
+    */
+  def start(
+      spark: SparkSession,
+      source: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      fetcher: Pipeline.Fetcher = Pipeline.AlwaysOk): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = Pipeline.replay(batch, fetcher)
+        // exactly-once per seq into the catalog: dedupe within the batch;
+        // across restarts the checkpoint prevents re-delivery of a batch
+        r.catalog.dropDuplicates("change_seq_id")
+          .write.mode("append").parquet(s"$outDir/catalog")
+        r.skipped.write.mode("append").parquet(s"$outDir/skipped")
+        r.audit.write.mode("append").parquet(s"$outDir/audit")
+        r.deletions.write.mode("append").parquet(s"$outDir/deleted_zips")
+        ()
+      }
+      .start()
+  }
+
+  /** A3-style driver-side lag monitor: compares the newest seq the
+    * "registry" (source) knows about against the last seq the catalog
+    * processed — the reference restarts the producer when
+    * lag > init_lag + 200 (producer.ts:206-242). Returns the lag so a
+    * supervision loop can apply the same policy.
+    */
+  def currentLag(spark: SparkSession, newestSeq: Long, outDir: String): Long = {
+    val last =
+      try spark.read.parquet(s"$outDir/catalog")
+        .agg(max(col("change_seq_id"))).head().getLong(0)
+      catch { case _: Throwable => 0L }
+    newestSeq - last
+  }
+}
