@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.defs ++
     functions.TextAnalysis.defs ++
     operators.Dedup.defs ++
-    operators.AnnSearch.defs
+    operators.AnnSearch.defs ++
+    operators.EventOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,14 +26,12 @@ object AnnSearch {
 
   private def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("label"), col("embedding"),
-      expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+      expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
 
-  private val dotExpr =
-    """aggregate(zip_with(q.embedding, c.embedding,
-      |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private val dotExpr = "float_dot(q.embedding, c.embedding)"
 
   private def topk(s: SparkSession, dir: String, sameClusterOnly: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val e = withNorm(Tables.embeddings(s, dir)).cache()  // query + corpus sides
     val queries = e.filter(col("vec_id") < 10)
     val joinCond =

@@ -107,17 +107,16 @@ object Dedup {
     "dedup_minhash_lsh",
     (s, dir) => {
       val sh = shingles(s, dir)
-      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
-      val mh = sh.crossJoin(broadcast(seeds))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")).cast("binary"))).as("h"))
+      // all 16 minhashes in ONE aggregation (16 min buffers, map-side
+      // combine, single shuffle of the shingle set) instead of a ×16
+      // row-exploding crossJoin through two shuffles — same values.
+      val minCols = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandKeys = (0 until 4).map(b =>
+        md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
       val bands = mh
-        .groupBy(col("doc_id"), (col("i") / 4).cast("int").as("band"))
-        .agg(md5(concat_ws(",",
-          max(when(col("i") % 4 === 0, col("h"))),
-          max(when(col("i") % 4 === 1, col("h"))),
-          max(when(col("i") % 4 === 2, col("h"))),
-          max(when(col("i") % 4 === 3, col("h")))).cast("binary")).as("bkey"))
+        .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
         .cache()  // self-joined below; avoids recomputing the minhash pipeline twice
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -159,16 +158,19 @@ object Dedup {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
         .withColumn("h", md5(col("tok").cast("binary")))
-      val bitIdx = s.range(0, 32).withColumnRenamed("id", "j")
-      val sig = tc.crossJoin(broadcast(bitIdx))
-        .withColumn("v", expr(
-          "instr('0123456789abcdef', substring(h, CAST(j % 16 AS INT) + 1, 1)) - 1"))
-        .withColumn("bit", expr("shiftright(v, CAST(j / 16 AS INT)) % 2"))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("w") * (col("bit") * 2 - 1)).as("sv"))
-        .withColumn("b", when(col("sv") > 0, "1").otherwise("0"))
-        .groupBy("doc_id")
-        .agg(concat_ws("", expr("transform(array_sort(collect_list(struct(j, b))), x -> x.b)")).as("sig"))
+      // all 32 weighted bit-sums as one aggregation (32 sum buffers,
+      // map-side combine, single shuffle) instead of a ×32 crossJoin
+      // through two shuffles + collect_list — same values: bit j of a
+      // token is bit (j div 16) of hex digit (j mod 16) of its md5.
+      val bitSums = (0 until 32).map { j =>
+        sum(expr(
+          s"w * (2 * (shiftright(instr('0123456789abcdef', substring(h, ${j % 16 + 1}, 1)) - 1, ${j / 16}) % 2) - 1)"))
+          .as(s"sv$j")
+      }
+      val sig = tc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          concat((0 until 32).map(j =>
+            when(col(s"sv$j") > 0, "1").otherwise("0")): _*).as("sig"))
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(expr("transform(sequence(0, 3), k -> struct(k AS k, substring(sig, k * 8 + 1, 8) AS chunk))")).as("c"))
         .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.chunk").as("chunk"))
@@ -179,8 +181,12 @@ object Dedup {
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
           col("a.sig").as("sa"), col("b.sig").as("sb"))
         .distinct()
+        // positional diff count == popcount of XOR of the bit-strings as
+        // integers — all codegen'd builtins (the HOF filter/substring form
+        // cost 116 s over 1.7M candidate pairs at sf0.1)
         .withColumn("hamming",
-          expr("size(filter(sequence(1, 32), p -> substring(sa, p, 1) != substring(sb, p, 1)))").cast("long"))
+          bit_count(conv(col("sa"), 2, 10).cast("long")
+            .bitwiseXOR(conv(col("sb"), 2, 10).cast("long"))).cast("long"))
         .filter(col("hamming") <= 3)
         .select("ia", "ib", "hamming")
         .orderBy("ia", "ib")
@@ -225,15 +231,14 @@ object Dedup {
   val embeddingCosine: QueryDef = QueryDef(
     "dedup_embedding_cosine",
     (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
       val e = Tables.embeddings(s, dir).select(
         col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+        expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
         .cache()  // both sides of the pair join
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
-          (expr("""aggregate(zip_with(a.embedding, b.embedding,
-                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+          (expr("float_dot(a.embedding, b.embedding)")
             / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("ia", "ib")

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Event-stream operators in batch form over the `events` table. Each is
+  * the DuckDB-checkable analog of a streaming-semantics operator from
+  * SURVEY.md §2; the live Structured Streaming forms are exercised in
+  * graft.streaming (windowed aggregation uses the identical `window()`
+  * expression under a watermark).
+  */
+object EventOps {
+
+  private val D = DecimalType(12, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling event-time window (§2.9 extension analytics) ----------
+    QueryDef(
+      "stream_hourly_windowed_agg",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(D)).cast("double").as("total_value"))
+          .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+      """.stripMargin.trim)),
+
+    // ---- gap-based sessionization (session_window analog) ---------------
+    QueryDef(
+      "stream_sessionization_30m",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("gap_us", unix_micros(col("ts").cast("timestamp")) - lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+          .withColumn("is_new", when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("is_new")).over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+      """.stripMargin.trim)),
+
+    // ---- A5 batch analog: top-5-newest retention, evictions out ---------
+    // (the faithful incremental/stateful form is graft.npm.Retention; this
+    // is the declarative window form over a static table)
+    QueryDef(
+      "a5_retention_topk_evictions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") > 5)
+          .select(col("user_id"), col("event_id").as("evicted_event_id"), col("ts"))
+          .orderBy("user_id", "evicted_event_id")
+      },
+      Some("""
+        SELECT user_id, event_id AS evicted_event_id, ts FROM (
+          SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn > 5
+        ORDER BY user_id, evicted_event_id
+      """.stripMargin.trim)),
+
+    // ---- A6: latest record per key (max_by) ------------------------------
+    QueryDef(
+      "a6_latest_event_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, event_id, ts, event_type FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+        ORDER BY user_id
+      """.stripMargin.trim)),
+
+    // ---- T1: per-record JSON field extraction from the props payload ----
+    QueryDef(
+      "t1_json_props_extraction",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim)),
+
+    // ---- F2/K3: size-cap routing with DLQ reason (dead-letter analog) ---
+    QueryDef(
+      "f2_size_cap_routing",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("n_chars") > 500, "skipped_too_large").otherwise("kept").as("route"))
+          .groupBy("route").agg(count(lit(1)).as("n"))
+          .orderBy("route")
+      },
+      Some("""
+        SELECT CASE WHEN n_chars > 500 THEN 'skipped_too_large' ELSE 'kept' END AS route,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY 1
+        ORDER BY route
+      """.stripMargin.trim)),
+
+    // ---- T4/T6/T7: name split, dir-prefix hash, filename templating ------
+    QueryDef(
+      "t4_t6_path_derivation",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            element_at(split(col("source"), "/"), -1).as("split_name"),
+            upper(substring(col("source"), 1, 3)).as("dir_prefix"),
+            concat(col("source"), lit("_"), col("doc_id"), lit(".zip")).as("zip_name"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               string_split(source, '/')[-1] AS split_name,
+               upper(substr(source, 1, 3)) AS dir_prefix,
+               source || '_' || CAST(doc_id AS VARCHAR) || '.zip' AS zip_name
+        FROM documents
+        ORDER BY doc_id
+      """.stripMargin.trim))
+  )
+}
