@@ -14,7 +14,8 @@ object SparkEntry {
     functions.TextAnalysis.defs ++
     operators.Dedup.defs ++
     operators.AnnSearch.defs ++
-    operators.EventOps.defs
+    operators.EventOps.defs ++
+    multimodal.MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
