@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
+    operators.RelationalExtra.defs ++
+    operators.TemporalJoins.defs ++
     multimodal.MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

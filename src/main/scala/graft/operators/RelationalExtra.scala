@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Second tranche of relational coverage: cube, pivot, lag/lead frames,
+  * full outer join, string sanitation (reference T5), timestamp
+  * format/parse round-trip (reference T8/T9).
+  */
+object RelationalExtra {
+
+  private val D = DecimalType(12, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "agg_cube_flag_status",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """.stripMargin.trim)),
+
+    QueryDef(
+      "pivot_status_by_priority",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
+    QueryDef(
+      "window_lag_lead_price_delta",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+            (lead(col("o_totalprice"), 1).over(w) - col("o_totalprice")).as("delta_next"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               o_totalprice - LAG(o_totalprice, 1) OVER w AS delta_prev,
+               LEAD(o_totalprice, 1) OVER w - o_totalprice AS delta_next
+        FROM orders
+        WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)),
+
+    QueryDef(
+      "join_full_outer_nation_counts",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_customers"))
+        val supp = Tables.supplier(s, dir).filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_suppliers"))
+        cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+          .select(
+            coalesce(col("nk_c"), col("nk_s")).cast("long").as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nk_c, COUNT(*) AS n_customers
+                   FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+             s AS (SELECT s_nationkey AS nk_s, COUNT(*) AS n_suppliers
+                   FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        SELECT CAST(COALESCE(nk_c, nk_s) AS BIGINT) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON nk_c = nk_s
+        ORDER BY nationkey
+      """.stripMargin.trim)),
+
+    // reference T5: strip every char outside [a-zA-Z0-9/]
+    QueryDef(
+      "t5_special_char_strip",
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            regexp_replace(concat(col("p_brand"), lit(" "), col("p_type")),
+              "[^a-zA-Z0-9/]", "").as("sanitized"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               regexp_replace(p_brand || ' ' || p_type, '[^a-zA-Z0-9/]', '', 'g') AS sanitized
+        FROM part
+        ORDER BY p_partkey
+      """.stripMargin.trim)),
+
+    // reference T8/T9: ISO-8601 filename generation and parse round-trip
+    QueryDef(
+      "t8_t9_iso_timestamp_roundtrip",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("event_id") < 1000)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso_name"))
+          .withColumn("parsed_back",
+            expr("CAST(to_timestamp(iso_name, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") AS TIMESTAMP_NTZ)"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_name,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ') AS parsed_back
+        FROM events
+        WHERE event_id < 1000
+        ORDER BY event_id
+      """.stripMargin.trim))
+  )
+}

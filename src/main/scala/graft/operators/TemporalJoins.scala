@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** Temporal join operators Spark lacks as single built-ins, composed from
+  * primitives so Catalyst still owns the physical plan (preference order
+  * (a) of the build rules — no custom strategy needed):
+  *
+  *  - as-of join: union-and-window. Tag both streams, sort-partition by
+  *    key, carry the last left-side value forward with
+  *    last_value(IGNORE NULLS). ONE shuffle on the key, no range
+  *    explosion — this is the scalable shape for "latest quote before
+  *    trade" style joins at any SF.
+  *  - range join: equi-join on the key plus a bounded time predicate; the
+  *    equi key keeps it a hash join (the range is a residual filter).
+  */
+object TemporalJoins {
+
+  /** For every error event: the most recent click by the same user at or
+    * before it (clicks sort ahead of errors on ts ties).
+    */
+  val asof: QueryDef = QueryDef(
+    "join_asof_last_click_before_error",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("kind"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("last_click_event_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id").as("error_event_id"), col("ts").as("error_ts"),
+          col("last_click_event_id"), col("last_click_ts"))
+        .orderBy("user_id", "error_event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        FROM events WHERE event_type IN ('click', 'error')),
+      carried AS (
+        SELECT user_id, event_id, ts, kind,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS last_click_event_id,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS last_click_ts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id AS error_event_id, ts AS error_ts,
+             last_click_event_id, last_click_ts
+      FROM carried
+      WHERE kind = 1
+      ORDER BY user_id, error_event_id
+    """.stripMargin.trim))
+
+  /** Ordered event pairs of the same user within one hour. */
+  val range: QueryDef = QueryDef(
+    "join_range_pairs_within_1h",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_id", "ts")
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          unix_micros(col("b.ts").cast("timestamp")) - unix_micros(col("a.ts").cast("timestamp")) >= 0 &&
+          unix_micros(col("b.ts").cast("timestamp")) - unix_micros(col("a.ts").cast("timestamp")) <= 3600L * 1000000L)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 3600000000
+      GROUP BY a.user_id
+      ORDER BY user_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(asof, range)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over an event stream — the §2.9 extension surface:
+  * event-time windows under a watermark, and streaming dedup. The
+  * expressions are the same ones the batch analogs in
+  * operators.EventOps declare (oracle-checked there); these bind them to
+  * unbounded sources with late-data semantics.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour aggregation with a 30-minute watermark: late events
+    * beyond the watermark are dropped, windows finalize (append mode)
+    * once the watermark passes their end.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Exactly-once-per-event_id streaming dedup: state bounded by the
+    * watermark (event_ids older than 1 hour are forgotten — the
+    * exactly-once upgrade of SURVEY §2.9 without unbounded state).
+    */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}
+
+/** A3 — the producer's lag/stall watchdog as a pure, testable policy
+  * (reference: node_app/producer.ts:206-242; README.md:126-128):
+  *  - capture the first observed lag as init_lag;
+  *  - restart when lag > init_lag + 200 (lag grew);
+  *  - shrink init_lag when lag < init_lag - 200 (pipeline caught up);
+  *  - restart when last_seq is unchanged for 10 consecutive polls.
+  * The driver loop applies Restart by stopping + resubmitting the query
+  * from its checkpoint (NpmStream.currentLag supplies the lag).
+  */
+class LagPolicy(growThreshold: Long = 200, stallPolls: Int = 10) extends Serializable {
+  sealed trait Decision
+  case object Ok extends Decision
+  case object Restart extends Decision
+
+  private var initLag: Option[Long] = None
+  private var lastSeq: Long = -1L
+  private var unchanged: Int = 0
+
+  def observe(newestSeq: Long, processedSeq: Long): Decision = {
+    val lag = newestSeq - processedSeq
+    if (initLag.isEmpty) initLag = Some(lag)
+
+    if (processedSeq == lastSeq) unchanged += 1 else { unchanged = 0; lastSeq = processedSeq }
+    if (unchanged >= stallPolls) { unchanged = 0; return Restart }
+
+    if (lag > initLag.get + growThreshold) { initLag = Some(lag); Restart }
+    else {
+      if (lag < initLag.get - growThreshold) initLag = Some(lag)
+      Ok
+    }
+  }
+
+  def currentInitLag: Option[Long] = initLag
+}
+
+/** K8/A1-A4/A7 — pipeline metrics via StreamingQueryListener, replacing
+  * the reference's Prometheus counters/gauges/summaries
+  * (changes_consumer.py:38-42, producer.ts:111-125):
+  *   npm_update_counter        → totalInputRows (monotonic counter)
+  *   last_seq_processed gauge  → per-query latest batch watermark/rows
+  *   request_processing_seconds→ batchDurationsMs (summary source)
+  *   download_queue_length     → inputRowsPerSecond vs processedRowsPerSecond
+  */
+class GraftMetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  import scala.collection.mutable
+
+  @volatile var totalInputRows: Long = 0L
+  val batchDurationsMs: mutable.Buffer[Long] = mutable.Buffer.empty
+  val progressEvents: mutable.Buffer[String] = mutable.Buffer.empty
+  @volatile var lastInputRowsPerSecond: Double = 0.0
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    progressEvents += s"started:${event.name}"
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
+    val p = event.progress
+    totalInputRows += p.numInputRows
+    batchDurationsMs += p.batchDuration
+    lastInputRowsPerSecond = p.inputRowsPerSecond
+    progressEvents += s"batch:${p.batchId}:${p.numInputRows}"
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    progressEvents += "terminated"
+}

@@ -13,6 +13,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // RawLocalFileSystem: no .crc sibling files — Hadoop's checksum FS
+    // builds them as relative paths, which explodes on the reference's
+    // ISO-8601 (colon-bearing) payload filenames (see npm.Backfill)
+    .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

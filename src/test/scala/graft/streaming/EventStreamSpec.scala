@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class EventStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly aggregation finalizes windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:55:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far past 10:00-11:00 + 30min watermark
+      input.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // now the 10:00 window is final
+      input.addData(Ev(9, ts("2024-01-01 10:10:00"), 1, "click", 99.0)) // LATE: dropped
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("window_start", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L)))
+      // the late event did not resurrect or alter the finalized window
+      assert(!rows.exists { case (w, t, n) => w == ts("2024-01-01 10:00:00") && t == "click" && n != 2L })
+    } finally q.stop()
+  }
+
+  test("streaming dedup by event_id within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupByEventId(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same batch dup
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toList
+        == List(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("metrics listener observes batches (K8/A1/A4/A7 replacement)") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Ev]
+    val q = input.toDF().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("metered").outputMode("complete").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:00:30"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.totalInputRows < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.totalInputRows >= 2)
+      assert(listener.batchDurationsMs.nonEmpty)
+      assert(listener.progressEvents.exists(_.startsWith("batch:")))
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
+  test("A3 lag policy: growth restart, shrink, stall restart") {
+    val p = new LagPolicy(growThreshold = 200, stallPolls = 3)
+    assert(p.observe(1000, 900) == p.Ok)        // init_lag = 100
+    assert(p.observe(1200, 1000) == p.Ok)       // lag 200 <= 100+200
+    assert(p.observe(1500, 1100) == p.Restart)  // lag 400 > 300 → restart
+    // after restart init_lag re-captured at 400; catching up shrinks it
+    assert(p.observe(1600, 1550) == p.Ok)       // lag 50 < 400-200 → shrink to 50
+    assert(p.currentInitLag.contains(50L))
+    // stall: same processed seq for 3 polls
+    assert(p.observe(1700, 1550) == p.Ok)
+    assert(p.observe(1710, 1550) == p.Ok)
+    assert(p.observe(1720, 1550) == p.Restart)
+  }
+}
