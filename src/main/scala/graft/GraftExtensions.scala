@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions at session build time, so SQL users get them without any
+  * imperative `register` call:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")  // config
+  *   .getOrCreate()
+  * }}}
+  *
+  * (Queries that receive an already-built session — the driver contract —
+  * fall back to [[graft.functions.VectorExpressions.register]], which is
+  * idempotent and registers the same builder.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+  }
+}

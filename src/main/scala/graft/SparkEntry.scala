@@ -17,7 +17,8 @@ object SparkEntry {
     operators.EventOps.defs ++
     operators.RelationalExtra.defs ++
     operators.TemporalJoins.defs ++
-    multimodal.MultimodalOps.defs
+    multimodal.MultimodalOps.defs ++
+    npm.NpmReplayOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

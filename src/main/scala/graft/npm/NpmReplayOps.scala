@@ -1,0 +1,108 @@
+package graft.npm
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** End-to-end pipeline queries inside the correctness gate: a change feed
+  * is synthesized deterministically FROM the `part` table (T2 serialize),
+  * pushed through the full consumer pipeline (T1 parse → T3 normalize →
+  * F1/F2/F4 filters → P1 projection), and the catalog/DLQ outputs are
+  * checked against a plain-SQL oracle over `part` — the oracle knows what
+  * the catalog must contain without parsing any JSON, so any pipeline
+  * regression (schema, normalization, routing, path templating) breaks
+  * the hash match.
+  *
+  * Feed construction (all mod-arithmetic on p_partkey):
+  *   %5 == 0 → scoped name "@graft/pkg-N"   (T4/T6 path handling)
+  *   %7 == 0 → malformed "v"-prefixed semver (T3 clean must repair)
+  *   %11 == 0 → change without doc           (F1 → DLQ no_doc)
+  *   %13 == 0 → 20MB tarball                 (F4 → DLQ tarball_too_large)
+  */
+object NpmReplayOps {
+
+  private def feed(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = Tables.part(s, dir)
+      .withColumn("id",
+        when(col("p_partkey") % 5 === 0, concat(lit("@graft/pkg-"), col("p_partkey")))
+          .otherwise(concat(lit("pkg-"), col("p_partkey"))))
+      .withColumn("ver", concat(lit("1."), col("p_size") % 10, lit(".0")))
+      .withColumn("ver_raw",
+        when(col("p_partkey") % 7 === 0, concat(lit("v"), col("ver"))).otherwise(col("ver")))
+      .withColumn("tar_size",
+        when(col("p_partkey") % 13 === 0, lit(20000000L)).otherwise(col("p_size").cast("long") * 1000))
+      .withColumn("t", lit("2020-01-01T00:00:00.000Z"))
+    val doc = struct(
+      col("id").as("_id"), lit("1-r").as("_rev"), col("id").as("name"),
+      map(lit("latest"), col("ver_raw")).as("dist-tags"),
+      map(col("ver_raw"), struct(
+        col("ver_raw").as("version"),
+        struct(
+          concat(lit("http://r/"), col("id"), lit(".tgz")).as("tarball"),
+          col("tar_size").as("unpackedSize"),
+          lit("sha").as("shasum")).as("dist"),
+        map(lit("dep-a"), lit("^1.0.0")).as("dependencies"))).as("versions"),
+      map(col("ver_raw"), col("t"), lit("created"), col("t"), lit("modified"), col("t")).as("time"))
+    p.select(
+      when(col("p_partkey") % 11 === 0,
+        to_json(struct(col("p_partkey").as("seq"), col("id"))))
+      .otherwise(
+        to_json(struct(col("p_partkey").as("seq"), col("id"), doc.as("doc"))))
+      .as("value"))
+  }
+
+  val replayCatalog: QueryDef = QueryDef(
+    "npm_pipeline_replay_catalog",
+    (s, dir) => {
+      implicit val spark = s
+      Pipeline.replay(feed(s, dir)).catalog
+        .select(
+          col("change_seq_id"), col("package_name"),
+          col("package_latest_version"),
+          col("package_versions_count").cast("long").as("package_versions_count"),
+          col("package_modification_count").cast("long").as("package_modification_count"),
+          expr("CAST(package_latest_change_time AS TIMESTAMP_NTZ)").as("package_latest_change_time"),
+          col("change_save_path"), col("package_deleted"))
+        .orderBy("change_seq_id")
+    },
+    Some("""
+      SELECT p_partkey AS change_seq_id,
+             CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                  ELSE 'pkg-' || p_partkey END AS package_name,
+             '1.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS package_latest_version,
+             CAST(1 AS BIGINT) AS package_versions_count,
+             CAST(3 AS BIGINT) AS package_modification_count,
+             TIMESTAMP '2020-01-01 00:00:00' AS package_latest_change_time,
+             'npm-mirror-packages/' ||
+               upper(substr(CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                                 ELSE 'pkg-' || p_partkey END, 1, 3)) || '/' ||
+               CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                    ELSE 'pkg-' || p_partkey END || '/' ||
+               'pkg-' || p_partkey || '_1-r.zip' AS change_save_path,
+             FALSE AS package_deleted
+      FROM part
+      WHERE p_partkey % 11 != 0 AND p_partkey % 13 != 0
+      ORDER BY change_seq_id
+    """.stripMargin.trim))
+
+  val replayDlq: QueryDef = QueryDef(
+    "npm_pipeline_replay_dlq",
+    (s, dir) => {
+      implicit val spark = s
+      Pipeline.replay(feed(s, dir)).skipped
+        .select(col("seq"), col("package_name"), col("reason"), col("stage"))
+        .orderBy("seq")
+    },
+    Some("""
+      SELECT p_partkey AS seq,
+             CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                  ELSE 'pkg-' || p_partkey END AS package_name,
+             CASE WHEN p_partkey % 11 = 0 THEN 'no_doc' ELSE 'tarball_too_large' END AS reason,
+             CASE WHEN p_partkey % 11 = 0 THEN 'download' ELSE 'size_filter' END AS stage
+      FROM part
+      WHERE p_partkey % 11 = 0 OR p_partkey % 13 = 0
+      ORDER BY seq
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(replayCatalog, replayDlq)
+}

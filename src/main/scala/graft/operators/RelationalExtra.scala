@@ -120,6 +120,21 @@ object RelationalExtra {
         ORDER BY p_partkey
       """.stripMargin.trim)),
 
+    // approximate sketches (HLL distinct, approximate quantiles) — no
+    // DuckDB oracle (engine-specific sketch internals); rows-only check.
+    // Exact counterparts are oracle-checked in agg_distinct_suppliers_per_flag.
+    QueryDef(
+      "approx_sketches_hll_quantiles",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_p50_p95"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // reference T8/T9: ISO-8601 filename generation and parse round-trip
     QueryDef(
       "t8_t9_iso_timestamp_roundtrip",
