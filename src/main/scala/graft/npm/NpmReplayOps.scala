@@ -41,7 +41,9 @@ object NpmReplayOps {
           concat(lit("http://r/"), col("id"), lit(".tgz")).as("tarball"),
           col("tar_size").as("unpackedSize"),
           lit("sha").as("shasum")).as("dist"),
-        map(lit("dep-a"), lit("^1.0.0")).as("dependencies"))).as("versions"),
+        map(
+          concat(lit("pkg-"), col("p_partkey") % 100), lit("^1.0.0"),
+          lit("dep-common"), lit("~2.0.0")).as("dependencies"))).as("versions"),
       map(col("ver_raw"), col("t"), lit("created"), col("t"), lit("modified"), col("t")).as("time"))
     p.select(
       when(col("p_partkey") % 11 === 0,
@@ -104,5 +106,31 @@ object NpmReplayOps {
       ORDER BY seq
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(replayCatalog, replayDlq)
+  /** §7.4 dependency-graph analytics over the replayed catalog: explode
+    * the `package_latest_dependencies` map into edges (the Generator/UDTF
+    * surface of SURVEY §2.10) and rank in-degree. The oracle reconstructs
+    * the expected edge set arithmetically from `part`.
+    */
+  val dependencyDegree: QueryDef = QueryDef(
+    "npm_dependency_indegree",
+    (s, dir) => {
+      implicit val spark = s
+      Pipeline.replay(feed(s, dir)).catalog
+        .select(col("package_name"),
+          explode(col("package_latest_dependencies")).as(Seq("dep_name", "dep_range")))
+        .groupBy("dep_name")
+        .agg(count(lit(1)).as("n_dependents"))
+        .filter(col("dep_name") =!= "dep-common")
+        .orderBy("dep_name")
+    },
+    Some("""
+      SELECT 'pkg-' || CAST(p_partkey % 100 AS VARCHAR) AS dep_name,
+             COUNT(*) AS n_dependents
+      FROM part
+      WHERE p_partkey % 11 != 0 AND p_partkey % 13 != 0
+      GROUP BY 1
+      ORDER BY dep_name
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(replayCatalog, replayDlq, dependencyDegree)
 }
