@@ -17,6 +17,7 @@ object SparkEntry {
     operators.EventOps.defs ++
     operators.RelationalExtra.defs ++
     operators.TemporalJoins.defs ++
+    operators.ScalePatterns.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs
 

@@ -76,6 +76,36 @@ object NpmStream {
       .start()
   }
 
+  /** Cross-batch retention as a first-class streaming query: the same
+    * change feed drives Retention.streamingEvictions
+    * (flatMapGroupsWithState keyed by package dir — state survives
+    * micro-batch boundaries and restarts via the checkpoint), writing the
+    * deletion log continuously. This is the faithful A5 form; the
+    * foreachBatch replay above applies retention within each batch only.
+    */
+  def startRetention(
+      spark: SparkSession,
+      source: DataFrame,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val parsed = Pipeline.parse(source)
+    val arrivals = Pipeline.withDerived(Pipeline.normalize(parsed))
+      .filter(col("reject_reason").isNull)
+      .select(col("package_dir"), col("zip_name").as("file_name"),
+        col("seq").as("ctime"), col("retention_triggered"))
+      .as[Retention.ZipArrival]
+    Retention.streamingEvictions(arrivals).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$outDir/deleted_zips_stream")
+      .start()
+  }
+
   /** A3-style driver-side lag monitor: compares the newest seq the
     * "registry" (source) knows about against the last seq the catalog
     * processed — the reference restarts the producer when

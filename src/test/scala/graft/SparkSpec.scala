@@ -17,6 +17,8 @@ object SparkSpec {
     // builds them as relative paths, which explodes on the reference's
     // ISO-8601 (colon-bearing) payload filenames (see npm.Backfill)
     .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

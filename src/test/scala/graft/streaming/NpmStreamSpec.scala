@@ -33,6 +33,26 @@ class NpmStreamSpec extends SparkSpec {
     assert(skipped.filter(col("seq").isNotNull).count() == 6)
   }
 
+  test("streaming retention carries per-package state across batches and restarts") {
+    val base = Files.createTempDirectory("npmret").toString
+    val feedDir = s"$base/feed"
+    def change(seq: Int): String =
+      s"""{"seq":$seq,"id":"hotpkg","doc":{"_id":"hotpkg","_rev":"$seq-r","name":"hotpkg","dist-tags":{"latest":"1.0.$seq"},"versions":{"1.0.$seq":{"version":"1.0.$seq","dist":{"tarball":"http://r/t.tgz","unpackedSize":5,"shasum":"s"}}},"time":{"1.0.$seq":"2023-01-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-01-01T00:00:00.000Z"}}}"""
+    // 5 versions in the first run: no eviction yet
+    writeFeed(feedDir, (1 to 5).map(change), "f0.jsonl")
+    NpmStream.startRetention(spark, NpmStream.fileSource(spark, feedDir),
+      base, s"$base/ckpt").awaitTermination()
+    assert(!Files.exists(Paths.get(s"$base/deleted_zips_stream")) ||
+      spark.read.parquet(s"$base/deleted_zips_stream").count() == 0)
+    // restart with two more versions: state remembered → two evictions
+    writeFeed(feedDir, Seq(change(6), change(7)), "f1.jsonl")
+    NpmStream.startRetention(spark, NpmStream.fileSource(spark, feedDir),
+      base, s"$base/ckpt").awaitTermination()
+    val evs = spark.read.parquet(s"$base/deleted_zips_stream")
+      .select("deleted_zip_path").as[String].collect().sorted.toList
+    assert(evs.map(_.split("/").last) == List("hotpkg_1-r.zip", "hotpkg_2-r.zip"))
+  }
+
   test("restart from checkpoint does not duplicate already-processed changes") {
     val base = Files.createTempDirectory("npmstream2").toString
     val feedDir = s"$base/feed"
