@@ -1,0 +1,92 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature as a custom `TypedImperativeAggregate` — the
+  * sketch-style aggregate surface (SURVEY §2.10): a mutable k-slot buffer
+  * of lexicographic md5 minima, merged associatively, emitted as
+  * `array<string>`.
+  *
+  * Semantics are IDENTICAL to the k-column
+  * `min(md5(concat(seed, ':', shingle)))` formulation used by
+  * dedup_minhash_lsh (md5 of "i:shingle" per seed i), so the two are
+  * interchangeable; this form carries the whole signature through one
+  * aggregation buffer, which is the shape a sketch library (HLL,
+  * KLL, theta) plugs into.
+  */
+case class MinHashSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[String]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sketch"
+
+  override def createAggregationBuffer(): Array[String] = Array.fill[String](k)(null)
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  override def update(buf: Array[String], input: InternalRow): Array[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val shingle = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < k) {
+        val h = md5Hex(s"$i:$shingle")
+        if (buf(i) == null || h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+    var i = 0
+    while (i < k) {
+      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[String]): Any =
+    new GenericArrayData(buf.map(h => if (h == null) null else UTF8String.fromString(h)))
+
+  override def serialize(buf: Array[String]): Array[Byte] =
+    buf.map(h => if (h == null) "" else h).mkString(",").getBytes(StandardCharsets.UTF_8)
+
+  override def deserialize(bytes: Array[Byte]): Array[String] =
+    new String(bytes, StandardCharsets.UTF_8).split(",", -1).map(h => if (h.isEmpty) null else h)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MinHashAgg {
+  /** Idempotently register `minhash_sketch(col, k)` for SQL use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sketch",
+      exprs => MinHashSketchAgg(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
+}

@@ -144,5 +144,28 @@ object TextAnalysis {
       ORDER BY doc_id
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint)
+  /** Corpus vocabulary statistics: document frequency and total term
+    * frequency per token (the exact-integer core of TF-IDF; the idf log
+    * is left to consumers because libm rounding differs across engines).
+    * Top-20 by (df DESC, token) — a deterministic total order.
+    */
+  val termStats: QueryDef = QueryDef(
+    "text_term_df_top20",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(desc("df"), desc("tf"), asc("tok"))
+        .limit(20)
+    },
+    Some("""
+      SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      GROUP BY tok
+      ORDER BY df DESC, tf DESC, tok ASC
+      LIMIT 20
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, termStats)
 }
