@@ -77,6 +77,37 @@ class EventStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("streaming hourly agg over the real events table matches the batch analog") {
+    val dir = "/root/testdata/sf0.001"
+    // the file-stream source wants a directory: stage the single parquet
+    val stage = java.nio.file.Files.createTempDirectory("eventsdir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .parquet(stage.toString)
+      // watermarks require TIMESTAMP (session tz = UTC), not NTZ
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("hourly_real")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streaming = spark.table("hourly_real")
+      .select(expr("CAST(window_start AS TIMESTAMP_NTZ)").as("window_start"),
+        col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = graft.operators.EventOps.defs.find(_.name == "stream_hourly_windowed_agg").get
+      .run(spark, dir)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("A3 lag policy: growth restart, shrink, stall restart") {
     val p = new LagPolicy(growThreshold = 200, stallPolls = 3)
     assert(p.observe(1000, 900) == p.Ok)        // init_lag = 100
