@@ -120,6 +120,54 @@ object RelationalExtra {
         ORDER BY p_partkey
       """.stripMargin.trim)),
 
+    // exact median without interpolation ambiguity: lower-median by rank
+    // (row_number == ceil(n/2)) — pure integer selection, no float math,
+    // so it is portable where percentile()/quantile() interpolation isn't
+    QueryDef(
+      "agg_exact_median_by_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        val ranked = Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(w))
+        val counts = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        ranked.join(counts, "l_returnflag")
+          .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+          .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM lineitem)
+        SELECT l_returnflag, l_extendedprice AS median_price
+        FROM ranked
+        WHERE rn = CAST((cnt + 1) // 2 AS INT)
+        ORDER BY l_returnflag
+      """.stripMargin.trim)),
+
+    // explicit GROUPING SETS through the spark.sql surface
+    QueryDef(
+      "agg_grouping_sets_sql",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """.stripMargin.trim)),
+
     // approximate sketches (HLL distinct, approximate quantiles) — no
     // DuckDB oracle (engine-specific sketch internals); rows-only check.
     // Exact counterparts are oracle-checked in agg_distinct_suppliers_per_flag.
