@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked process writes straight to stdout — no "[info] " logger prefix
+// on the bench JSON line, and no sbt-logger throughput ceiling.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,5 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: 2×53 query executions in one JVM accumulate enough
+  // old-gen (status store, codegen classes, checkpoint blocks) that 8g
+  // spends the tail of a bench run in full GC — r01 showed a monotone
+  // 1×→90× slowdown through the alphabetical run order at 8g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

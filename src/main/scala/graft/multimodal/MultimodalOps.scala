@@ -71,16 +71,23 @@ object MultimodalOps {
     },
     Some("""
       WITH pos AS (
-        SELECT doc_id AS media_id, CAST(i.range AS BIGINT) AS p,
-               ascii(substr(text, CAST(i.range AS INT) + 1, 1)) AS byte
-        FROM documents CROSS JOIN range(0, 1000) i
-        WHERE i.range < len(text))
-      SELECT media_id, p % 64 AS k,
-             CAST(SUM(byte)::DOUBLE / COUNT(*) / 256.0 AS FLOAT) AS f
-      FROM pos
-      WHERE p % 64 < 4
-      GROUP BY media_id, p % 64
-      ORDER BY media_id, k
+        SELECT doc_id AS media_id, text,
+               CAST(unnest(range(0, len(text))) AS BIGINT) AS p
+        FROM documents),
+      sums AS (
+        SELECT media_id, p % 64 AS k,
+               CAST(SUM(ascii(substr(text, CAST(p AS INT) + 1, 1)))::DOUBLE
+                    / COUNT(*) / 256.0 AS FLOAT) AS f
+        FROM pos
+        WHERE p % 64 < 4
+        GROUP BY media_id, p % 64),
+      dims AS (
+        SELECT doc_id AS media_id, CAST(d.range AS BIGINT) AS k
+        FROM documents CROSS JOIN range(0, 4) d)
+      SELECT dims.media_id AS media_id, dims.k AS k,
+             COALESCE(sums.f, CAST(0.0 AS FLOAT)) AS f
+      FROM dims LEFT JOIN sums ON dims.media_id = sums.media_id AND dims.k = sums.k
+      ORDER BY dims.media_id, dims.k
     """.stripMargin.trim))
 
   val defs: Seq[QueryDef] = Seq(metadata, frameSample, features)

@@ -31,6 +31,9 @@ object NpmReplayOps {
 
   private def replayFor(s: org.apache.spark.sql.SparkSession, dir: String): Pipeline.PipelineResult =
     replayCache.synchronized {
+      // evict entries owned by stopped sessions: they pin localCheckpoint'd
+      // RDD blocks (and the session itself) for the JVM lifetime otherwise
+      replayCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       replayCache.getOrElseUpdate((s, dir), {
         implicit val spark = s
         val r = Pipeline.replay(feed(s, dir))

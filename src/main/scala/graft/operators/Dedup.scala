@@ -36,10 +36,10 @@ object Dedup {
 
   private val shinglesSql: String =
     """SELECT DISTINCT doc_id,
-      |       ts[CAST(i.range AS INT)] || ' ' || ts[CAST(i.range AS INT) + 1] || ' ' || ts[CAST(i.range AS INT) + 2] AS shingle
-      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
-      |CROSS JOIN range(1, 10001) i
-      |WHERE i.range <= len(ts) - 2""".stripMargin
+      |       ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT) + 1] || ' ' || ts[CAST(p AS INT) + 2] AS shingle
+      |FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS p
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t0
+      |      WHERE len(ts) >= 3) t""".stripMargin
 
   /** Exact dedup: canonical doc per identical text (hash-groupBy). */
   val exact: QueryDef = QueryDef(

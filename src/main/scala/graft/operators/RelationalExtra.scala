@@ -178,7 +178,10 @@ object RelationalExtra {
           .groupBy("l_returnflag")
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_p50_p95"))
+            // scalar columns (not array<double>): the driver's rows-only
+            // check sorts columns and cannot hash ndarray cells (r01 ADVICE)
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"))
           .orderBy("l_returnflag")
       },
       None),

@@ -61,17 +61,33 @@ object TemporalJoins {
       ORDER BY user_id, error_event_id
     """.stripMargin.trim))
 
-  /** Ordered event pairs of the same user within one hour. */
+  /** Ordered event pairs of the same user within one hour.
+    *
+    * Scale shape: joining on user_id alone is O(events_per_user²) — a
+    * power-law user at 100 TB turns that quadratic. Instead the join key
+    * is (user_id, hour_bucket): the left side is exploded into its own
+    * bucket and the next one, so a pair at distance ≤ 1 h lands in
+    * exactly one of the two bucket pairings (0 ≤ dt ≤ H ⇒ bucket(b) ∈
+    * {bucket(a), bucket(a)+1} — no duplicates, no misses), and the time
+    * predicate is a cheap residual on a hash join whose key cardinality
+    * grows with the time span, not just the user count.
+    */
   val range: QueryDef = QueryDef(
     "join_range_pairs_within_1h",
     (s, dir) => {
-      val e = Tables.events(s, dir).select("user_id", "event_id", "ts")
-      e.as("a").join(e.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-          col("a.event_id") < col("b.event_id") &&
-          unix_micros(col("b.ts").cast("timestamp")) - unix_micros(col("a.ts").cast("timestamp")) >= 0 &&
-          unix_micros(col("b.ts").cast("timestamp")) - unix_micros(col("a.ts").cast("timestamp")) <= 3600L * 1000000L)
-        .groupBy(col("a.user_id").as("user_id"))
+      val H = 3600L * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val a = e.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"),
+          explode(array((col("us") / H).cast("long"), (col("us") / H).cast("long") + 1)).as("jb"))
+      val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("us").as("b_us"),
+          (col("us") / H).cast("long").as("bb"))
+      a.join(b,
+          col("user_id") === col("b_user") && col("jb") === col("bb") &&
+          col("a_id") < col("b_id") &&
+          col("b_us") - col("a_us") >= 0 && col("b_us") - col("a_us") <= H)
+        .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     },
