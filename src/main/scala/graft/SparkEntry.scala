@@ -16,6 +16,7 @@ object SparkEntry {
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
     operators.RelationalExtra.defs ++
+    operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++
     operators.ScalePatterns.defs ++
     multimodal.MultimodalOps.defs ++

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Third tranche of analytics coverage, each picked for a scale shape the
+  * first two tranches didn't exercise:
+  *
+  *  - co-occurrence graph neighborhood (self-join on a shared-entity key —
+  *    the frontier-expansion building block of iterative graph algorithms);
+  *  - RANGE interval window frames (value-range frames, not row counts);
+  *  - exact-decimal Pearson correlation / sample stddev (Welford built-ins
+  *    are float-order-dependent; decimal sums + one identical double
+  *    expression are portable AND map-side combinable);
+  *  - deterministic stratified sampling by content hash (reproducible
+  *    train/eval splits at any parallelism — no RNG state per task);
+  *  - TF-IDF-style argmax per document (explode → two-level agg → window);
+  *  - multiset (ALL-semantics) set operations;
+  *  - mergeable HLL sketches (partial per-group sketches union-merged —
+  *    the two-level pattern that replaces exact global distinct at 100 TB).
+  */
+object AnalyticsExtra {
+
+  private val D = DecimalType(12, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- co-supplier graph: suppliers sharing a part with supplier 1 ----
+    // Scale shape: dedup to the bipartite edge list once, then a self-join
+    // keyed on the shared entity (part). The filter on the probe side cuts
+    // the join to one frontier; iterating this join IS distributed BFS.
+    QueryDef(
+      "graph_cosupplier_shared_parts",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        edges.filter(col("sk") === 1).select(col("pk"))
+          .join(edges, "pk")
+          .filter(col("sk") =!= 1)
+          .groupBy(col("sk").as("co_supplier"))
+          .agg(countDistinct(col("pk")).as("shared_parts"))
+          .orderBy("co_supplier")
+      },
+      Some("""
+        WITH edges AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+        SELECT b.sk AS co_supplier, COUNT(DISTINCT b.pk) AS shared_parts
+        FROM edges a JOIN edges b ON a.pk = b.pk
+        WHERE a.sk = 1 AND b.sk != 1
+        GROUP BY b.sk
+        ORDER BY co_supplier
+      """.stripMargin.trim)),
+
+    // ---- RANGE frame: trailing-30-day revenue per supplier ---------------
+    // A value-range frame (not N rows): every row sums its supplier's
+    // revenue over the preceding 30 days of ship dates, peers included.
+    QueryDef(
+      "window_range_30d_revenue",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey").orderBy(col("day_s"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.lineitem(s, dir)
+          .filter(col("l_suppkey") <= 20)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            unix_timestamp(col("l_shipdate")).as("day_s"),
+            col("l_extendedprice").cast(D).as("price_d"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("price_d")).over(w).cast("double").as("rev_30d"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_30d
+        FROM lineitem
+        WHERE l_suppkey <= 20
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY l_suppkey, l_orderkey, l_linenumber
+      """.stripMargin.trim)),
+
+    // ---- exact-decimal Pearson correlation + sample stddev ---------------
+    // corr()/stddev_samp() builtins accumulate in floats (order-dependent
+    // across partitionings); here every sum is an exact decimal, cast to
+    // double once, and both engines evaluate the identical IEEE expression.
+    QueryDef(
+      "stats_corr_qty_price",
+      (s, dir) => {
+        val qd = col("l_quantity").cast(D)
+        val pd = col("l_extendedprice").cast(D)
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(qd).as("sx"), sum(pd).as("sy"),
+            sum(qd * pd).as("sxy"), sum(qd * qd).as("sx2"), sum(pd * pd).as("sy2"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n") * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("n") * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr_qty_price"),
+            sqrt((col("n") * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n") * (col("n") - 1).cast("double"))).as("stddev_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sx2,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sy2
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+               sqrt((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                 (n * CAST(n - 1 AS DOUBLE))) AS stddev_qty
+        FROM sums
+        ORDER BY l_returnflag
+      """.stripMargin.trim)),
+
+    // ---- deterministic stratified sample: md5-hash 1/16 per stratum ------
+    // Content-hash sampling is reproducible at any parallelism and lets
+    // train/eval splits be recomputed instead of stored — no per-task RNG.
+    QueryDef(
+      "sample_stratified_hash",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1) === "0", 1))
+              .as("n_sampled"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0') AS n_sampled
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
+    // ---- TF-IDF-surrogate argmax term per document -----------------------
+    // score = tf * N / df : exact integers + one IEEE division, so it ranks
+    // identically to tf-idf on this corpus without log() portability risk.
+    QueryDef(
+      "text_tfidf_top_term",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // 1-row corpus size, cross-joined (Catalyst broadcasts it) — no
+        // driver-side count(), the whole query is one declarative plan
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("term"))
+        tf.join(df, "term").crossJoin(n)
+          .select(col("doc_id"), col("term"),
+            (col("tf") * col("n_docs")).cast("double") / col("df").cast("double") as "score")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        t AS (SELECT * FROM terms WHERE term != ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term ASC) AS rn
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        SELECT doc_id, term AS top_term, score
+        FROM scored WHERE rn = 1
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- multiset EXCEPT ALL: 1996 return-flag bag minus 1997's ----------
+    QueryDef(
+      "setop_except_all_flags",
+      (s, dir) => {
+        def flags(year: Int) = Tables.lineitem(s, dir)
+          .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year)
+          .select("l_returnflag")
+        flags(1996).exceptAll(flags(1997))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_surplus"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH surplus AS (
+          SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1996
+          EXCEPT ALL
+          SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1997)
+        SELECT l_returnflag, COUNT(*) AS n_surplus
+        FROM surplus
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """.stripMargin.trim)),
+
+    // ---- mergeable HLL sketches: per-nation partials, union to global ----
+    // The 100 TB replacement for global COUNT(DISTINCT): sketch once per
+    // partition-group, merge sketches (tiny) instead of reshuffling rows.
+    // No DuckDB oracle (Datasketches binary internals) → rows-only check.
+    QueryDef(
+      "approx_hll_mergeable_union",
+      (s, dir) => {
+        val perNation = Tables.customer(s, dir)
+          .groupBy("c_nationkey")
+          .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+        val global = perNation
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("global_distinct"))
+        perNation
+          .select(col("c_nationkey").cast("long").as("nationkey"),
+            hll_sketch_estimate(col("sk")).cast("long").as("nation_distinct"))
+          .crossJoin(global)
+          .orderBy("nationkey")
+      },
+      None)
+  )
+}

@@ -31,6 +31,31 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each error joined to the same user's
+    * clicks in the preceding hour. Both sides carry watermarks, so the
+    * join state is bounded (watermark + interval decides when a buffered
+    * click can never match a future error and is evicted) — the
+    * unbounded-input version of the bucketed batch range join in
+    * operators.TemporalJoins. Also valid on batch DataFrames (watermark
+    * is a no-op there), which is how the spec proves batch equivalence.
+    */
+  def clicksBeforeErrors(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "30 minutes")
+    errors.join(clicks,
+      col("c_user") === col("e_user") &&
+      col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR") &&
+      col("click_ts") <= col("error_ts"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
 }
 
 /** A3 — the producer's lag/stall watchdog as a pure, testable policy

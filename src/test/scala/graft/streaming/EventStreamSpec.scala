@@ -108,6 +108,50 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.clicksBeforeErrors(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "error", 1.0),   // pairs with click 1
+        Ev(3, ts("2024-01-01 09:00:00"), 2, "click", 1.0),
+        Ev(4, ts("2024-01-01 10:30:00"), 2, "error", 1.0))   // click 3 is 90min old: no pair
+      q.processAllAvailable()
+      // advance both watermarks well past the first hour, then emit an
+      // error whose only candidate click is watermark-evicted state
+      input.addData(Ev(5, ts("2024-01-01 14:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(6, ts("2024-01-01 14:10:00"), 3, "error", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((2L, 1L)))
+      assert(!pairs.exists(_._1 == 4L))
+      assert(pairs.contains((6L, 5L)))
+    } finally q.stop()
+  }
+
+  test("interval join gives identical pairs in batch mode on the real events table") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val viaOperator = EventStream.clicksBeforeErrors(ev)
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    ev.createOrReplaceTempView("ev_batch")
+    val direct = spark.sql("""
+      SELECT e.event_id AS error_id, c.event_id AS click_id
+      FROM (SELECT * FROM ev_batch WHERE event_type = 'error') e
+      JOIN (SELECT * FROM ev_batch WHERE event_type = 'click') c
+        ON e.user_id = c.user_id
+       AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    """).as[(Long, Long)].collect().toSet
+    assert(viaOperator == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("A3 lag policy: growth restart, shrink, stall restart") {
     val p = new LagPolicy(growThreshold = 200, stallPolls = 3)
     assert(p.observe(1000, 900) == p.Ok)        // init_lag = 100
