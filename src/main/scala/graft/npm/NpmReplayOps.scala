@@ -199,6 +199,49 @@ object NpmReplayOps {
       ORDER BY release_month
     """.stripMargin.trim))
 
+  /** T3 semver cleaning through the native codegen expression
+    * (functions.SemverClean), oracle-checked: raw version strings are
+    * synthesized arithmetically to cover every clean rule — v-prefix,
+    * uncleanable two-part, leading zeros, loose prerelease, canonical —
+    * and the oracle states the expected canonical form for each case.
+    */
+  val semverNative: QueryDef = QueryDef(
+    "t3_semver_clean_native",
+    (s, dir) => {
+      graft.functions.SemverExpressions.register(s)
+      Tables.part(s, dir)
+        .withColumn("ver", concat(lit("1."), col("p_size") % 10, lit(".0")))
+        .withColumn("raw_version",
+          when(col("p_partkey") % 7 === 0, concat(lit("v"), col("ver")))
+            .when(col("p_partkey") % 5 === 0, lit("1.0"))
+            .when(col("p_partkey") % 3 === 0, concat(lit("01."), col("p_size") % 10, lit(".00")))
+            .when(col("p_partkey") % 2 === 0, concat(col("ver"), lit("beta")))
+            .otherwise(col("ver")))
+        .select(col("p_partkey"), col("raw_version"),
+          expr("semver_clean(raw_version)").as("cleaned"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH v AS (
+        SELECT p_partkey, p_size,
+               '1.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS ver
+        FROM part)
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 7 = 0 THEN 'v' || ver
+                  WHEN p_partkey % 5 = 0 THEN '1.0'
+                  WHEN p_partkey % 3 = 0 THEN '01.' || CAST(p_size % 10 AS VARCHAR) || '.00'
+                  WHEN p_partkey % 2 = 0 THEN ver || 'beta'
+                  ELSE ver END AS raw_version,
+             CASE WHEN p_partkey % 7 = 0 THEN ver
+                  WHEN p_partkey % 5 = 0 THEN NULL
+                  WHEN p_partkey % 3 = 0 THEN ver
+                  WHEN p_partkey % 2 = 0 THEN ver || '-beta'
+                  ELSE ver END AS cleaned
+      FROM v
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(replayCatalog, replayDlq, dependencyDegree, packagesPerAuthor, versionCadence)
+    Seq(replayCatalog, replayDlq, dependencyDegree, packagesPerAuthor, versionCadence,
+      semverNative)
 }

@@ -41,4 +41,15 @@ object Semver {
 
   /** True when `clean` would leave the string unchanged. */
   def isClean(v: String): Boolean = clean(v).contains(v)
+
+  /** Codegen-friendly adapter for the SemverClean Catalyst expression
+    * (static forwarder callable from generated Java): null for null input
+    * or uncleanable strings.
+    */
+  def cleanUTF8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else clean(s.toString) match {
+      case Some(c) => org.apache.spark.unsafe.types.UTF8String.fromString(c)
+      case None => null
+    }
 }

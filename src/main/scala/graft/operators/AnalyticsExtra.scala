@@ -65,20 +65,25 @@ object AnalyticsExtra {
         Tables.lineitem(s, dir)
           .filter(col("l_suppkey") <= 20)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"),
             unix_timestamp(col("l_shipdate")).as("day_s"),
             col("l_extendedprice").cast(D).as("price_d"))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"),
             sum(col("price_d")).over(w).cast("double").as("rev_30d"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          // (suppkey, orderkey, linenumber) is NOT unique in the synthetic
+          // data — shipdate + rev make the sort total so emitted order
+          // is engine-independent
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "rev_30d")
       },
       Some("""
-        SELECT l_suppkey, l_orderkey, l_linenumber,
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_30d
         FROM lineitem
         WHERE l_suppkey <= 20
         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-        ORDER BY l_suppkey, l_orderkey, l_linenumber
+        ORDER BY l_suppkey, l_orderkey, l_linenumber, l_shipdate, rev_30d
       """.stripMargin.trim)),
 
     // ---- exact-decimal Pearson correlation + sample stddev ---------------

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Enforces the physical-plan properties the 100 TB design depends on —
+  * not just "the query returns right rows" but "the plan is the one we'd
+  * want on a 1000-executor cluster". Every claim DESIGN.md makes about
+  * pushdown/broadcast/join strategy is pinned here so a regression (a
+  * dropped hint, a filter that stops reaching the scan) fails CI instead
+  * of quietly becoming a quadratic plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended shape: a
+    * deliberately tiny side (1-row corpus count / global sketch, the
+    * scalar-subquery average, the broadcast query-point set of the
+    * brute-force ANN baseline, the documented all-pairs cosine form).
+    */
+  private val nestedLoopAllowed = Set(
+    "ann_cosine_topk_bruteforce",     // query points broadcast vs corpus
+    "dedup_embedding_cosine",         // documented all-pairs baseline
+    "subquery_parts_above_avg_price", // scalar subquery (1-row avg)
+    "text_tfidf_top_term",            // 1-row corpus-size crossJoin
+    "approx_hll_mergeable_union")     // 1-row global-sketch crossJoin
+
+  test("no query plans a CartesianProduct; NestedLoop only where intended") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct (quadratic shuffle product)")
+      if (!nestedLoopAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the whitelist")
+    }
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan; scan is pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "l_shipdate range filter did not reach the parquet scan")
+    assert(!p.contains("l_partkey"),
+      "q1 reads l_partkey — column pruning regressed")
+  }
+
+  test("q3/q5: dimension sides broadcast (no shuffle on the small side)") {
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+    val q5 = plan("q5_local_supplier_volume")
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("CartesianProduct"))
+  }
+
+  test("bucketed range join stays an equi hash/merge join") {
+    val p = plan("join_range_pairs_within_1h")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "range join lost its equi-join key")
+    assert(!p.contains("NestedLoop"), "range join degenerated to a nested loop")
+  }
+
+  test("dedup joins are keyed (shuffled on content keys, not all-pairs)") {
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), s"$n is not an equi join")
+      assert(!p.contains("NestedLoop"), s"$n fell back to a nested loop")
+    }
+  }
+
+  test("semver_clean runs in a codegen span and matches the pure function") {
+    graft.functions.SemverExpressions.register(spark)
+    val df = Tables.part(spark, dir)
+      .selectExpr("p_brand", "semver_clean(concat('v1.', p_size % 10, '.0')) AS c",
+        "semver_clean(p_brand) AS garbage")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id"), "projection not in a codegen span")
+    // fallback=false turns a broken doGenCode into a hard failure instead
+    // of a silent interpreted fallback
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getString(1) != null && r.getString(1).startsWith("1."))
+        assert(r.isNullAt(2), s"'${r.getString(0)}' should be uncleanable")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+}
