@@ -218,6 +218,43 @@ object AnalyticsExtra {
         ORDER BY l_returnflag
       """.stripMargin.trim)),
 
+    // ---- time-series gap fill: dense (day × priority) grid, zero-filled --
+    // Dimension completion: generate the full day span once (sequence +
+    // explode), cross the tiny dimension set (broadcast), left-join the
+    // sparse counts. The grid side is generated, never shuffled at scale.
+    QueryDef(
+      "ts_gapfill_daily_orders",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .select(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+        val days = ord.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val dims = ord.select("o_orderpriority").distinct()
+        val counts = ord.groupBy("day", "o_orderpriority").agg(count(lit(1)).as("n"))
+        days.crossJoin(dims)
+          .join(counts, Seq("day", "o_orderpriority"), "left")
+          .select(col("day"), col("o_orderpriority"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("day", "o_orderpriority")
+      },
+      Some("""
+        WITH span AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+          FROM orders),
+        days AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        dims AS (SELECT DISTINCT o_orderpriority FROM orders),
+        counts AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2)
+        SELECT d.day AS day, p.o_orderpriority AS o_orderpriority,
+               COALESCE(c.n, 0) AS n
+        FROM days d CROSS JOIN dims p
+        LEFT JOIN counts c ON c.day = d.day AND c.o_orderpriority = p.o_orderpriority
+        ORDER BY d.day, p.o_orderpriority
+      """.stripMargin.trim)),
+
     // ---- mergeable HLL sketches: per-nation partials, union to global ----
     // The 100 TB replacement for global COUNT(DISTINCT): sketch once per
     // partition-group, merge sketches (tiny) instead of reshuffling rows.

@@ -259,6 +259,75 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** Connected components over the near-dup pair graph (Jaccard ≥ 0.5):
+    * every document labeled with the min doc_id of its component — the
+    * step that turns pairwise near-dup hits into keep-one-per-cluster
+    * decisions in a training-data pipeline.
+    *
+    * Spark-first iterative shape: min-label propagation as a driver loop
+    * of join+groupBy rounds (converges in O(component diameter) rounds;
+    * near-dup clusters are near-cliques so 1-2 rounds in practice), with
+    * localCheckpoint each round to cut lineage — the same pattern GraphX
+    * uses under the hood, expressed on DataFrames so Catalyst plans each
+    * round. The DuckDB oracle computes the exact fixpoint independently
+    * via a recursive CTE, so convergence bugs can't hide.
+    */
+  val clusterComponents: QueryDef = QueryDef(
+    "dedup_cluster_components",
+    (s, dir) => {
+      val sh = shingles(s, dir).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        .filter(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
+        .select("ia", "ib")
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("comp"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min("comp").as("ncomp"))
+        val next = labels.as("l").join(prop, col("l.doc_id") === col("src"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("comp").as("component_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e0 AS (
+        SELECT ia, ib FROM pair
+        JOIN sz sa ON sa.doc_id = ia
+        JOIN sz sb ON sb.doc_id = ib
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      edges AS (SELECT ia AS src, ib AS dst FROM e0
+                UNION ALL SELECT ib, ia FROM e0),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS component_id
+      FROM reach GROUP BY id ORDER BY doc_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusterComponents)
 }
