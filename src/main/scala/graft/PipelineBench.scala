@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throughput of the full NPM consumer pipeline (parse → normalize →
+  * validity/size filters → enrichment → catalog + DLQ + audit +
+  * retention), measured end-to-end in changes/second.
+  *
+  * The reference's operational contract implies a sustained rate within
+  * ~10 changes/s of the registry feed (BASELINE.md: lag-restart threshold
+  * of 200 seqs per 20 s poll, 4 consumer processes); this harness is the
+  * direct comparison point: same per-change semantics, Spark execution.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run_main.sh graft.PipelineBench
+  */
+object PipelineBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the same deterministic change feed the correctness gate replays
+    // (graft.npm.NpmReplayOps), materialized once so feed synthesis cost
+    // is excluded from the measured pipeline time
+    val feed = npm.NpmReplayOps.syntheticFeed(spark, sfDir).localCheckpoint(true)
+    val nChanges = feed.count()
+
+    def once(): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = npm.Pipeline.replay(feed)
+      val nCatalog = r.catalog.count()
+      val nSkipped = r.skipped.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (nCatalog, nSkipped, dt)
+    }
+    once() // warmup (JIT + codegen)
+    val (nCatalog, nSkipped, dt) = once()
+
+    val rate = nChanges / dt
+    println(
+      s"""{"metric":"pipeline_changes_per_sec","value":${"%.0f".format(rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${"%.3f".format(dt)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

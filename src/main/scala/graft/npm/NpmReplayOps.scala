@@ -45,6 +45,13 @@ object NpmReplayOps {
       })
     }
 
+  /** The deterministic change feed synthesized from `part` (see class
+    * doc); public so PipelineBench can measure the pipeline over the
+    * exact feed the correctness gate replays.
+    */
+  def syntheticFeed(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    feed(s, dir)
+
   private def feed(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val p = Tables.part(s, dir)
       .withColumn("id",
