@@ -90,5 +90,41 @@ object MultimodalOps {
       ORDER BY dims.media_id, dims.k
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features)
+  /** Resize through the stub kernel: stride-subsampled payload bytes for
+    * image rows, byte-for-byte checkable (ASCII corpus ⇒ DuckDB can
+    * rebuild the subsampled string and hash it).
+    */
+  val resize: QueryDef = QueryDef(
+    "mm_resize_images",
+    (s, dir) => {
+      implicit val spark = s
+      Multimodal.resize(Multimodal.syntheticMedia(s, dir), targetW = 8, targetH = 8).toDF()
+        .filter(col("meta.media_type") === "image")
+        .select(col("media_id"),
+          octet_length(col("content")).cast("long").as("n_bytes_after"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH img AS (
+        SELECT doc_id AS media_id, text, len(text) AS n,
+               greatest(1, len(text) // 64) AS stride
+        FROM documents WHERE doc_id % 3 = 0),
+      pos AS (
+        SELECT media_id, text, stride,
+               CAST(unnest(range(0, n)) AS BIGINT) AS p
+        FROM img),
+      resized AS (
+        SELECT media_id,
+               string_agg(substr(text, CAST(p AS INT) + 1, 1), '' ORDER BY p) AS rtext
+        FROM pos WHERE p % stride = 0
+        GROUP BY media_id)
+      SELECT media_id,
+             CAST(len(rtext) AS BIGINT) AS n_bytes_after,
+             md5(rtext) AS content_md5
+      FROM resized
+      ORDER BY media_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize)
 }

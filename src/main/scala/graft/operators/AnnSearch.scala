@@ -80,5 +80,67 @@ object AnnSearch {
     (s, dir) => topk(s, dir, sameClusterOnly = true),
     Some(topkSql("AND q.label = c.label")))
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, ivfLabel)
+  /** Random-hyperplane LSH: 8 sign bits (one per ±1 hyperplane) form the
+    * bucket key; candidates come from an equi-join on the full signature,
+    * so the probe is a hash join on an 8-bit code — the third scale path
+    * next to IVF (data-independent, no training pass). The hyperplanes
+    * are pseudo-random ±1 patterns from a fixed arithmetic rule so the
+    * DuckDB oracle regenerates them bit-for-bit; each sign projection is
+    * a codegen `float_dot` against a literal array.
+    */
+  private val Dim = 64
+  private def planeSql(j: Int): String =
+    (0 until Dim).map(i => if ((i * (j + 1)) % 3 == 0) "1.0F" else "-1.0F")
+      .mkString("array(", ", ", ")")
+
+  val hyperplaneLsh: QueryDef = QueryDef(
+    "ann_cosine_topk_hyperlsh",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val sigBits = (0 until 8).map(j =>
+        when(expr(s"float_dot(embedding, ${planeSql(j)})") > 0, lit("1")).otherwise(lit("0")))
+      val e = withNorm(Tables.embeddings(s, dir))
+        .withColumn("sig", concat(sigBits: _*))
+        .cache()  // query + corpus sides of the bucket join
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+      e.filter(col("vec_id") < 10).as("q").join(e.as("c"),
+          col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "cand_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      bits AS (
+        SELECT e.vec_id, CAST(j.range AS INT) AS j,
+               CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
+                      i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                           (CASE WHEN ((i - 1) * (CAST(j.range AS INT) + 1)) % 3 = 0
+                                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                      (x, y) -> x + y) > 0 THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN range(0, 8) j),
+      sig AS (SELECT vec_id, string_agg(b, '' ORDER BY j) AS sig FROM bits GROUP BY vec_id),
+      es AS (SELECT e.vec_id, e.embedding, e.nrm, s.sig FROM e JOIN sig s ON e.vec_id = s.vec_id),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM es q JOIN es c ON q.vec_id < 10 AND q.vec_id != c.vec_id AND q.sig = c.sig),
+      ranked AS (
+        SELECT qid, cand_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qid, rank, cand_id, cos FROM ranked
+      WHERE rank <= 5
+      ORDER BY qid, rank
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, ivfLabel, hyperplaneLsh)
 }
