@@ -167,5 +167,49 @@ object TextAnalysis {
       LIMIT 20
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, termStats)
+  /** Training-corpus selection — the composition a data pipeline actually
+    * runs: keep a document iff it passes the quality gate, the length
+    * gate, AND it is the canonical keeper (min doc_id) of its exact-dup
+    * group. One narrow pass computes the per-doc gates; the dedup keeper
+    * is a groupBy on the content hash joined back — no operator sees more
+    * than one shuffle's worth of state.
+    */
+  val corpusSelect: QueryDef = QueryDef(
+    "pipeline_training_corpus_select",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ts")))
+        .withColumn("stop_hits",
+          size(expr(s"filter(ts, t -> t IN ${sqlList(enStops)})")))
+        .withColumn("quality",
+          (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)) +
+            ((size(array_distinct(col("ts"))).cast("double") / col("n_tokens")) * lit(0.3)) +
+            ((col("stop_hits").cast("double") / col("n_tokens")) * lit(0.2)))
+      val keepers = Tables.documents(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      scored.join(keepers, "doc_id")
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               (least(len(ts) / 100.0, 1.0) * 0.5)
+               + ((CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.3)
+               + ((CAST(len(list_filter(ts, t -> t IN ${sqlList(enStops)})) AS DOUBLE) / len(ts)) * 0.2) AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t),
+      keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+      SELECT s.doc_id AS doc_id, s.quality AS quality
+      FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+      WHERE s.quality >= 0.5 AND s.n_tokens >= 10
+      ORDER BY s.doc_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(tokenStats, qualityScore, langId, fingerprint, termStats, corpusSelect)
 }

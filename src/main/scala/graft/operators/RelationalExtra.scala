@@ -121,18 +121,27 @@ object RelationalExtra {
       """.stripMargin.trim)),
 
     // exact median without interpolation ambiguity: lower-median by rank
-    // (row_number == ceil(n/2)) — pure integer selection, no float math,
-    // so it is portable where percentile()/quantile() interpolation isn't
+    // (position ceil(n/2) in price order) — pure integer selection, no
+    // float math, so it is portable where percentile() interpolation
+    // isn't. Scale shape: a cumulative histogram over DISTINCT prices
+    // (groupBy shuffle is fully parallel; the window walks the compressed
+    // histogram), not row_number over whole group partitions — ranking
+    // every row caps parallelism at #groups and sorts the full table.
     QueryDef(
       "agg_exact_median_by_rank",
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
-        val ranked = Tables.lineitem(s, dir)
-          .withColumn("rn", row_number().over(w))
-        val counts = Tables.lineitem(s, dir)
-          .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
-        ranked.join(counts, "l_returnflag")
-          .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+        val hist = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_extendedprice").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totals = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        hist.withColumn("cum", sum("cnt").over(w))
+          .join(totals, "l_returnflag")
+          .withColumn("k", ((col("n") + 1) / 2).cast("long"))
+          // the k-th value lies in the first histogram bucket whose
+          // cumulative count crosses k
+          .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
           .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
           .orderBy("l_returnflag")
       },
