@@ -88,43 +88,50 @@ object AnalyticsExtra {
 
     // ---- exact-decimal Pearson correlation + sample stddev ---------------
     // corr()/stddev_samp() builtins accumulate in floats (order-dependent
-    // across partitionings); here every sum is an exact decimal, cast to
-    // double once, and both engines evaluate the identical IEEE expression.
+    // across partitionings). Here qty/price are scaled to integer cents so
+    // every aggregate is an INTEGER-valued decimal: integer→double casts
+    // are correctly rounded in both engines, whereas DuckDB's fractional
+    // decimal→double cast double-rounds (observed 1-ulp divergence at
+    // sf0.001). Pearson r is scale-invariant so the ×100 factors cancel;
+    // stddev divides the cents result by 100 once, identically both sides.
     QueryDef(
       "stats_corr_qty_price",
       (s, dir) => {
-        val qd = col("l_quantity").cast(D)
-        val pd = col("l_extendedprice").cast(D)
+        val qc = (col("l_quantity").cast(D) * 100).cast(DecimalType(14, 0))
+        val pc = (col("l_extendedprice").cast(D) * 100).cast(DecimalType(16, 0))
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            sum(qd).as("sx"), sum(pd).as("sy"),
-            sum(qd * pd).as("sxy"), sum(qd * qd).as("sx2"), sum(pd * pd).as("sy2"))
+            sum(qc).as("sx"), sum(pc).as("sy"),
+            sum(qc * pc).as("sxy"), sum(qc * qc).as("sx2"), sum(pc * pc).as("sy2"))
           .select(col("l_returnflag"), col("n"),
             ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
               (sqrt(col("n") * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
                sqrt(col("n") * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
               .as("corr_qty_price"),
-            sqrt((col("n") * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")) /
-              (col("n") * (col("n") - 1).cast("double"))).as("stddev_qty"))
+            (sqrt((col("n") * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n") * (col("n") - 1).cast("double"))) / 100.0).as("stddev_qty"))
           .orderBy("l_returnflag")
       },
       Some("""
         WITH sums AS (
           SELECT l_returnflag, COUNT(*) AS n,
-                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-                 SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
-                 SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sx2,
-                 SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sy2
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS sx,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS sy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                     * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS sxy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                     * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS sx2,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))
+                     * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS sy2
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
                (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                  (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                   sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
                sqrt((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-                 (n * CAST(n - 1 AS DOUBLE))) AS stddev_qty
+                 (n * CAST(n - 1 AS DOUBLE))) / 100.0 AS stddev_qty
         FROM sums
         ORDER BY l_returnflag
       """.stripMargin.trim)),
