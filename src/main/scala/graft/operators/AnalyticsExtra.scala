@@ -225,6 +225,55 @@ object AnalyticsExtra {
         ORDER BY l_returnflag
       """.stripMargin.trim)),
 
+    // ---- ntile quartiles: account-balance quartile per nation ------------
+    QueryDef(
+      "window_ntile_quartiles",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+        FROM customer
+        ORDER BY c_custkey
+      """.stripMargin.trim)),
+
+    // ---- unpivot: wide per-flag sums → long (measure, value) rows --------
+    QueryDef(
+      "unpivot_flag_measures",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity").cast(D)).cast("double").as("qty"),
+            sum(col("l_extendedprice").cast(D)).cast("double").as("price"),
+            sum(col("l_discount").cast(D)).cast("double").as("discount"))
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("qty"), col("price"), col("discount")),
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS discount
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, value
+        FROM wide
+        UNPIVOT (value FOR measure IN (qty, price, discount))
+        ORDER BY l_returnflag, measure
+      """.stripMargin.trim)),
+
     // ---- time-series gap fill: dense (day × priority) grid, zero-filled --
     // Dimension completion: generate the full day span once (sequence +
     // explode), cross the tiny dimension set (broadcast), left-join the
