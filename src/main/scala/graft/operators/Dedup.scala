@@ -285,11 +285,17 @@ object Dedup {
         .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
         .filter(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
         .select("ia", "ib")
+      // the label/edge tables are orders smaller than the corpus (near-dup
+      // pairs only): right-size their partitioning so each propagation
+      // round isn't dominated by fixed per-partition costs. At cluster
+      // scale this constant becomes |edges| / target-partition-size.
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .coalesce(8)
         .localCheckpoint(true)
       var labels = Tables.documents(s, dir)
         .select(col("doc_id"), col("doc_id").as("comp"))
+        .coalesce(8)
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
