@@ -47,6 +47,37 @@ object TextAnalysis {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer shape):
+    * contraction suffixes, space-prefixed letter/digit runs, punctuation
+    * runs, whitespace runs — the regex stays in the Java/RE2 common
+    * subset so Spark and DuckDB extract identical token lists. Reported
+    * next to whitespace counts: subword-ish token inflation is a core
+    * budget metric for a training-data pipeline.
+    */
+  val bpeTokens: QueryDef = QueryDef(
+    "text_bpe_tokens",
+    (s, dir) => {
+      val pat = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, \"$pat\", 0)")).cast("long").as("n_bpe_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .withColumn("inflation",
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM documents)
+      SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+             CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS inflation
+      FROM t
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Composite quality score: length saturation + type-token ratio +
     * stopword ratio, combined left-to-right so both engines run the same
     * IEEE op sequence.
@@ -211,5 +242,5 @@ object TextAnalysis {
     """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(tokenStats, qualityScore, langId, fingerprint, termStats, corpusSelect)
+    Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect)
 }

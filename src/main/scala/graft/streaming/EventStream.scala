@@ -32,6 +32,19 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based streaming sessionization: session_window(30 min) under a
+    * watermark — the unbounded twin of the batch lag/cumsum form in
+    * operators.EventOps (stream_sessionization_30m). Sessions close and
+    * emit once the watermark passes their gap; state per (user, open
+    * session) only.
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
   /** Stream-stream interval join: each error joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks, so the
     * join state is bounded (watermark + interval decides when a buffered

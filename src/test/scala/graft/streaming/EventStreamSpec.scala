@@ -108,6 +108,35 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming session_window sessions match the batch lag/cumsum sessionization") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("eventsdir-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.sessionize(stream)
+      .writeStream.format("memory").queryName("sess_real")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streaming = spark.table("sess_real")
+      .select(col("user_id"),
+        expr("CAST(session_start AS TIMESTAMP_NTZ)").as("session_start"), col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val batch = graft.operators.EventOps.defs.find(_.name == "stream_sessionization_30m").get
+      .run(spark, dir)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join pairs errors with preceding clicks, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
