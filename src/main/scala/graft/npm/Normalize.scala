@@ -1,5 +1,8 @@
 package graft.npm
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 import model._
 
 /** T3 — registry-metadata normalization (SURVEY.md §1.2, §2.5 T3).
@@ -74,4 +77,69 @@ object Normalize {
     */
   def normalizeChange(c: Change): Change =
     c.copy(doc = c.doc.flatMap(normalizeDoc))
+
+  /** T3 as pure Column DSL — the performance path (SURVEY §4.2's upgrade
+    * applied end-to-end): identical semantics to [[normalizeDoc]]
+    * (verified by NormalizeColumnsSpec against the typed path), but the
+    * whole stage stays inside whole-stage codegen: semver cleaning runs
+    * through the native SemverClean expression, map rewrites through
+    * transform/map_from_entries/transform_values/map_filter — no encoder
+    * round-trip per row.
+    *
+    * Requires `semver_clean` registered in the session
+    * (SemverExpressions.register — idempotent).
+    *
+    * Known edge divergence from the typed path: a versions map whose keys
+    * collide AFTER cleaning (e.g. both "1.2.3" and "v1.2.3") raises under
+    * Spark's default map-key dedup policy where the Scala Map silently
+    * last-wins; the reference library has the same undefined behavior.
+    */
+  def normalizedDocColumn(doc: Column): Column = {
+    def clean(c: Column): Column = call_function("semver_clean", c)
+    val id = doc.getField("_id")
+    val dropDoc = id.isNull || id === "" || id.startsWith("_design/") ||
+      coalesce(doc.getField("_deleted"), lit(false)) ||
+      (doc.getField("error") === "not_found" && doc.getField("reason") === "deleted")
+    val versions = doc.getField("versions")
+
+    // (2) semver-clean version keys; rewrite version/_id on rename
+    val versions2 = map_from_entries(transform(map_entries(versions), { e =>
+      val k = e.getField("key")
+      val v = e.getField("value")
+      val ck = clean(k)
+      val renamed = ck.isNotNull && ck =!= k
+      struct(
+        coalesce(ck, k).as("key"),
+        when(renamed,
+          v.withField("version", ck)
+            .withField("_id", concat(id, lit("@"), ck)))
+          .otherwise(v).as("value"))
+    }))
+
+    // move time keys in lockstep with version-key renames
+    val time2 = map_from_entries(transform(map_entries(doc.getField("time")), { e =>
+      val k = e.getField("key")
+      val ck = clean(k)
+      val moved = ck.isNotNull && ck =!= k && map_contains_key(versions, k)
+      struct(when(moved, ck).otherwise(k).as("key"), e.getField("value").as("value"))
+    }))
+
+    // (3) dist-tags repair against the NEW version key set: retarget
+    // renamed values, keep resolvable ones, clean-then-retry, else drop
+    val tags = doc.getField("dist-tags")
+    val retargeted = transform_values(tags, { (_, v) =>
+      val cv = clean(v)
+      when(cv.isNotNull && map_contains_key(versions2, cv), cv)
+        .when(map_contains_key(versions2, v), v)
+        .otherwise(lit(null).cast("string"))
+    })
+    val tags2 = map_filter(retargeted, (_, v) => v.isNotNull)
+
+    when(dropDoc, lit(null).cast(docType))
+      .when(versions.isNull, doc)
+      .otherwise(doc
+        .withField("versions", versions2)
+        .withField("time", when(doc.getField("time").isNotNull, time2))
+        .withField("`dist-tags`", when(tags.isNotNull, tags2)))
+  }
 }

@@ -46,8 +46,25 @@ object Pipeline {
       from_json(col("value"), changeSchema).as("c"),
       col("value").as("raw"))
 
-  /** T3 applied through the typed API (pure function, property-tested). */
+  /** T3 through the Column-DSL path (codegen semver_clean + map HOFs) —
+    * no per-row encoder round-trip. Semantically equal to the typed
+    * [[normalizeTyped]] (NormalizeColumnsSpec pins it); the typed form
+    * stays as the property-tested reference semantics.
+    */
   def normalize(parsed: DataFrame)(implicit spark: SparkSession): Dataset[Change] = {
+    // register on the session that OWNS the frame: under foreachBatch the
+    // micro-batch runs in a cloned session whose registry is isolated
+    // from the driver session's
+    graft.functions.SemverExpressions.register(parsed.sparkSession)
+    implicit val enc: Encoder[Change] = Encoders.product[Change]
+    parsed.filter(col("c").isNotNull && col("c.seq").isNotNull)
+      .select("c.*")
+      .withColumn("doc", Normalize.normalizedDocColumn(col("doc")))
+      .as[Change]
+  }
+
+  /** T3 applied through the typed API (pure function, property-tested). */
+  def normalizeTyped(parsed: DataFrame)(implicit spark: SparkSession): Dataset[Change] = {
     implicit val enc: Encoder[Change] = Encoders.product[Change]
     parsed.filter(col("c").isNotNull && col("c.seq").isNotNull)
       .select("c.*").as[Change]

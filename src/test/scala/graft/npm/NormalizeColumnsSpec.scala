@@ -1,0 +1,68 @@
+package graft.npm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Column-DSL normalization (Pipeline.normalize) must produce exactly
+  * what the typed pure-function path (Pipeline.normalizeTyped) produces —
+  * on the fixture corpus (every §1.2 normalization rule) and on the 20k
+  * synthetic replay feed.
+  */
+class NormalizeColumnsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Map key order is undefined (the typed path's Scala Map moves renamed
+    * keys to the end; the column path rewrites in place), so maps are
+    * compared as key-sorted entry arrays. The comparator looks only at
+    * keys because version values embed a (non-orderable) dependencies map.
+    */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def sorted(c: String) = expr(
+      s"array_sort(map_entries($c), (l, r) -> CASE WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1 ELSE 0 END)")
+    df.select(col("seq"), col("id"), col("deleted"),
+        col("doc._id"), col("doc._rev"), col("doc.name"),
+        col("doc._deleted"), col("doc.error"), col("doc.reason"),
+        sorted("doc.versions").as("versions"),
+        sorted("doc.time").as("time"),
+        sorted("doc.`dist-tags`").as("tags"))
+      .toJSON.collect().sorted.toSeq
+  }
+
+  private def compareOn(raw: org.apache.spark.sql.DataFrame): Unit = {
+    val parsed = Pipeline.parse(raw)
+    val viaColumns = canon(Pipeline.normalize(parsed)(spark).toDF())
+    val viaTyped = canon(Pipeline.normalizeTyped(parsed)(spark).toDF())
+    assert(viaColumns.length == viaTyped.length && viaColumns.nonEmpty)
+    viaColumns.zip(viaTyped).foreach { case (c, t) => assert(c == t) }
+  }
+
+  test("column path == typed path on the fixture corpus") {
+    compareOn(Fixtures.withFetch404.toDF("value"))
+  }
+
+  test("column path == typed path on normalization edge cases") {
+    val edges = Seq(
+      // design doc → dropped
+      """{"seq":100,"id":"_design/x","doc":{"_id":"_design/x","_rev":"1-a"}}""",
+      // _deleted doc → dropped
+      """{"seq":101,"id":"gone","doc":{"_id":"gone","_rev":"1-a","_deleted":true}}""",
+      // not_found/deleted error doc → dropped
+      """{"seq":102,"id":"err","doc":{"_id":"err","error":"not_found","reason":"deleted"}}""",
+      // v-prefixed version key renamed; time moved; dist-tag retargeted
+      """{"seq":103,"id":"p1","doc":{"_id":"p1","_rev":"1-a","dist-tags":{"latest":"v1.0.0"},"versions":{"v1.0.0":{"version":"v1.0.0"}},"time":{"v1.0.0":"2023-01-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-01-01T00:00:00.000Z"}}}""",
+      // uncleanable dist-tag value → tag dropped; uncleanable version kept
+      """{"seq":104,"id":"p2","doc":{"_id":"p2","_rev":"1-a","dist-tags":{"latest":"0.6","next":"2.0.0"},"versions":{"0.6beta":{"version":"0.6beta"},"2.0.0":{"version":"2.0.0"}},"time":{"created":"2023-01-01T00:00:00.000Z","modified":"2023-01-01T00:00:00.000Z"}}}""",
+      // leading zeros canonicalized; tag cleaned-then-retargeted
+      """{"seq":105,"id":"p3","doc":{"_id":"p3","_rev":"1-a","dist-tags":{"latest":"=01.02.03"},"versions":{"01.02.03":{"version":"01.02.03","_id":"p3@01.02.03"}},"time":{"01.02.03":"2023-01-01T00:00:00.000Z"}}}""",
+      // no versions map → doc passes through untouched
+      """{"seq":106,"id":"p4","doc":{"_id":"p4","_rev":"1-a","dist-tags":{"latest":"1.0.0"}}}""",
+      // no doc at all
+      """{"seq":107,"id":"p5"}""")
+    compareOn(edges.toDF("value"))
+  }
+
+  test("column path == typed path on the 20k synthetic replay feed") {
+    compareOn(NpmReplayOps.syntheticFeed(spark, "/root/testdata/sf0.01"))
+  }
+}
