@@ -241,6 +241,30 @@ object TextAnalysis {
       ORDER BY s.doc_id
     """.stripMargin.trim))
 
+  /** Edit-distance near-dup over adjacent doc pairs: levenshtein is an
+    * exact integer in both engines. Bounded probe set (consecutive ids)
+    * keeps the O(len²) kernel off the full pair space — at scale the
+    * probe set would come from an LSH/cluster candidate stage instead.
+    */
+  val levenshteinNeighbors: QueryDef = QueryDef(
+    "text_levenshtein_neighbors",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") < 200).as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_distance"))
+        .orderBy("ia")
+    },
+    Some("""
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200
+      ORDER BY ia
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect)
+    Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
+      levenshteinNeighbors)
 }

@@ -177,6 +177,30 @@ object RelationalExtra {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """.stripMargin.trim)),
 
+    // first/nth_value window frame coverage over each customer's orders
+    QueryDef(
+      "window_first_nth_order",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_orderkey"),
+            nth_value(col("o_orderkey"), 3).over(w).as("third_orderkey"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+               NTH_VALUE(o_orderkey, 3) OVER w AS third_orderkey
+        FROM orders
+        WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+      """.stripMargin.trim)),
+
     // approximate sketches (HLL distinct, approximate quantiles) — no
     // DuckDB oracle (engine-specific sketch internals); rows-only check.
     // Exact counterparts are oracle-checked in agg_distinct_suppliers_per_flag.
