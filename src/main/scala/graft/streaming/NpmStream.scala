@@ -37,6 +37,27 @@ object NpmStream {
       .load()
       .select(col("value").cast("string").as("value"))
 
+  /** K1/K2/K3: Kafka sink builder for the change/audit/DLQ topics —
+    * gzip-compressed values keyed by seq (reference: producer.ts:172-183,
+    * key `:180`, compression `:178`; broker cap docker-compose.yml:44).
+    * Compile-only in this environment (no broker / no kafka connector
+    * jar); the file/parquet sinks in `start` drive the identical
+    * upstream plan in tests.
+    */
+  def kafkaSink(
+      df: DataFrame,
+      servers: String,
+      topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("CAST(seq AS STRING) AS key", "value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("kafka.compression.type", "gzip")
+      .option("kafka.max.request.size", (10 * 1024 * 1024).toString)
+      .option("checkpointLocation", checkpointDir)
+
   /** S1-parity test source: a directory of JSONL change files. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
