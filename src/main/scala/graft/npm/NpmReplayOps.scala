@@ -248,7 +248,41 @@ object NpmReplayOps {
       ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** §7.2's named query — catalog compaction, "latest change wins per
+    * package": two changes per package (the replay catalog unioned with a
+    * later-seq copy) compacted with max_by on the change sequence. This
+    * is the A6/"latest version per package" shape the mirror catalog
+    * exists to answer; one shuffle on package_name, map-side combinable.
+    */
+  val catalogCompaction: QueryDef = QueryDef(
+    "npm_catalog_compaction_latest",
+    (s, dir) => {
+      implicit val spark = s
+      val cat = replayFor(s, dir).catalog
+        .select(col("package_name"), col("change_seq_id"),
+          col("package_latest_version"))
+      val twice = cat.unionByName(
+        cat.withColumn("change_seq_id", col("change_seq_id") + 1000000))
+      twice.groupBy("package_name")
+        .agg(
+          max_by(struct(col("change_seq_id"), col("package_latest_version")), col("change_seq_id"))
+            .as("latest"))
+        .select(col("package_name"),
+          col("latest.change_seq_id").as("latest_seq"),
+          col("latest.package_latest_version").as("latest_version"))
+        .orderBy("package_name")
+    },
+    Some("""
+      SELECT CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                  ELSE 'pkg-' || p_partkey END AS package_name,
+             p_partkey + 1000000 AS latest_seq,
+             '1.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS latest_version
+      FROM part
+      WHERE p_partkey % 11 != 0 AND p_partkey % 13 != 0
+      ORDER BY package_name
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(replayCatalog, replayDlq, dependencyDegree, packagesPerAuthor, versionCadence,
-      semverNative)
+      semverNative, catalogCompaction)
 }
