@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -241,6 +242,51 @@ object TextAnalysis {
       ORDER BY s.doc_id
     """.stripMargin.trim))
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every char 5-gram
+    * (rolling-hash semantics — md5 as the portable stand-in), take the
+    * min hash in each sliding window of 4 positions, keep the distinct
+    * minima as the document's fingerprint set. Robust to local edits:
+    * an edit perturbs only the windows it overlaps.
+    */
+  val winnowFingerprint: QueryDef = QueryDef(
+    "text_winnow_fingerprint",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy(asc("p"))
+        .rowsBetween(Window.currentRow, 3)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          posexplode(expr(
+            "transform(sequence(1, length(text) - 4), p -> md5(CAST(substring(text, p, 5) AS BINARY)))"))
+            .as(Seq("idx", "h")))
+        .select(col("doc_id"), col("len"), (col("idx") + 1).as("p"), col("h"))
+        .withColumn("wmin", min(col("h")).over(w))
+        .filter(col("p") <= col("len") - 4 - 3) // full windows only
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"), min(col("wmin")).as("min_fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, len(text) AS n,
+               CAST(unnest(range(1, len(text) - 3)) AS BIGINT) AS p, text
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, n, p, md5(substr(text, CAST(p AS INT), 5)) AS h
+        FROM grams),
+      winnowed AS (
+        SELECT doc_id, p,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, n
+        FROM hashed),
+      fp AS (
+        SELECT DISTINCT doc_id, wmin FROM winnowed WHERE p <= n - 4 - 3)
+      SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(wmin) AS min_fingerprint
+      FROM fp
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Edit-distance near-dup over adjacent doc pairs: levenshtein is an
     * exact integer in both engines. Bounded probe set (consecutive ids)
     * keeps the O(len²) kernel off the full pair space — at scale the
@@ -266,5 +312,5 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
-      levenshteinNeighbors)
+      levenshteinNeighbors, winnowFingerprint)
 }
