@@ -177,6 +177,25 @@ object RelationalExtra {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """.stripMargin.trim)),
 
+    // grouping_id: disambiguates aggregation levels (NULL-as-data vs
+    // NULL-as-subtotal) in rollup output
+    QueryDef(
+      "agg_rollup_grouping_id",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+          .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """.stripMargin.trim)),
+
     // first/nth_value window frame coverage over each customer's orders
     QueryDef(
       "window_first_nth_order",
