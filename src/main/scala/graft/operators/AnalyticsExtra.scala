@@ -311,6 +311,64 @@ object AnalyticsExtra {
         ORDER BY d.day, p.o_orderpriority
       """.stripMargin.trim)),
 
+    // ---- theta join against a tiny range dimension -----------------------
+    // The broadcast-range-dim pattern: a 4-row bracket table joined on a
+    // BETWEEN predicate. The build side is structurally tiny, so the
+    // nested-loop is a per-row scan of 4 brackets — the right physical
+    // shape (and the declarative form of agg_price_buckets' CASE).
+    QueryDef(
+      "join_theta_price_brackets",
+      (s, dir) => {
+        val brackets = s.createDataFrame(Seq(
+          ("budget", 0.0, 999.99), ("mid", 1000.0, 1399.99),
+          ("premium", 1400.0, 1799.99), ("luxury", 1800.0, 1e9)))
+          .toDF("bracket", "lo", "hi")
+        Tables.part(s, dir)
+          .join(broadcast(brackets),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") <= col("hi"))
+          .groupBy("bracket")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p_retailprice").cast(D)).cast("double").as("total_price"))
+          .orderBy("bracket")
+      },
+      Some("""
+        WITH brackets(bracket, lo, hi) AS (VALUES
+          ('budget', 0.0, 999.99), ('mid', 1000.0, 1399.99),
+          ('premium', 1400.0, 1799.99), ('luxury', 1800.0, 1000000000.0))
+        SELECT bracket, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM part JOIN brackets
+          ON p_retailprice >= lo AND p_retailprice <= hi
+        GROUP BY bracket
+        ORDER BY bracket
+      """.stripMargin.trim)),
+
+    // ---- correlated EXISTS through the SQL surface -----------------------
+    // Catalyst rewrites the correlated EXISTS into a left-semi join; the
+    // SQL form is coverage the DataFrame-API semi join query doesn't give.
+    QueryDef(
+      "subquery_exists_multi_supplier_parts",
+      (s, dir) => {
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT p_partkey, p_brand
+          FROM part_v p
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem_v l
+            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+          ORDER BY p_partkey
+        """)
+      },
+      Some("""
+        SELECT p_partkey, p_brand
+        FROM part p
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        ORDER BY p_partkey
+      """.stripMargin.trim)),
+
     // ---- mergeable HLL sketches: per-nation partials, union to global ----
     // The 100 TB replacement for global COUNT(DISTINCT): sketch once per
     // partition-group, merge sketches (tiny) instead of reshuffling rows.

@@ -29,7 +29,8 @@ class PlanShapeSpec extends SparkSpec {
     "subquery_parts_above_avg_price", // scalar subquery (1-row avg)
     "text_tfidf_top_term",            // 1-row corpus-size crossJoin
     "approx_hll_mergeable_union",     // 1-row global-sketch crossJoin
-    "ts_gapfill_daily_orders")        // day grid × 5-row dimension set
+    "ts_gapfill_daily_orders",        // day grid × 5-row dimension set
+    "join_theta_price_brackets")      // 4-row broadcast range dimension
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
