@@ -177,6 +177,50 @@ object RelationalExtra {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """.stripMargin.trim)),
 
+    // boolean aggregate battery: count_if / bool_and / bool_or
+    QueryDef(
+      "agg_boolean_battery",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_heavy"),
+            bool_and(col("l_quantity") <= 50).as("all_le_50"),
+            bool_or(col("l_discount") > 0.09).as("any_high_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+               BOOL_AND(l_quantity <= 50) AS all_le_50,
+               BOOL_OR(l_discount > 0.09) AS any_high_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """.stripMargin.trim)),
+
+    // scalar conditional battery: least/greatest/nullif/coalesce on ints
+    QueryDef(
+      "t_scalar_conditionals",
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            least(col("p_size"), lit(25)).as("size_capped"),
+            greatest(col("p_size"), lit(25)).as("size_floored"),
+            nullif(col("p_size") % 10, lit(0)).as("size_mod_or_null"),
+            coalesce(nullif(col("p_size") % 10, lit(0)), lit(-1)).as("size_mod_or_neg1"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               LEAST(p_size, 25) AS size_capped,
+               GREATEST(p_size, 25) AS size_floored,
+               NULLIF(p_size % 10, 0) AS size_mod_or_null,
+               COALESCE(NULLIF(p_size % 10, 0), -1) AS size_mod_or_neg1
+        FROM part
+        ORDER BY p_partkey
+      """.stripMargin.trim)),
+
     // grouping_id: disambiguates aggregation levels (NULL-as-data vs
     // NULL-as-subtotal) in rollup output
     QueryDef(
