@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
 object Bench {
+  /** Representative queries whose per-query timings go into the printed
+    * JSON line (one per operator family). The full per-query map is
+    * written to BENCH_DETAIL.json: the driver's output-tail capture is
+    * 2000 chars, and r01/r02 proved a line carrying all ~80 queries
+    * overflows it (front-truncated → parsed:null). */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q10_returned_items", "window_top3_orders_per_customer",
+    "join_asof_last_click_before_error", "join_range_pairs_within_1h",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_cluster_components",
+    "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",
+    "text_tfidf_top_term", "text_winnow_fingerprint", "text_langid",
+    "stream_sessionization_30m", "stream_hourly_windowed_agg",
+    "npm_pipeline_replay_catalog", "npm_catalog_compaction_latest",
+    "mm_feature_extract", "ts_gapfill_daily_orders",
+    "agg_salted_two_stage", "pipeline_training_corpus_select")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,7 +37,10 @@ object Bench {
     // measured pass. Caches are cleared between passes so the measured
     // numbers include each query's own materialization work.
     // optional comma-separated subset for local A/B experiments
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // (blank/empty entries treated as unset, not an empty filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
@@ -30,14 +53,24 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // ms precision keeps the whole line well inside the driver's output
-    // tail window (r01's full-precision line got truncated → parsed:null)
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON
+    def f(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    def obj(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detailPath = "/root/repo/BENCH_DETAIL.json"
+    val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
+    catch { case _: Throwable => () }
+    // Printed line: headline subset only, hard-capped at 1600 chars so the
+    // line + sbt's trailing "[success]" line always fit the 2000-char tail.
+    var hl = headline.filter(results.contains).map(n => n -> results(n))
+    var line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
+    while (line.length > 1600 && hl.nonEmpty) {
+      hl = hl.dropRight(1)
+      line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, SemverClean}
+import graft.functions.{FloatDotProduct, SemverClean, SemverExpressions, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions at session build time, so SQL users get them without any
@@ -27,10 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+      VectorExpressions.builder))
     e.injectFunction((
       new FunctionIdentifier("semver_clean"),
       new ExpressionInfo(classOf[SemverClean].getName, "semver_clean"),
-      (exprs: Seq[Expression]) => SemverClean(exprs(0))))
+      SemverExpressions.builder))
   }
 }

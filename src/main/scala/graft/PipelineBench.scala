@@ -44,8 +44,11 @@ object PipelineBench {
     val (nCatalog, nSkipped, dt) = once()
 
     val rate = nChanges / dt
+    // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON
+    def f(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     println(
-      s"""{"metric":"pipeline_changes_per_sec","value":${"%.0f".format(rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${"%.3f".format(dt)},"sf":"$sfDir"}""")
+      s"""{"metric":"pipeline_changes_per_sec","value":${f("%.0f", rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${f("%.3f", dt)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

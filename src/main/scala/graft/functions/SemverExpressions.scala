@@ -53,8 +53,12 @@ case class SemverClean(child: Expression) extends UnaryExpression {
 }
 
 object SemverExpressions {
+  /** Arity-checked builder, shared with GraftExtensions. */
+  val builder: Seq[Expression] => Expression =
+    Arity.checked("semver_clean", 1)(exprs => SemverClean(exprs(0)))
+
   /** Idempotently register `semver_clean` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "semver_clean", exprs => SemverClean(exprs(0)), "built-in")
+      "semver_clean", builder, "built-in")
 }

@@ -73,8 +73,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Arity-checked builder, shared with GraftExtensions. */
+  val builder: Seq[Expression] => Expression =
+    Arity.checked("float_dot", 2)(exprs => FloatDotProduct(exprs(0), exprs(1)))
+
   /** Idempotently register `float_dot` for SQL/expr use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+      "float_dot", builder, "built-in")
 }

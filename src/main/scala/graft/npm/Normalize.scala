@@ -89,12 +89,25 @@ object Normalize {
     * Requires `semver_clean` registered in the session
     * (SemverExpressions.register — idempotent).
     *
-    * Known edge divergence from the typed path: a versions map whose keys
-    * collide AFTER cleaning (e.g. both "1.2.3" and "v1.2.3") raises under
-    * Spark's default map-key dedup policy where the Scala Map silently
-    * last-wins; the reference library has the same undefined behavior.
+    * Keys that collide AFTER cleaning (e.g. both "1.2.3" and "v1.2.3" —
+    * occurs in real npm data) are deduped explicitly, last entry wins —
+    * matching the typed path and the reference library (index.js:44
+    * last-write-wins on plain object assignment) — so the stage never
+    * raises DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy.
     */
   def normalizedDocColumn(doc: Column): Column = {
+    // keep-last dedup of an array<struct<key,value>> before map_from_entries.
+    // Cheap path: no collision (the overwhelmingly common case) → use the
+    // entries as-is; collision → keep each entry only if no LATER entry has
+    // the same key (CaseWhen evaluates the O(n²) branch only on collision).
+    def dedupKeepLast(ents: Column): Column = {
+      val keys = transform(ents, _.getField("key"))
+      val collides = size(array_distinct(keys)) =!= size(keys)
+      val kept = filter(ents, (e, i) =>
+        !exists(slice(ents, i + lit(2), size(ents)),
+          e2 => e2.getField("key") === e.getField("key")))
+      map_from_entries(when(collides, kept).otherwise(ents))
+    }
     def clean(c: Column): Column = call_function("semver_clean", c)
     val id = doc.getField("_id")
     val dropDoc = id.isNull || id === "" || id.startsWith("_design/") ||
@@ -103,7 +116,7 @@ object Normalize {
     val versions = doc.getField("versions")
 
     // (2) semver-clean version keys; rewrite version/_id on rename
-    val versions2 = map_from_entries(transform(map_entries(versions), { e =>
+    val versions2 = dedupKeepLast(transform(map_entries(versions), { e =>
       val k = e.getField("key")
       val v = e.getField("value")
       val ck = clean(k)
@@ -117,7 +130,7 @@ object Normalize {
     }))
 
     // move time keys in lockstep with version-key renames
-    val time2 = map_from_entries(transform(map_entries(doc.getField("time")), { e =>
+    val time2 = dedupKeepLast(transform(map_entries(doc.getField("time")), { e =>
       val k = e.getField("key")
       val ck = clean(k)
       val moved = ck.isNotNull && ck =!= k && map_contains_key(versions, k)

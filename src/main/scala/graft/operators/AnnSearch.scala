@@ -32,7 +32,7 @@ object AnnSearch {
 
   private def topk(s: SparkSession, dir: String, sameClusterOnly: Boolean): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val e = withNorm(Tables.embeddings(s, dir)).cache()  // query + corpus sides
+    val e = withNorm(Tables.embeddings(s, dir)).localCheckpoint(true)  // reused: query + corpus sides; ContextCleaner frees blocks on GC (cache() entries pin forever)
     val queries = e.filter(col("vec_id") < 10)
     val joinCond =
       if (sameClusterOnly)
@@ -101,7 +101,7 @@ object AnnSearch {
         when(expr(s"float_dot(embedding, ${planeSql(j)})") > 0, lit("1")).otherwise(lit("0")))
       val e = withNorm(Tables.embeddings(s, dir))
         .withColumn("sig", concat(sigBits: _*))
-        .cache()  // query + corpus sides of the bucket join
+        .localCheckpoint(true)  // query + corpus sides of the bucket join; GC-freed
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
       e.filter(col("vec_id") < 10).as("q").join(e.as("c"),
           col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))

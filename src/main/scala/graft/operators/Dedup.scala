@@ -66,7 +66,7 @@ object Dedup {
   val ngramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(s, dir).cache()  // referenced 3× (a-side, b-side, sizes)
+      val sh = shingles(s, dir).localCheckpoint(true)  // referenced 3× (a-side, b-side, sizes); GC-freed, unlike cache()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -117,7 +117,7 @@ object Dedup {
         md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
       val bands = mh
         .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-        .cache()  // self-joined below; avoids recomputing the minhash pipeline twice
+        .localCheckpoint(true)  // self-joined below; avoids recomputing the minhash pipeline twice
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -174,7 +174,7 @@ object Dedup {
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(expr("transform(sequence(0, 3), k -> struct(k AS k, substring(sig, k * 8 + 1, 8) AS chunk))")).as("c"))
         .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.chunk").as("chunk"))
-        .cache()  // self-joined below; sig pipeline is the expensive part
+        .localCheckpoint(true)  // self-joined below; sig pipeline is the expensive part
       chunks.as("a").join(chunks.as("b"),
           col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -235,7 +235,7 @@ object Dedup {
       val e = Tables.embeddings(s, dir).select(
         col("vec_id"), col("embedding"),
         expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
-        .cache()  // both sides of the pair join
+        .localCheckpoint(true)  // both sides of the pair join
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
           (expr("float_dot(a.embedding, b.embedding)")
@@ -275,7 +275,7 @@ object Dedup {
   val clusterComponents: QueryDef = QueryDef(
     "dedup_cluster_components",
     (s, dir) => {
-      val sh = shingles(s, dir).cache()
+      val sh = shingles(s, dir).localCheckpoint(true)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

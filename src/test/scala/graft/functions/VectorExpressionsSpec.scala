@@ -32,6 +32,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toList == List(None, Some(0.0)))
   }
 
+  test("wrong arity raises WRONG_NUM_ARGS analysis error, not IOOBE") {
+    VectorExpressions.register(spark)
+    SemverExpressions.register(spark)
+    val df = Seq((Array(1f), "1.2.3")).toDF("a", "s")
+    for (bad <- Seq("float_dot(a)", "float_dot(a, a, a)",
+                    "semver_clean()", "semver_clean(s, s)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(bad)).collect()
+      }
+      assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+        s"$bad → ${e.getCondition}")
+    }
+  }
+
   test("GraftExtensions injects the same builder") {
     // exercised through the extensions API surface: the injected builder
     // must construct the same expression as the imperative registration

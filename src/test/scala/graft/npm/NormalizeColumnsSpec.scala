@@ -62,6 +62,26 @@ class NormalizeColumnsSpec extends SparkSpec {
     compareOn(edges.toDF("value"))
   }
 
+  test("version keys colliding after cleaning last-win instead of raising") {
+    // "1.2.3" and "v1.2.3" both clean to "1.2.3" (real npm data has such
+    // docs) — must not throw DUPLICATED_MAP_KEY under the default
+    // mapKeyDedupPolicy=EXCEPTION; the later entry wins, like the typed
+    // path and the reference's plain-object assignment (index.js:44).
+    val collide = Seq(
+      """{"seq":200,"id":"c1","doc":{"_id":"c1","_rev":"1-a","dist-tags":{"latest":"1.2.3"},"versions":{"1.2.3":{"version":"1.2.3","_id":"c1@old"},"v1.2.3":{"version":"v1.2.3"}},"time":{"1.2.3":"2023-01-01T00:00:00.000Z","v1.2.3":"2023-02-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-02-01T00:00:00.000Z"}}}""")
+    compareOn(collide.toDF("value"))
+    // and the winner is the LAST entry (the renamed v1.2.3 one)
+    val parsed = Pipeline.parse(collide.toDF("value"))
+    val row = Pipeline.normalize(parsed)(spark).toDF()
+      .select(expr("element_at(doc.versions, '1.2.3')._id").as("vid"),
+        expr("element_at(doc.time, '1.2.3')").as("t"),
+        expr("size(doc.versions)").as("n"))
+      .head()
+    assert(row.getAs[String]("vid") == "c1@1.2.3")
+    assert(row.getAs[String]("t") == "2023-02-01T00:00:00.000Z")
+    assert(row.getAs[Int]("n") == 1)
+  }
+
   test("column path == typed path on the 20k synthetic replay feed") {
     compareOn(NpmReplayOps.syntheticFeed(spark, "/root/testdata/sf0.01"))
   }
