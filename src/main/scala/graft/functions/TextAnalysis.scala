@@ -251,19 +251,22 @@ object TextAnalysis {
   val winnowFingerprint: QueryDef = QueryDef(
     "text_winnow_fingerprint",
     (s, dir) => {
-      val w = Window.partitionBy("doc_id").orderBy(asc("p"))
-        .rowsBetween(Window.currentRow, 3)
+      // Winnowing is per-document-local, so it is computed entirely inside
+      // the row with array HOFs: gram hashes -> per-window minima ->
+      // distinct fingerprint set. No explode, no shuffle, no sort — the
+      // prior explode+window form pushed |corpus chars| rows through a
+      // partitionBy(doc_id) sort; this form scans documents once and is
+      // embarrassingly parallel at any scale. (sequence(1, n) with n < 1
+      // would generate a DESCENDING sequence in Spark, hence the >= 8 guard.)
       Tables.documents(s, dir)
-        .select(col("doc_id"), length(col("text")).as("len"),
-          posexplode(expr(
-            "transform(sequence(1, length(text) - 4), p -> md5(CAST(substring(text, p, 5) AS BINARY)))"))
-            .as(Seq("idx", "h")))
-        .select(col("doc_id"), col("len"), (col("idx") + 1).as("p"), col("h"))
-        .withColumn("wmin", min(col("h")).over(w))
-        .filter(col("p") <= col("len") - 4 - 3) // full windows only
-        .select(col("doc_id"), col("wmin")).distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fingerprints"), min(col("wmin")).as("min_fingerprint"))
+        .filter(length(col("text")) >= 8) // at least one full 4-window of 5-grams
+        .withColumn("grams", expr(
+          "transform(sequence(1, length(text) - 4), p -> md5(CAST(substring(text, p, 5) AS BINARY)))"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(grams) - 3), p -> array_min(slice(grams, p, 4))))"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fingerprint"))
         .orderBy("doc_id")
     },
     Some("""

@@ -285,31 +285,37 @@ object Dedup {
         .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
         .filter(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
         .select("ia", "ib")
-      // the label/edge tables are orders smaller than the corpus (near-dup
-      // pairs only): right-size their partitioning so each propagation
-      // round isn't dominated by fixed per-partition costs. At cluster
-      // scale this constant becomes |edges| / target-partition-size.
+      // The propagation loop runs ONLY over vertices that appear in a
+      // near-dup edge — |V(E)| is orders of magnitude smaller than the
+      // corpus (isolated documents are trivially their own component and
+      // are patched in with one left join at the end). The label/edge
+      // tables are coalesced so each round isn't dominated by fixed
+      // per-partition scheduling; at cluster scale this constant becomes
+      // |edges| / target-partition-size.
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
         .coalesce(8)
         .localCheckpoint(true)
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id"), col("doc_id").as("comp"))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
         .coalesce(8)
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min("comp").as("ncomp"))
+        // carry the previous label through the join so change detection is
+        // a filter over the checkpointed result, not an extra self-join
         val next = labels.as("l").join(prop, col("l.doc_id") === col("src"), "left")
-          .select(col("l.doc_id").as("doc_id"),
+          .select(col("l.doc_id").as("doc_id"), col("l.comp").as("prev"),
             least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
           .localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.comp") =!= col("o.comp")).count()
-        labels = next
+        changed = next.filter(col("comp") =!= col("prev")).count()
+        labels = next.select("doc_id", "comp")
       }
-      labels.select(col("doc_id"), col("comp").as("component_id"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component_id"))
         .orderBy("doc_id")
     },
     Some(s"""
