@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def groups: Seq[QueryDef] =
     operators.Relational.defs ++
+    operators.TpchAdapted.defs ++
     functions.TextAnalysis.defs ++
     operators.Dedup.defs ++
     operators.AnnSearch.defs ++

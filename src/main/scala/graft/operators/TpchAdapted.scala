@@ -1,0 +1,560 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** The remainder of the TPC-H query suite, adapted to the driver's
+  * synthetic star schema (no partsupp table, no l_commitdate /
+  * l_receiptdate / l_shipmode columns — each query keeps the original's
+  * plan shape and swaps the missing column for an available analog, noted
+  * per query). The reference implements none of these (SURVEY.md §2.11);
+  * they are the Catalyst-built-in analytics surface over the mirrored
+  * catalog's data model.
+  *
+  * Scale notes applied throughout:
+  *  - dimension tables (region/nation/supplier/customer slices, small
+  *    aggregates) are broadcast explicitly so only fact-fact edges shuffle;
+  *  - EXISTS / NOT EXISTS / IN become left_semi / left_anti joins (shuffle
+  *    keyed on the join key, no row explosion);
+  *  - money math follows the exactness recipe: DECIMAL(12,2) before SUM,
+  *    one cast to DOUBLE, divisions performed once and identically on both
+  *    engines.
+  */
+object TpchAdapted {
+
+  private val D = DecimalType(12, 2)
+  private def discPrice: Column =
+    col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q4: order-priority checking (EXISTS → left_semi) ----------------
+    // Original predicate l_commitdate < l_receiptdate → adapted to "shipped
+    // more than 60 days after the order date".
+    QueryDef(
+      "q4_order_priority_late",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        val late = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        ord.join(late,
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.stripMargin.trim)),
+
+    // ---- q6: forecasting revenue change (pure scan + filter + agg) -------
+    // The canonical pushdown probe: every predicate reaches the parquet
+    // scan; no join, no shuffle beyond the single global aggregate.
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+          .filter(col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D))
+            .cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """.stripMargin.trim)),
+
+    // ---- q7: volume shipping between two nations -------------------------
+    QueryDef(
+      "q7_volume_shipping",
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir).select(
+          col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).select(
+          col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+      """.stripMargin.trim)),
+
+    // ---- q8: national market share ---------------------------------------
+    // share = NATION_3's revenue fraction of AMERICA-customer ECONOMY-part
+    // volume per year. Both sums are exact decimals cast to double; the
+    // division is the single closing IEEE op on both engines.
+    QueryDef(
+      "q8_market_share",
+      (s, dir) => {
+        val nat = Tables.nation(s, dir)
+        val custNat = nat.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        val suppNat = nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val amer = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+              .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNat), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(amer), col("c_rk") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", discPrice).otherwise(lit(0).cast(D)))
+              .cast("double") /
+             sum(discPrice).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $discPriceSql
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM($discPriceSql) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year
+      """.stripMargin.trim)),
+
+    // ---- q9: product-type profit (cost proxy: retailprice * qty / 10) ----
+    // No partsupp.ps_supplycost here, so cost = p_retailprice * l_quantity
+    // / 10 in exact decimals — same join tree and aggregation shape as the
+    // original (part ⋈ lineitem ⋈ orders ⋈ supplier ⋈ nation).
+    QueryDef(
+      "q9_product_profit",
+      (s, dir) => {
+        val bolts = Tables.part(s, dir).filter(col("p_name").like("%bolt%"))
+        val natS = Tables.nation(s, dir).select(
+          col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        val profit = discPrice -
+          (col("p_retailprice").cast(D) * col("l_quantity").cast(D) * lit(0.1).cast(D))
+        Tables.lineitem(s, dir)
+          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(natS), col("s_nationkey") === col("s_nk"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(profit).cast("double").as("sum_profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      Some(s"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM($discPriceSql
+                 - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation ASC, o_year DESC
+      """.stripMargin.trim)),
+
+    // ---- q12: priority counts by line status (shipmode analog) -----------
+    // l_shipmode doesn't exist; l_linestatus takes its grouping role, and
+    // "late" = shipped > 90 days after order date.
+    QueryDef(
+      "q12_late_priority_by_status",
+      (s, dir) => {
+        val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+      """.stripMargin.trim)),
+
+    // ---- q13: customer order-count distribution (left outer + 2 aggs) ----
+    QueryDef(
+      "q13_customer_distribution",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        val perCust = Tables.customer(s, dir)
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """.stripMargin.trim)),
+
+    // ---- q14: promo revenue share in a month -----------------------------
+    QueryDef(
+      "q14_promo_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            ((lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)
+                .otherwise(lit(0).cast(D))).cast("double")) /
+              sum(discPrice).cast("double")).as("promo_revenue"))
+      },
+      Some(s"""
+        SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+                                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE))
+               / CAST(SUM($discPriceSql) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+      """.stripMargin.trim)),
+
+    // ---- q15: top supplier (agg → scalar max → equality) -----------------
+    QueryDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(discPrice).cast("double").as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("mx"))
+        Tables.supplier(s, dir)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(top))
+          .filter(col("total_revenue") === col("mx"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_suppkey, CAST(SUM($discPriceSql) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+      """.stripMargin.trim)),
+
+    // ---- q16: supplier count by part attributes (NOT IN → left_anti) -----
+    // partsupp is bridged through lineitem (who actually shipped the part);
+    // the excluded-supplier subquery keeps the original's NOT IN shape.
+    QueryDef(
+      "q16_supplier_count_by_part",
+      (s, dir) => {
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1")
+          .filter(col("p_type") =!= "PROMO")
+          .filter(col("p_size").isin(5, 10, 15, 20, 25, 30))
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (5, 10, 15, 20, 25, 30)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+      """.stripMargin.trim)),
+
+    // ---- q17: small-quantity-order revenue (correlated avg per part) -----
+    QueryDef(
+      "q17_small_quantity_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val avgQ = li.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"))
+        li.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#2")),
+            col("l_partkey") === col("p_partkey"))
+          .join(avgQ, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""
+        WITH avgq AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avgq ON l_partkey = pk
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < 0.2 * avg_qty
+      """.stripMargin.trim)),
+
+    // ---- q18: large-volume customers (HAVING subquery → semi join) -------
+    QueryDef(
+      "q18_large_volume_customers",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val bigOrders = li.groupBy(col("l_orderkey").as("bok"))
+          .agg(sum(col("l_quantity").cast(D)).as("sq"))
+          .filter(col("sq") > 300).select("bok")
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(bigOrders, col("o_orderkey") === col("bok"), "left_semi")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+          .agg(sum(col("l_quantity").cast(D)).cast("double").as("total_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // ---- q19: discounted revenue over OR'd brand/size/qty brackets -------
+    QueryDef(
+      "q19_bracket_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+      },
+      Some(s"""
+        SELECT CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+      """.stripMargin.trim)),
+
+    // ---- q20: suppliers with surplus shipments of a part family ----------
+    QueryDef(
+      "q20_bolt_surplus_suppliers",
+      (s, dir) => {
+        val boltParts = Tables.part(s, dir)
+          .filter(col("p_name").like("%bolt%")).select("p_partkey")
+        val surplus = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+          .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(D)).as("sq"))
+          .filter(col("sq") > 50)
+          .select("l_suppkey")
+        Tables.supplier(s, dir)
+          .join(surplus, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        ORDER BY s_suppkey
+      """.stripMargin.trim)),
+
+    // ---- q21: the only late supplier on multi-supplier orders ------------
+    // "Late" = shipped > 90 days after order date (commit/receipt analog).
+    // EXISTS(other supplier) → non-equi left_semi; NOT EXISTS(other late
+    // supplier) → non-equi left_anti.
+    QueryDef(
+      "q21_waiting_supplier",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+        val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late = li
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+          .localCheckpoint(true) // reused as probe and as the anti side
+        val othersShipped = li.select(
+          col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val othersLate = late.select(
+          col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late.as("l1")
+          .join(othersShipped,
+            col("l1.l_orderkey") === col("ok2") && col("l1.l_suppkey") =!= col("sk2"),
+            "left_semi")
+          .join(othersLate,
+            col("l1.l_orderkey") === col("ok3") && col("l1.l_suppkey") =!= col("sk3"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("l1.l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(20)
+      },
+      Some("""
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // ---- q22: wealthy customers with no recent orders, by nation ---------
+    // "No orders at all" is empty on this data, so the dormancy predicate
+    // is "no order since 1999-01-01" — same anti-join plan shape.
+    QueryDef(
+      "q22_idle_balance_by_nation",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1))).as("ab"))
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(
+            count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(D)).cast("double").as("totacctbal"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+        ORDER BY nationkey
+      """.stripMargin.trim))
+  )
+}

@@ -30,7 +30,9 @@ class PlanShapeSpec extends SparkSpec {
     "text_tfidf_top_term",            // 1-row corpus-size crossJoin
     "approx_hll_mergeable_union",     // 1-row global-sketch crossJoin
     "ts_gapfill_daily_orders",        // day grid × 5-row dimension set
-    "join_theta_price_brackets")      // 4-row broadcast range dimension
+    "join_theta_price_brackets",      // 4-row broadcast range dimension
+    "q15_top_supplier",               // 1-row max-revenue crossJoin
+    "q22_idle_balance_by_nation")     // 1-row avg-balance crossJoin
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
