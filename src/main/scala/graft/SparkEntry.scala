@@ -13,9 +13,11 @@ object SparkEntry {
     operators.Relational.defs ++
     operators.TpchAdapted.defs ++
     functions.TextAnalysis.defs ++
+    functions.FunctionBatteries.defs ++
     operators.Dedup.defs ++
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
+    operators.StreamAnalogs.defs ++
     operators.RelationalExtra.defs ++
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++

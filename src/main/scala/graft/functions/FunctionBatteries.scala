@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Scalar / higher-order / window function batteries — wide coverage of
+  * the built-in function surface, each column chosen so Spark and DuckDB
+  * compute the identical value (ASCII-only inputs so binary collation
+  * agrees; integer arithmetic or single-IEEE-op doubles; OOB array access
+  * via try_element_at ↔ DuckDB's NULL-on-OOB indexing).
+  *
+  * Everything here is whole-stage-codegen'd scalar work over a single
+  * scan — the per-row function surface a 100 TB ETL job spends most of
+  * its cycles in, so breadth here is breadth of the engine's hot path.
+  */
+object FunctionBatteries {
+
+  val stringBattery: QueryDef = QueryDef(
+    "func_string_battery",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          reverse(col("p_name")).as("rev"),
+          lpad(col("p_name"), 12, "*").as("lp"),
+          rpad(col("p_name"), 12, "*").as("rp"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("rep"),
+          instr(col("p_name"), "o").cast("long").as("pos_o"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"),
+          ascii(col("p_name")).cast("long").as("first_code"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowel_up"),
+          length(col("p_name")).cast("long").as("len"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             reverse(p_name) AS rev,
+             lpad(p_name, 12, '*') AS lp,
+             rpad(p_name, 12, '*') AS rp,
+             repeat(left(p_name, 2), 3) AS rep,
+             CAST(strpos(p_name, 'o') AS BIGINT) AS pos_o,
+             split_part(p_name, ' ', 1) AS first_word,
+             left(p_name, 3) AS l3,
+             right(p_name, 3) AS r3,
+             CAST(ascii(p_name) AS BIGINT) AS first_code,
+             translate(p_name, 'aeiou', 'AEIOU') AS vowel_up,
+             CAST(len(p_name) AS BIGINT) AS len
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  val datetimeBattery: QueryDef = QueryDef(
+    "func_datetime_battery",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          trunc(col("o_orderdate"), "month").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate"), 1).as("next_month"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch0"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(month(o_orderdate) AS BIGINT) AS mon,
+             CAST(day(o_orderdate) AS BIGINT) AS dom,
+             CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             last_day(o_orderdate) AS month_end,
+             CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+             CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch0,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
+  val arrayBattery: QueryDef = QueryDef(
+    "func_array_battery",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("ts")).cast("long").as("n_tok"),
+          size(array_distinct(col("ts"))).cast("long").as("n_uniq"),
+          array_join(slice(sort_array(col("ts")), 1, 3), ",").as("sorted_head"),
+          array_contains(col("ts"), "the").as("has_the"),
+          array_max(col("ts")).as("max_tok"),
+          array_min(col("ts")).as("min_tok"),
+          expr("try_element_at(ts, 7)").as("tok7"),
+          expr("try_element_at(reverse(ts), 1)").as("last_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+             array_to_string(list_sort(ts)[1:3], ',') AS sorted_head,
+             list_contains(ts, 'the') AS has_the,
+             list_max(ts) AS max_tok,
+             list_min(ts) AS min_tok,
+             ts[7] AS tok7,
+             list_reverse(ts)[1] AS last_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  val hofBattery: QueryDef = QueryDef(
+    "func_hof_battery",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          expr("aggregate(transform(ts, t -> CAST(length(t) AS BIGINT)), 0L, (a, b) -> a + b)")
+            .as("total_chars"),
+          expr("CAST(size(filter(ts, t -> length(t) > 4)) AS BIGINT)").as("n_long"),
+          expr("exists(ts, t -> t = 'the')").as("any_the"),
+          expr("forall(ts, t -> length(t) < 20)").as("all_short"),
+          expr("CAST(aggregate(zip_with(ts, reverse(ts), (a, b) -> IF(a = b, 1L, 0L)), 0L, (a, b) -> a + b) AS BIGINT)")
+            .as("palindromic_positions"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts, t -> CAST(len(t) AS BIGINT))), (a, b) -> a + b) AS total_chars,
+             CAST(len(list_filter(ts, t -> len(t) > 4)) AS BIGINT) AS n_long,
+             len(list_filter(ts, t -> t = 'the')) > 0 AS any_the,
+             len(list_filter(ts, t -> len(t) >= 20)) = 0 AS all_short,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(ts)),
+                 i -> CASE WHEN ts[CAST(i AS INT)] = list_reverse(ts)[CAST(i AS INT)] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS palindromic_positions
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  val rankBattery: QueryDef = QueryDef(
+    "window_rank_battery",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // ordering by year gives heavy ties → rank/dense_rank/percent_rank/
+      // cume_dist all diverge from row_number and from each other
+      val w = Window.partitionBy("o_orderpriority").orderBy(year(col("o_orderdate")))
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "yr", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_orderkey,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             percent_rank() OVER w AS prnk,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY year(o_orderdate))
+      ORDER BY o_orderpriority, yr, o_orderkey
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(stringBattery, datetimeBattery, arrayBattery, hofBattery, rankBattery)
+}

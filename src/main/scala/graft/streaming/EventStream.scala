@@ -45,6 +45,16 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Stream-static enrichment: the unbounded twin of the batch
+    * stream_static_enrich_segment query (operators.StreamAnalogs). The
+    * static dimension is broadcast per micro-batch, so the stream side
+    * never shuffles; dimension updates are picked up on re-plan.
+    */
+  def enrichWithSegments(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(F.broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   /** Stream-stream interval join: each error joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks, so the
     * join state is bounded (watermark + interval decides when a buffered

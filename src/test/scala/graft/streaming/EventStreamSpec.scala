@@ -194,4 +194,23 @@ class EventStreamSpec extends SparkSpec {
     assert(p.observe(1710, 1550) == p.Ok)
     assert(p.observe(1720, 1550) == p.Restart)
   }
+
+  test("stream-static enrichment matches the batch join, unmatched users kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Ev]
+    val q = EventStream.enrichWithSegments(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 99, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select("event_id", "c_mktsegment").as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("BUILDING"), 2L -> Some("MACHINERY"), 3L -> None))
+    } finally q.stop()
+  }
 }
