@@ -15,6 +15,7 @@ object SparkEntry {
     functions.TextAnalysis.defs ++
     functions.FunctionBatteries.defs ++
     operators.Dedup.defs ++
+    operators.PipelineCompositions.defs ++
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
     operators.StreamAnalogs.defs ++

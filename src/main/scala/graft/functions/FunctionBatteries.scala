@@ -179,6 +179,86 @@ object FunctionBatteries {
       ORDER BY o_orderpriority, yr, o_orderkey
     """.stripMargin.trim))
 
+  val jsonBattery: QueryDef = QueryDef(
+    "func_json_battery",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("k_missing"),
+          expr("from_json(props, 'k BIGINT').k").as("k_parsed"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
+            .as("reserialized"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+             json_extract_string(props, '$.missing') AS k_missing,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+             json_object('id', event_id, 't', event_type) AS reserialized
+      FROM events
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  val regexpBattery: QueryDef = QueryDef(
+    "func_regexp_battery",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_runs"),
+          regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long_word"),
+          col("text").rlike("the").as("has_the"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws_fields"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_runs,
+             regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+             regexp_matches(text, 'the') AS has_the,
+             regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_fields
+      FROM documents
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  val argAggBattery: QueryDef = QueryDef(
+    "agg_argminmax_bitops",
+    (s, dir) => {
+      // ord = orderkey*10 + linenumber is unique per row (linenumber ≤ 7),
+      // so min_by/max_by have deterministic winners on both engines
+      val ord = col("l_orderkey") * 10 + col("l_linenumber")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          min_by(col("l_partkey"), ord).as("first_part"),
+          max_by(col("l_partkey"), ord).as("last_part"),
+          count_if(col("l_quantity") > 25).as("n_bulk"),
+          expr("bit_and(l_partkey)").as("band"),
+          expr("bit_or(l_partkey)").as("bor"),
+          expr("bit_xor(l_partkey)").as("bxor"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
+             arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+             CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+             bit_and(l_partkey) AS band,
+             bit_or(l_partkey) AS bor,
+             bit_xor(l_partkey) AS bxor
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(stringBattery, datetimeBattery, arrayBattery, hofBattery, rankBattery)
+    Seq(stringBattery, datetimeBattery, arrayBattery, hofBattery, rankBattery,
+      jsonBattery, regexpBattery, argAggBattery)
 }

@@ -59,28 +59,48 @@ object Dedup {
       ORDER BY keeper_doc_id
     """.stripMargin.trim))
 
-  /** Exact n-gram Jaccard ≥ 0.5 via inverted-index self-join on shingles
-    * (shuffle keyed by shingle; no all-pairs stage). Jaccard is an exact
-    * BIGINT/BIGINT division → bit-identical double.
+  /** Near-dup pairs (ia < ib) with exact word-3-gram Jaccard ≥ 0.5, via
+    * inverted-index self-join on shingles (shuffle keyed by shingle; no
+    * all-pairs stage). Shared by dedup_ngram_jaccard, the cluster step,
+    * and the cross-source contamination query.
+    */
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).localCheckpoint(true)  // referenced 3× (a-side, b-side, sizes); GC-freed, unlike cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+      .select(col("ia"), col("ib"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** SQL twin of [[jaccardPairs]] — a CTE body yielding (ia, ib, jaccard). */
+  private[operators] val jaccardPairsSql: String =
+    s"""sh AS ($shinglesSql),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT ia, ib, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |  FROM pair
+      |  JOIN sz sa ON sa.doc_id = ia
+      |  JOIN sz sb ON sb.doc_id = ib
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)""".stripMargin
+
+  /** Exact n-gram Jaccard ≥ 0.5: the pair surface itself. Jaccard is an
+    * exact BIGINT/BIGINT division → bit-identical double.
     */
   val ngramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      val sh = shingles(s, dir).localCheckpoint(true)  // referenced 3× (a-side, b-side, sizes); GC-freed, unlike cache()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
-        .select(col("ia"), col("ib"),
-          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("ia", "ib")
-    },
+    (s, dir) => jaccardPairs(s, dir).orderBy("ia", "ib"),
     Some(s"""
       WITH sh AS ($shinglesSql),
       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -271,20 +291,12 @@ object Dedup {
     * uses under the hood, expressed on DataFrames so Catalyst plans each
     * round. The DuckDB oracle computes the exact fixpoint independently
     * via a recursive CTE, so convergence bugs can't hide.
+    *
+    * Shared by dedup_cluster_components and the keep-best
+    * canonicalization query (PipelineCompositions).
     */
-  val clusterComponents: QueryDef = QueryDef(
-    "dedup_cluster_components",
-    (s, dir) => {
-      val sh = shingles(s, dir).localCheckpoint(true)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
-        .filter(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
-        .select("ia", "ib")
+  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+      val pairs = jaccardPairs(s, dir).select("ia", "ib")
       // The propagation loop runs ONLY over vertices that appear in a
       // near-dup edge — |V(E)| is orders of magnitude smaller than the
       // corpus (isolated documents are trivially their own component and
@@ -316,28 +328,28 @@ object Dedup {
       Tables.documents(s, dir).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component_id"))
-        .orderBy("doc_id")
-    },
+  }
+
+  /** SQL twin of [[componentLabels]]: the recursive-CTE fixpoint. Must be
+    * opened with WITH RECURSIVE; yields comp AS (doc_id, component_id). */
+  private[operators] val componentLabelsSql: String =
+    s"""$jaccardPairsSql,
+      |edges AS (SELECT ia AS src, ib AS dst FROM jp
+      |          UNION ALL SELECT ib, ia FROM jp),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS component_id
+      |  FROM reach GROUP BY id)""".stripMargin
+
+  val clusterComponents: QueryDef = QueryDef(
+    "dedup_cluster_components",
+    (s, dir) => componentLabels(s, dir).orderBy("doc_id"),
     Some(s"""
-      WITH RECURSIVE sh AS ($shinglesSql),
-      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      pair AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      e0 AS (
-        SELECT ia, ib FROM pair
-        JOIN sz sa ON sa.doc_id = ia
-        JOIN sz sb ON sb.doc_id = ib
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-      edges AS (SELECT ia AS src, ib AS dst FROM e0
-                UNION ALL SELECT ib, ia FROM e0),
-      reach(id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst)
-      SELECT id AS doc_id, MIN(r) AS component_id
-      FROM reach GROUP BY id ORDER BY doc_id
+      WITH RECURSIVE $componentLabelsSql
+      SELECT doc_id, component_id FROM comp ORDER BY doc_id
     """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =

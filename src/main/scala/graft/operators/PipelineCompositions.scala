@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** End-to-end training-data-pipeline compositions: the queries a curation
+  * team actually runs, built from the primitive operators (near-dup
+  * pairs, connected components, ANN) rather than re-derived — each reuses
+  * the shared helper and its SQL twin so the oracle stays independent.
+  */
+object PipelineCompositions {
+
+  /** Canonical-document selection: one keeper per near-dup component —
+    * the longest document wins (doc_id breaks ties), everything else is
+    * scheduled for drop. This is the decision step that follows
+    * dedup_cluster_components in a real pipeline.
+    */
+  val keepBest: QueryDef = QueryDef(
+    "pipeline_dedup_keep_best",
+    (s, dir) => {
+      val labels = Dedup.componentLabels(s, dir)
+      val w = Window.partitionBy("component_id")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      labels.join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+          min(when(col("rn") === 1, col("doc_id"))).as("keeper_doc_id"),
+          count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("component_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.componentLabelsSql},
+      ranked AS (
+        SELECT c.component_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                 ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+      SELECT component_id,
+             MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+             COUNT(*) AS n_members,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+      FROM ranked
+      GROUP BY component_id
+      ORDER BY component_id
+    """.stripMargin.trim))
+
+  /** Cross-source contamination: near-dup pairs whose documents come from
+    * different sources (e.g. a benchmark set leaking into training data),
+    * aggregated per canonicalized source pair.
+    */
+  val crossSource: QueryDef = QueryDef(
+    "pipeline_cross_source_contamination",
+    (s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "source")
+      Dedup.jaccardPairs(s, dir)
+        .join(src.as("da"), col("ia") === col("da.doc_id"))
+        .join(src.as("db"), col("ib") === col("db.doc_id"))
+        .filter(col("da.source") =!= col("db.source"))
+        .select(
+          least(col("da.source"), col("db.source")).as("src_a"),
+          greatest(col("da.source"), col("db.source")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_contaminated_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""
+      WITH ${Dedup.jaccardPairsSql}
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b,
+             COUNT(*) AS n_contaminated_pairs
+      FROM jp
+      JOIN documents da ON jp.ia = da.doc_id
+      JOIN documents db ON jp.ib = db.doc_id
+      WHERE da.source <> db.source
+      GROUP BY 1, 2
+      ORDER BY src_a, src_b
+    """.stripMargin.trim))
+
+  /** Recall@5 of the hyperplane-LSH index against the exact brute-force
+    * ranking, per query point — the measurement that decides whether an
+    * ANN index is good enough to replace the exact scan at 100 TB.
+    * Composed from the two AnnSearch queries (identical scoring exprs),
+    * so the number is the true recall of the shipped index.
+    */
+  val annRecall: QueryDef = QueryDef(
+    "ann_recall_lsh_vs_exact",
+    (s, dir) => {
+      val exact = AnnSearch.bruteForce.run(s, dir)
+        .select(col("qid"), col("cand_id"))
+      val approx = AnnSearch.hyperplaneLsh.run(s, dir)
+        .select(col("qid").as("aqid"), col("cand_id").as("acand"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("cand_id") === col("acand"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("acand")).as("n_hits"),
+          (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      exact AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5),
+      bits AS (
+        SELECT e.vec_id, CAST(j.range AS INT) AS j,
+               CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                           (CASE WHEN ((i - 1) * (CAST(j.range AS INT) + 1)) % 3 = 0
+                                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                      (x, y) -> x + y) > 0 THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN range(0, 8) j),
+      sig AS (SELECT vec_id, string_agg(b, '' ORDER BY j) AS sig FROM bits GROUP BY vec_id),
+      es AS (SELECT e.vec_id, e.embedding, e.nrm, s.sig FROM e JOIN sig s ON e.vec_id = s.vec_id),
+      lscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM es q JOIN es c ON q.vec_id < 10 AND q.vec_id != c.vec_id AND q.sig = c.sig),
+      approx AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM lscored) t
+        WHERE rank <= 5)
+      SELECT e.qid,
+             COUNT(a.cand_id) AS n_hits,
+             CAST(COUNT(a.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM exact e
+      LEFT JOIN approx a ON e.qid = a.qid AND e.cand_id = a.cand_id
+      GROUP BY e.qid
+      ORDER BY e.qid
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(keepBest, crossSource, annRecall)
+}

@@ -25,6 +25,7 @@ class PlanShapeSpec extends SparkSpec {
     */
   private val nestedLoopAllowed = Set(
     "ann_cosine_topk_bruteforce",     // query points broadcast vs corpus
+    "ann_recall_lsh_vs_exact",        // composes the brute-force baseline
     "dedup_embedding_cosine",         // documented all-pairs baseline
     "subquery_parts_above_avg_price", // scalar subquery (1-row avg)
     "text_tfidf_top_term",            // 1-row corpus-size crossJoin
