@@ -182,12 +182,23 @@ object Dedup {
       // map-side combine, single shuffle) instead of a ×32 crossJoin
       // through two shuffles + collect_list — same values: bit j of a
       // token is bit (j div 16) of hex digit (j mod 16) of its md5.
+      // The 16 hex digits are parsed ONCE into two unsigned 32-bit longs
+      // (hv1 = digits 1-8, hv2 = digits 9-16) so each bit extraction is a
+      // shift+mask, not a per-bit linear scan of the hex alphabet — ~10×
+      // fewer string ops through the hottest aggregation.
+      // Digit p (0-based from the left) of an 8-digit half occupies bits
+      // (7-p)*4 .. (7-p)*4+3 of its half's numeric value.
+      val tcv = tc
+        .withColumn("hv1", expr("cast(conv(substring(h, 1, 8), 16, 10) as long)"))
+        .withColumn("hv2", expr("cast(conv(substring(h, 9, 8), 16, 10) as long)"))
       val bitSums = (0 until 32).map { j =>
-        sum(expr(
-          s"w * (2 * (shiftright(instr('0123456789abcdef', substring(h, ${j % 16 + 1}, 1)) - 1, ${j / 16}) % 2) - 1)"))
-          .as(s"sv$j")
+        val digit = j % 16          // hex-digit index, 0-based from the left
+        val bitInDigit = j / 16     // which of the digit's low 2 bits
+        val half = if (digit < 8) "hv1" else "hv2"
+        val shift = (7 - digit % 8) * 4 + bitInDigit
+        sum(expr(s"w * (2 * (shiftright($half, $shift) % 2) - 1)")).as(s"sv$j")
       }
-      val sig = tc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sig = tcv.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           concat((0 until 32).map(j =>
             when(col(s"sv$j") > 0, "1").otherwise("0")): _*).as("sig"))
@@ -195,20 +206,21 @@ object Dedup {
           explode(expr("transform(sequence(0, 3), k -> struct(k AS k, substring(sig, k * 8 + 1, 8) AS chunk))")).as("c"))
         .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.chunk").as("chunk"))
         .localCheckpoint(true)  // self-joined below; sig pipeline is the expensive part
+      // positional diff count == popcount of XOR of the bit-strings as
+      // integers — all codegen'd builtins (the HOF filter/substring form
+      // cost 116 s over 1.7M candidate pairs at sf0.1). Hamming is
+      // computed and filtered INSIDE the join projection, before the
+      // dedup shuffle: a pair matching in several chunks re-computes a
+      // few integer ops, but the distinct() then shuffles only the
+      // near-dup survivors (hundreds), not 1.7M wide candidate rows.
       chunks.as("a").join(chunks.as("b"),
           col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"))
-        .distinct()
-        // positional diff count == popcount of XOR of the bit-strings as
-        // integers — all codegen'd builtins (the HOF filter/substring form
-        // cost 116 s over 1.7M candidate pairs at sf0.1)
-        .withColumn("hamming",
-          bit_count(conv(col("sa"), 2, 10).cast("long")
-            .bitwiseXOR(conv(col("sb"), 2, 10).cast("long"))).cast("long"))
+          bit_count(conv(col("a.sig"), 2, 10).cast("long")
+            .bitwiseXOR(conv(col("b.sig"), 2, 10).cast("long"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("ia", "ib", "hamming")
+        .distinct()
         .orderBy("ia", "ib")
     },
     Some("""
