@@ -46,12 +46,14 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      PinnedStorage.sweep(spark)
     }
-    spark.catalog.clearCache()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      PinnedStorage.sweep(spark)
+      name -> dt
     }.toMap
     // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON
     def f(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))

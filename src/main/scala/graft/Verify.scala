@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop non-pinned localCheckpoint/cache blocks so ~110 sequential
+      // query dumps don't accumulate storage in one JVM (same as Bench)
+      PinnedStorage.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

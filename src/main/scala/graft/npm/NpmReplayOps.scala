@@ -36,12 +36,16 @@ object NpmReplayOps {
       replayCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       replayCache.getOrElseUpdate((s, dir), {
         implicit val spark = s
-        val r = Pipeline.replay(feed(s, dir))
         // eager localCheckpoint: materialized once per (session, dir) and
-        // immune to spark.catalog.clearCache() between bench passes
-        r.copy(
-          catalog = r.catalog.localCheckpoint(true),
-          skipped = r.skipped.localCheckpoint(true))
+        // immune to spark.catalog.clearCache() between bench passes;
+        // pinned so the per-query storage sweep doesn't drop blocks the
+        // other replay-backed queries still dereference
+        graft.PinnedStorage.pin(s) {
+          val r = Pipeline.replay(feed(s, dir))
+          r.copy(
+            catalog = r.catalog.localCheckpoint(true),
+            skipped = r.skipped.localCheckpoint(true))
+        }
       })
     }
 
