@@ -49,10 +49,16 @@ object Bench {
       PinnedStorage.sweep(spark)
     }
     val results = names.map { name =>
+      // settle the JVM OUTSIDE the timed window: blocking sweep waits for
+      // the block manager to drop the previous query's storage, and the
+      // explicit GC absorbs the dead checkpoint/codegen garbage — without
+      // this, cleanup is charged to whichever query runs next (r4: ann_*
+      // measured 5.6 s in-suite vs 0.46 s isolated).
+      PinnedStorage.sweep(spark, blocking = true)
+      System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      PinnedStorage.sweep(spark)
       name -> dt
     }.toMap
     // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON

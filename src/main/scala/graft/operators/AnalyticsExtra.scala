@@ -372,21 +372,44 @@ object AnalyticsExtra {
     // ---- mergeable HLL sketches: per-nation partials, union to global ----
     // The 100 TB replacement for global COUNT(DISTINCT): sketch once per
     // partition-group, merge sketches (tiny) instead of reshuffling rows.
-    // No DuckDB oracle (Datasketches binary internals) → rows-only check.
+    // DuckDB can't reproduce DataSketches binaries, so the oracle checks
+    // the exact-side twin: the query emits exact distinct counts plus
+    // booleans asserting each HLL estimate lands within a fixed relative
+    // bound (10%; default lgConfigK=12 → ~1.6% rsd, so the bound has
+    // wide margin) — the oracle recomputes the exact side and expects
+    // every bound check TRUE, making estimator regressions hash-visible.
     QueryDef(
       "approx_hll_mergeable_union",
       (s, dir) => {
         val perNation = Tables.customer(s, dir)
           .groupBy("c_nationkey")
-          .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+          .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+            count_distinct(col("c_custkey")).as("nation_exact"))
         val global = perNation
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("global_distinct"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("g_est"),
+            sum(col("nation_exact")).as("global_exact")) // customers partition by nation → Σ = global distinct
         perNation
           .select(col("c_nationkey").cast("long").as("nationkey"),
-            hll_sketch_estimate(col("sk")).cast("long").as("nation_distinct"))
+            hll_sketch_estimate(col("sk")).cast("long").as("n_est"),
+            col("nation_exact"))
           .crossJoin(global)
+          .select(col("nationkey"), col("nation_exact"),
+            (abs(col("n_est") - col("nation_exact")) <=
+              col("nation_exact").cast("double") * 0.10).as("nation_ok"),
+            col("global_exact"),
+            (abs(col("g_est") - col("global_exact")) <=
+              col("global_exact").cast("double") * 0.10).as("global_ok"))
           .orderBy("nationkey")
       },
-      None)
+      Some("""
+        WITH pn AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                 count(DISTINCT c_custkey) AS nation_exact
+          FROM customer GROUP BY 1),
+        g AS (SELECT count(DISTINCT c_custkey) AS global_exact FROM customer)
+        SELECT nationkey, nation_exact, TRUE AS nation_ok, global_exact, TRUE AS global_ok
+        FROM pn CROSS JOIN g
+        ORDER BY nationkey
+      """.stripMargin.trim))
   )
 }

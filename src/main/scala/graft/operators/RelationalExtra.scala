@@ -264,23 +264,60 @@ object RelationalExtra {
         ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)),
 
-    // approximate sketches (HLL distinct, approximate quantiles) — no
-    // DuckDB oracle (engine-specific sketch internals); rows-only check.
-    // Exact counterparts are oracle-checked in agg_distinct_suppliers_per_flag.
+    // approximate sketches (HLL distinct, approximate quantiles), oracled
+    // via the exact-side twin: the query computes the exact discrete
+    // quantiles (value at row_number floor((n-1)·p)+1 — an actual data
+    // element, so bit-identical across engines, no interpolation) and the
+    // exact distinct count alongside the sketch estimates, then emits the
+    // exact columns plus within-bound booleans. DuckDB recomputes the
+    // exact side and expects every bound TRUE: an estimator drifting past
+    // 15% (HLL, rsd≈5%) / 5% (approx_percentile, rank error n/1000)
+    // breaks the hash.
     QueryDef(
       "approx_sketches_hll_quantiles",
       (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy("l_returnflag")
-          .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            // scalar columns (not array<double>): the driver's rows-only
-            // check sorts columns and cannot hash ndarray cells (r01 ADVICE)
-            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
-            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"))
+        val li = Tables.lineitem(s, dir).select("l_returnflag", "l_partkey", "l_extendedprice")
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+        val agg = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+        val quant = ranked.join(agg.select("l_returnflag", "n"), "l_returnflag")
+          .groupBy("l_returnflag").agg(
+            max(when(col("rn") === floor((col("n") - 1) * 0.5) + 1, col("l_extendedprice"))).as("exact_p50"),
+            max(when(col("rn") === floor((col("n") - 1) * 0.95) + 1, col("l_extendedprice"))).as("exact_p95"))
+        agg.join(quant, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_p50"), col("exact_p95"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts").cast("double") * 0.15).as("parts_ok"),
+            (abs(col("ap50") - col("exact_p50")) <= col("exact_p50") * 0.05).as("p50_ok"),
+            (abs(col("ap95") - col("exact_p95")) <= col("exact_p95") * 0.05).as("p95_ok"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""
+        WITH cnt AS (
+          SELECT l_returnflag, count(*) AS n,
+                 count(DISTINCT l_partkey) AS exact_parts
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+          FROM lineitem),
+        q AS (
+          SELECT r.l_returnflag,
+                 max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN l_extendedprice END) AS exact_p50,
+                 max(CASE WHEN rn = floor((n - 1) * 0.95) + 1 THEN l_extendedprice END) AS exact_p95
+          FROM ranked r JOIN cnt USING (l_returnflag)
+          GROUP BY 1)
+        SELECT l_returnflag, exact_parts, exact_p50, exact_p95,
+               TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        FROM q JOIN cnt USING (l_returnflag)
+        ORDER BY l_returnflag
+      """.stripMargin.trim)),
 
     // reference T8/T9: ISO-8601 filename generation and parse round-trip
     QueryDef(
