@@ -18,6 +18,7 @@ import graft.{QueryDef, Tables}
   *   %7 == 0 → malformed "v"-prefixed semver (T3 clean must repair)
   *   %11 == 0 → change without doc           (F1 → DLQ no_doc)
   *   %13 == 0 → 20MB tarball                 (F4 → DLQ tarball_too_large)
+  * plus ONE synthetic >10 MiB change (seq 0) (F8/E2 → DLQ msg_too_large)
   */
 object NpmReplayOps {
 
@@ -85,12 +86,20 @@ object NpmReplayOps {
           concat(lit("pkg-"), col("p_partkey") % 100), lit("^1.0.0"),
           lit("dep-common"), lit("~2.0.0")).as("dependencies"))).as("versions"),
       map(col("ver_raw"), col("t"), lit("created"), col("t"), lit("modified"), col("t")).as("time"))
-    p.select(
+    val rows = p.select(
       when(col("p_partkey") % 11 === 0,
         to_json(struct(col("p_partkey").as("seq"), col("id"))))
       .otherwise(
         to_json(struct(col("p_partkey").as("seq"), col("id"), doc.as("doc"))))
       .as("value"))
+    // one change whose serialized line exceeds the 10 MiB broker cap
+    // (seq 0 — below every p_partkey): the F8/E2 produce-failure route.
+    // The padding lives INSIDE the JSON object so seq/id still parse for
+    // the DLQ record, exactly what the reference's producer logs.
+    val oversized = s.range(1).select(
+      concat(lit("{\"seq\":0,\"id\":\"pkg-oversized\",\"pad\":\""),
+        repeat(lit("x"), (model.MaxKafkaMessageBytes + 100).toInt), lit("\"}")).as("value"))
+    rows.unionByName(oversized)
   }
 
   val replayCatalog: QueryDef = QueryDef(
@@ -136,13 +145,16 @@ object NpmReplayOps {
         .orderBy("seq")
     },
     Some("""
-      SELECT p_partkey AS seq,
-             CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
-                  ELSE 'pkg-' || p_partkey END AS package_name,
-             CASE WHEN p_partkey % 11 = 0 THEN 'no_doc' ELSE 'tarball_too_large' END AS reason,
-             CASE WHEN p_partkey % 11 = 0 THEN 'download' ELSE 'size_filter' END AS stage
-      FROM part
-      WHERE p_partkey % 11 = 0 OR p_partkey % 13 = 0
+      SELECT seq, package_name, reason, stage FROM (
+        SELECT p_partkey AS seq,
+               CASE WHEN p_partkey % 5 = 0 THEN '@graft/pkg-' || p_partkey
+                    ELSE 'pkg-' || p_partkey END AS package_name,
+               CASE WHEN p_partkey % 11 = 0 THEN 'no_doc' ELSE 'tarball_too_large' END AS reason,
+               CASE WHEN p_partkey % 11 = 0 THEN 'download' ELSE 'size_filter' END AS stage
+        FROM part
+        WHERE p_partkey % 11 = 0 OR p_partkey % 13 = 0
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), 'pkg-oversized', 'msg_too_large', 'produce')
       ORDER BY seq
     """.stripMargin.trim))
 

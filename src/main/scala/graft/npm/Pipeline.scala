@@ -46,6 +46,24 @@ object Pipeline {
       from_json(col("value"), changeSchema).as("c"),
       col("value").as("raw"))
 
+  /** F8/E2: split the raw feed on the broker message cap. Rows whose
+    * serialized change exceeds MaxKafkaMessageBytes can never be produced
+    * (MSG_SIZE_TOO_LARGE) — the reference catches the produce failure and
+    * writes the seq to `skipped_changes` (changes_producer.py:74-84,
+    * producer.ts:185-194); declaratively that's a length pre-filter, so
+    * the routing also works where there is no Kafka hop at all (batch
+    * replay, file source). Returns (fit, skippedRows) where skippedRows
+    * is already in DLQ shape (seq, package_name, reason, stage).
+    */
+  def splitOversized(raw: DataFrame): (DataFrame, DataFrame) = {
+    val fit = raw.filter(length(col("value")) <= MaxKafkaMessageBytes)
+    val oversized = parse(raw.filter(length(col("value")) > MaxKafkaMessageBytes))
+      .select(
+        col("c.seq").as("seq"), col("c.id").as("package_name"),
+        lit("msg_too_large").as("reason"), lit("produce").as("stage"))
+    (fit, oversized)
+  }
+
   /** T3 through the Column-DSL path (codegen semver_clean + map HOFs) —
     * no per-row encoder round-trip. Semantically equal to the typed
     * [[normalizeTyped]] (NormalizeColumnsSpec pins it); the typed form
@@ -140,7 +158,8 @@ object Pipeline {
       fetcher: Fetcher = AlwaysOk)(implicit spark: SparkSession): PipelineResult = {
     import spark.implicits._
 
-    val parsed = parse(raw)
+    val (fit, oversized) = splitOversized(raw)
+    val parsed = parse(fit)
     val corrupt = parsed.filter(col("c").isNull || col("c.seq").isNull)
       .select(
         col("c.seq").as("seq"), col("c.id").as("package_name"),
@@ -180,7 +199,7 @@ object Pipeline {
         explode(array(lit("downloaded_in_local"), lit("moved_to_remote"), lit("added_to_db")))
           .as("stage"))
 
-    val skipped = corrupt.unionByName(preRejected).unionByName(fetchRejected)
+    val skipped = oversized.unionByName(corrupt).unionByName(preRejected).unionByName(fetchRejected)
 
     val arrivals = kept.select(
         col("package_dir"), col("zip_name").as("file_name"),

@@ -117,4 +117,10 @@ object model {
   val MaxArtifactBytes: Long = 10L * 1000 * 1000 // 10e6, changes_consumer.py:20
   val RetentionLimit: Int = 5                    // OLD_PACKAGE_VERSIONS_LIMIT, :25
   val DirHashLength: Int = 3                     // SUBDIRECTORY_HASH_LENGTH, :24
+  /** Broker/producer message cap (docker-compose.yml:44 — 10 MiB). A raw
+    * change line larger than this can never be produced to Kafka
+    * (MSG_SIZE_TOO_LARGE) and is routed to the DLQ instead (F8/E2,
+    * changes_producer.py:74-84 / producer.ts:185-194).
+    */
+  val MaxKafkaMessageBytes: Long = 10L * 1024 * 1024
 }

@@ -40,9 +40,15 @@ object NpmStream {
   /** K1/K2/K3: Kafka sink builder for the change/audit/DLQ topics —
     * gzip-compressed values keyed by seq (reference: producer.ts:172-183,
     * key `:180`, compression `:178`; broker cap docker-compose.yml:44).
-    * Compile-only in this environment (no broker / no kafka connector
-    * jar); the file/parquet sinks in `start` drive the identical
-    * upstream plan in tests.
+    * F8/E2 produce-failure fallback: feed this sink the `fit` side of
+    * Pipeline.splitOversized and write the oversized side to the
+    * skipped_changes topic — the declarative form of the reference's
+    * catch-MSG_SIZE_TOO_LARGE-and-DLQ (producer.ts:185-194); the
+    * remaining `kafka.max.request.size` is belt-and-braces for values
+    * that grow past the cap after keying/serialization.
+    * No broker in this environment; NpmStreamSpec drives the identical
+    * upstream plan through MemoryStream/file sources and pins this
+    * builder's options at plan level.
     */
   def kafkaSink(
       df: DataFrame,

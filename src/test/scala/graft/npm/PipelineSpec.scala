@@ -84,6 +84,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Map[String, String]]("package_distribution_tags") == Map("latest" -> "1.0.0"))
   }
 
+  test("F8/E2: a change over the broker message cap routes to the DLQ as msg_too_large") {
+    // the reference can't produce a >10 MiB line to Kafka at all
+    // (MSG_SIZE_TOO_LARGE) and writes the seq to skipped_changes instead
+    // (changes_producer.py:74-84, producer.ts:185-194)
+    val pad = "x" * (model.MaxKafkaMessageBytes.toInt + 64)
+    val big = s"""{"seq":99,"id":"bigpkg","pad":"$pad"}"""
+    val r = Pipeline.replay(
+      (Fixtures.withFetch404 :+ big).toDF("value"), Fixtures.RoutingFetcher)
+    val row = r.skipped.filter(col("seq") === 99).head()
+    assert(row.getAs[String]("package_name") == "bigpkg")
+    assert(row.getAs[String]("reason") == "msg_too_large")
+    assert(row.getAs[String]("stage") == "produce")
+    // and it never reaches the catalog
+    assert(r.catalog.filter(col("change_seq_id") === 99).count() == 0)
+  }
+
   test("retention heuristic: seq 13 (unpublished versions) does not trigger") {
     // seq 13 has len(time)-len(versions)=3 → arrival flagged untriggered;
     // with single-arrival packages there are no evictions at all here
