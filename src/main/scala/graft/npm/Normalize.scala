@@ -2,6 +2,7 @@ package graft.npm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 import model._
 
@@ -32,14 +33,25 @@ object Normalize {
     if (doc._deleted.contains(true)) return None
     if (doc.error.contains("not_found") && doc.reason.contains("deleted")) return None
 
-    doc.versions match {
-      case None => Some(doc)
+    // (1b) couchapp-field repair on every surviving doc (index.js:14,19-20):
+    // default _attachments to {}, drop doc-level ctime/mtime
+    val base = doc.copy(
+      _attachments = Some(doc._attachments.getOrElse(Map.empty)),
+      ctime = None, mtime = None)
+    // ... and per version (index.js:28-32): default directories, drop ctime/mtime
+    def fixVersion(v: VersionDoc): VersionDoc = v.copy(
+      directories = Some(v.directories.getOrElse(Map.empty)),
+      ctime = None, mtime = None)
+
+    base.versions match {
+      case None => Some(base)
       case Some(versions) =>
         // (2) semver-clean version keys, tracking renames
         var renames = Map.empty[String, String]
         var newVersions = Map.empty[String, VersionDoc]
-        var newTime = doc.time.getOrElse(Map.empty)
-        versions.foreach { case (k, v) =>
+        var newTime = base.time.getOrElse(Map.empty)
+        versions.foreach { case (k, v0) =>
+          val v = fixVersion(v0)
           Semver.clean(k) match {
             case Some(cleaned) if cleaned != k =>
               renames += (k -> cleaned)
@@ -54,7 +66,7 @@ object Normalize {
           }
         }
         // (3) dist-tags repair
-        val newTags = doc.`dist-tags`.map { tags =>
+        val newTags = base.`dist-tags`.map { tags =>
           tags.flatMap { case (tag, target) =>
             if (renames.contains(target)) Some(tag -> renames(target))
             else if (newVersions.contains(target)) Some(tag -> target)
@@ -64,9 +76,9 @@ object Normalize {
             }
           }
         }
-        Some(doc.copy(
+        Some(base.copy(
           versions = Some(newVersions),
-          time = if (doc.time.isDefined) Some(newTime) else None,
+          time = if (base.time.isDefined) Some(newTime) else None,
           `dist-tags` = newTags))
     }
   }
@@ -115,10 +127,25 @@ object Normalize {
       (doc.getField("error") === "not_found" && doc.getField("reason") === "deleted")
     val versions = doc.getField("versions")
 
+    // (1b) couchapp-field repair on every surviving doc (index.js:14,19-20,
+    // 28-32): default _attachments / per-version directories to {}, drop
+    // doc- and version-level ctime/mtime
+    val noStr = lit(null).cast("string")
+    val base = doc
+      .withField("_attachments",
+        coalesce(doc.getField("_attachments"), map().cast(MapType(StringType, attachmentType))))
+      .withField("ctime", noStr)
+      .withField("mtime", noStr)
+
     // (2) semver-clean version keys; rewrite version/_id on rename
     val versions2 = dedupKeepLast(transform(map_entries(versions), { e =>
       val k = e.getField("key")
-      val v = e.getField("value")
+      val v0 = e.getField("value")
+      val v = v0
+        .withField("directories",
+          coalesce(v0.getField("directories"), map().cast(MapType(StringType, StringType))))
+        .withField("ctime", noStr)
+        .withField("mtime", noStr)
       val ck = clean(k)
       val renamed = ck.isNotNull && ck =!= k
       struct(
@@ -149,8 +176,8 @@ object Normalize {
     val tags2 = map_filter(retargeted, (_, v) => v.isNotNull)
 
     when(dropDoc, lit(null).cast(docType))
-      .when(versions.isNull, doc)
-      .otherwise(doc
+      .when(versions.isNull, base)
+      .otherwise(base
         .withField("versions", versions2)
         .withField("time", when(doc.getField("time").isNotNull, time2))
         .withField("`dist-tags`", when(tags.isNotNull, tags2)))

@@ -20,13 +20,29 @@ object model {
       unpackedSize: Option[Long],
       shasum: Option[String])
 
+  /** CouchDB attachment stub (the shape `_attachments` values carry on a
+    * registry doc; the pipeline never dereferences them, but normalization
+    * defaults the containing map — index.js:14).
+    */
+  case class Attachment(
+      content_type: Option[String],
+      revpos: Option[Long],
+      digest: Option[String],
+      length: Option[Long],
+      stub: Option[Boolean])
+
   case class VersionDoc(
       version: Option[String],
       _id: Option[String],
       dist: Option[Dist],
       author: Option[Author],
       maintainers: Option[Seq[Author]],
-      dependencies: Option[Map[String, String]])
+      dependencies: Option[Map[String, String]],
+      // couchapp-added fields normalization rewrites (index.js:28-32):
+      // directories defaults to {}, ctime/mtime are deleted
+      directories: Option[Map[String, String]] = None,
+      ctime: Option[String] = None,
+      mtime: Option[String] = None)
 
   case class PackageDoc(
       _id: Option[String],
@@ -37,7 +53,12 @@ object model {
       time: Option[Map[String, String]],
       _deleted: Option[Boolean],
       error: Option[String],
-      reason: Option[String])
+      reason: Option[String],
+      // normalization defaults _attachments to {} and deletes doc-level
+      // ctime/mtime (index.js:14,19-20)
+      _attachments: Option[Map[String, Attachment]] = None,
+      ctime: Option[String] = None,
+      mtime: Option[String] = None)
 
   case class Change(
       seq: Option[Long],
@@ -85,6 +106,13 @@ object model {
     StructField("email", StringType),
     StructField("url", StringType)))
 
+  val attachmentType: StructType = StructType(Seq(
+    StructField("content_type", StringType),
+    StructField("revpos", LongType),
+    StructField("digest", StringType),
+    StructField("length", LongType),
+    StructField("stub", BooleanType)))
+
   val versionType: StructType = StructType(Seq(
     StructField("version", StringType),
     StructField("_id", StringType),
@@ -94,7 +122,10 @@ object model {
       StructField("shasum", StringType)))),
     StructField("author", authorType),
     StructField("maintainers", ArrayType(authorType)),
-    StructField("dependencies", MapType(StringType, StringType))))
+    StructField("dependencies", MapType(StringType, StringType)),
+    StructField("directories", MapType(StringType, StringType)),
+    StructField("ctime", StringType),
+    StructField("mtime", StringType)))
 
   val docType: StructType = StructType(Seq(
     StructField("_id", StringType),
@@ -105,7 +136,10 @@ object model {
     StructField("time", MapType(StringType, StringType)),
     StructField("_deleted", BooleanType),
     StructField("error", StringType),
-    StructField("reason", StringType)))
+    StructField("reason", StringType),
+    StructField("_attachments", MapType(StringType, attachmentType)),
+    StructField("ctime", StringType),
+    StructField("mtime", StringType)))
 
   val changeSchema: StructType = StructType(Seq(
     StructField("seq", LongType),

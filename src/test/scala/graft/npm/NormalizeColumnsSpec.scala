@@ -23,6 +23,8 @@ class NormalizeColumnsSpec extends SparkSpec {
     df.select(col("seq"), col("id"), col("deleted"),
         col("doc._id"), col("doc._rev"), col("doc.name"),
         col("doc._deleted"), col("doc.error"), col("doc.reason"),
+        col("doc.ctime"), col("doc.mtime"),
+        sorted("doc._attachments").as("attachments"),
         sorted("doc.versions").as("versions"),
         sorted("doc.time").as("time"),
         sorted("doc.`dist-tags`").as("tags"))
@@ -58,8 +60,29 @@ class NormalizeColumnsSpec extends SparkSpec {
       // no versions map → doc passes through untouched
       """{"seq":106,"id":"p4","doc":{"_id":"p4","_rev":"1-a","dist-tags":{"latest":"1.0.0"}}}""",
       // no doc at all
-      """{"seq":107,"id":"p5"}""")
+      """{"seq":107,"id":"p5"}""",
+      // couchapp fields: _attachments kept when present, doc/version
+      // ctime+mtime deleted, version directories defaulted/preserved
+      """{"seq":108,"id":"p6","doc":{"_id":"p6","_rev":"1-a","ctime":"2001-01-01","mtime":"2001-01-02","_attachments":{"p6-1.0.0.tgz":{"content_type":"application/octet-stream","revpos":1,"digest":"md5-x","length":5,"stub":true}},"dist-tags":{"latest":"1.0.0"},"versions":{"1.0.0":{"version":"1.0.0","ctime":"2001-01-01","mtime":"2001-01-02"},"2.0.0":{"version":"2.0.0","directories":{"lib":"lib"}}},"time":{"1.0.0":"2023-01-01T00:00:00.000Z"}}}""")
     compareOn(edges.toDF("value"))
+  }
+
+  test("couchapp-field repair: _attachments/directories default, ctime/mtime deleted") {
+    val raw = Seq(
+      """{"seq":300,"id":"d1","doc":{"_id":"d1","_rev":"1-a","ctime":"c","mtime":"m","dist-tags":{"latest":"1.0.0"},"versions":{"1.0.0":{"version":"1.0.0","ctime":"vc","mtime":"vm"},"2.0.0":{"version":"2.0.0","directories":{"lib":"lib"}}}}}""").toDF("value")
+    val row = Pipeline.normalize(Pipeline.parse(raw))(spark).toDF()
+      .select(
+        expr("doc._attachments").as("att"),
+        expr("doc.ctime").as("dc"), expr("doc.mtime").as("dm"),
+        expr("element_at(doc.versions, '1.0.0').directories").as("dirs1"),
+        expr("element_at(doc.versions, '1.0.0').ctime").as("vc"),
+        expr("element_at(doc.versions, '2.0.0').directories").as("dirs2"))
+      .head()
+    assert(row.getAs[Map[String, Any]]("att") == Map.empty) // defaulted to {}, not null
+    assert(row.getAs[String]("dc") == null && row.getAs[String]("dm") == null)
+    assert(row.getAs[Map[String, String]]("dirs1") == Map.empty)
+    assert(row.getAs[String]("vc") == null)
+    assert(row.getAs[Map[String, String]]("dirs2") == Map("lib" -> "lib"))
   }
 
   test("version keys colliding after cleaning last-win instead of raising") {

@@ -68,6 +68,26 @@ class NormalizeSpec extends AnyFunSuite {
     assert(n.`dist-tags`.get == Map("beta" -> "1.0.0"))
   }
 
+  test("_attachments/directories default to {}, ctime/mtime are deleted") {
+    val d = mkDoc(versions = Map(
+        "1.0.0" -> v("1.0.0").copy(ctime = Some("vc"), mtime = Some("vm")),
+        "2.0.0" -> v("2.0.0").copy(directories = Some(Map("lib" -> "lib")))))
+      .copy(ctime = Some("c"), mtime = Some("m"))
+    val n = Normalize.normalizeDoc(d).get
+    assert(n._attachments.contains(Map.empty))
+    assert(n.ctime.isEmpty && n.mtime.isEmpty)
+    assert(n.versions.get("1.0.0").directories.contains(Map.empty))
+    assert(n.versions.get("1.0.0").ctime.isEmpty && n.versions.get("1.0.0").mtime.isEmpty)
+    assert(n.versions.get("2.0.0").directories.contains(Map("lib" -> "lib")))
+    // an existing _attachments map is preserved, and defaulting applies
+    // even when the doc has no versions at all
+    val att = Map("a.tgz" -> Attachment(Some("application/octet-stream"),
+      Some(1L), Some("md5-x"), Some(5L), Some(true)))
+    val n2 = Normalize.normalizeDoc(mkDoc().copy(_attachments = Some(att))).get
+    assert(n2._attachments.contains(att))
+    assert(Normalize.normalizeDoc(mkDoc()).get._attachments.contains(Map.empty))
+  }
+
   test("normalization is idempotent on the fixture corpus shapes") {
     val docs = Seq(
       mkDoc(versions = Map("v1.0.0" -> v("v1.0.0"), "01.2.3" -> v("01.2.3")),
