@@ -42,6 +42,14 @@ object Retention {
 
   case class Eviction(deleted_zip_path: String, package_dir: String, ctime: Long)
 
+  /** Streaming state: the per-package directory listing, as a product type
+    * so checkpointed state has a real schema (kryo blobs are opaque and
+    * not schema-evolvable — adding a field would invalidate every
+    * checkpoint with no migration path).
+    */
+  case class FileEntry(name: String, ctime: Long)
+  case class DirState(files: Vector[FileEntry])
+
   /** Pure single-arrival step. `existing` = files present before this
     * arrival, any order. Returns the at-most-one evicted file name.
     */
@@ -90,14 +98,16 @@ object Retention {
     */
   def streamingEvictions(arrivals: Dataset[ZipArrival])(implicit spark: SparkSession): Dataset[Eviction] = {
     implicit val evEnc: Encoder[Eviction] = Encoders.product[Eviction]
-    implicit val stEnc: Encoder[Vector[(String, Long)]] = Encoders.kryo[Vector[(String, Long)]]
+    implicit val stEnc: Encoder[DirState] = Encoders.product[DirState]
     arrivals
       .groupByKey(_.package_dir)(Encoders.STRING)
-      .flatMapGroupsWithState[Vector[(String, Long)], Eviction](
+      .flatMapGroupsWithState[DirState, Eviction](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (dir: String, it: Iterator[ZipArrival], state: GroupState[Vector[(String, Long)]]) =>
-          val (newState, evs) = replayPackage(dir, it, state.getOption.getOrElse(Vector.empty))
-          state.update(newState)
+        (dir: String, it: Iterator[ZipArrival], state: GroupState[DirState]) =>
+          val initial = state.getOption.map(_.files.map(f => (f.name, f.ctime)))
+            .getOrElse(Vector.empty)
+          val (newState, evs) = replayPackage(dir, it, initial)
+          state.update(DirState(newState.map { case (n, c) => FileEntry(n, c) }))
           evs.iterator
       }
   }
