@@ -24,15 +24,15 @@ object Dedup {
     * character-trigram vocabulary (~380), which would make an inverted
     * index useless; word shingles give ~27k distinct keys.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
       // The driver's testdata is one row group per table, so the scan is
       // one task; the shingle explode + hashing is the CPU-heavy stage and
       // must not run single-threaded behind it. A production 100 TB table
       // has thousands of splits and needs no such spread — this buys back
       // exactly the parallelism the real layout would give (measured 1.1 s
       // → 0.1 s for the shingle stage at sf0.1).
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -71,27 +71,24 @@ object Dedup {
     * all-pairs stage). Shared by dedup_ngram_jaccard, the cluster step,
     * and the cross-source contamination query.
     */
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).localCheckpoint(true)  // referenced 2× (sizes, buckets); GC-freed, unlike cache()
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(Tables.documents(s, dir))
+
+  /** Core pair generator over any (doc_id, text) frame.
+    *
+    * `maxDocFreq` is the stop-shingle / document-frequency cap — the
+    * 100 TB knob: a shingle present in more than this many documents is
+    * dropped from candidate generation entirely (its posting list would
+    * contribute O(df²) pairs while carrying ~no similarity signal —
+    * boilerplate headers, licence text). Capping changes inter counts,
+    * i.e. it is an explicit recall/scale trade — so the DEFAULT is
+    * no-cap and the oracle-checked queries run uncapped; DedupCapSpec
+    * pins the bounded-candidate behavior under a hot shingle.
+    */
+  private[operators] def jaccardPairsOf(docs: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(docs).localCheckpoint(true)  // referenced 2× (sizes, buckets); GC-freed, unlike cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Inverted-index bucket expansion: ONE shuffle of the shingle table
-    // (groupBy shingle), then pairs are generated inside each posting
-    // list — identical inter counts to the self-join form (each shared
-    // shingle contributes exactly one pair occurrence) at half the
-    // shuffle volume: the self-join shuffled the full shingle table
-    // twice, this shuffles it once. Memory stays O(posting-list) per
-    // bucket (explode streams the pairs); CPU skew on a hot shingle is
-    // the same Σd² either side, and at cluster scale is handled by the
-    // document-frequency cap any 100 TB dedup applies upstream.
-    val pairs = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS ia, b AS ib))))""".stripMargin)).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+    candidatePairsOf(sh, maxDocFreq)
       .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
       .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
       .select(col("ia"), col("ib"),
@@ -99,6 +96,35 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
+
+  /** Candidate (ia < ib, inter) pairs from the posting-list expansion —
+    * split out so DedupCapSpec can pin the candidate-count bound the
+    * df cap buys.
+    *
+    * Inverted-index bucket expansion: ONE shuffle of the shingle table
+    * (groupBy shingle), then pairs are generated inside each posting
+    * list — identical inter counts to the self-join form (each shared
+    * shingle contributes exactly one pair occurrence) at half the
+    * shuffle volume: the self-join shuffled the full shingle table
+    * twice, this shuffles it once. Memory stays O(posting-list) per
+    * bucket (explode streams the pairs); CPU skew on a hot shingle is
+    * the same Σd² either side until maxDocFreq cuts it.
+    * CORRECTNESS DEPENDENCY: the expansion assumes shingles() emits
+    * DISTINCT (doc_id, shingle) rows — its trailing .distinct() is what
+    * guarantees a posting list never repeats a doc_id. A duplicate would
+    * generate ia==ib self-pairs and inflated inter counts, a failure the
+    * old `a.doc_id < b.doc_id` self-join form was robust to; if the
+    * distinct is ever removed, add array_distinct(ds) here.
+    */
+  private[operators] def candidatePairsOf(sh: DataFrame, maxDocFreq: Int): DataFrame =
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b -> struct(a AS ia, b AS ib))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("inter"))
 
   /** SQL twin of [[jaccardPairs]] — a CTE body yielding (ia, ib, jaccard). */
   private[operators] val jaccardPairsSql: String =
@@ -146,7 +172,7 @@ object Dedup {
   val minhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(s, dir)
+      val sh = shingles(Tables.documents(s, dir))
       // all 16 minhashes in ONE aggregation (16 min buffers, map-side
       // combine, single shuffle of the shingle set) instead of a ×16
       // row-exploding crossJoin through two shuffles — same values.
@@ -333,17 +359,20 @@ object Dedup {
       // The propagation loop runs ONLY over vertices that appear in a
       // near-dup edge — |V(E)| is orders of magnitude smaller than the
       // corpus (isolated documents are trivially their own component and
-      // are patched in with one left join at the end). The label/edge
-      // tables are coalesced so each round isn't dominated by fixed
-      // per-partition scheduling; at cluster scale this constant becomes
-      // |edges| / target-partition-size.
-      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      // are patched in with one left join at the end).
+      val edgesFull = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-        .coalesce(8)
         .localCheckpoint(true)
+      // Partition count for the loop is DERIVED from the edge count
+      // (count is free: edges are checkpointed): ~4M edge rows ≈ 100 MB
+      // per task. sf0.x collapses to 1 partition, so each round is not
+      // dominated by fixed per-task scheduling; |E|=10^10 gets ~2500
+      // tasks — a hard-coded constant cannot serve both ends.
+      val parts = math.max(1, math.ceil(edgesFull.count() / 4194304.0).toInt)
+      val edges = edgesFull.coalesce(parts)
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("comp", col("doc_id"))
-        .coalesce(8)
+        .coalesce(parts)
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
