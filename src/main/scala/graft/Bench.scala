@@ -15,6 +15,7 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_cluster_components",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",
+    "ann_cosine_topk_ivf_prebuilt",
     "text_tfidf_top_term", "text_winnow_fingerprint", "text_langid",
     "stream_sessionization_30m", "stream_hourly_windowed_agg",
     "npm_pipeline_replay_catalog", "npm_catalog_compaction_latest",

@@ -30,9 +30,32 @@ object AnnSearch {
 
   private val dotExpr = "float_dot(q.embedding, c.embedding)"
 
-  private def topk(s: SparkSession, dir: String, sameClusterOnly: Boolean): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val e = withNorm(Tables.embeddings(s, dir)).localCheckpoint(true)  // reused: query + corpus sides; ContextCleaner frees blocks on GC (cache() entries pin forever)
+  /** Prebuilt IVF index: (vec_id, label, embedding, nrm), computed ONCE
+    * per (session, corpus) and pinned in storage — the amortization a
+    * 100 TB deployment does by persisting the signature table bucketed by
+    * label so probes are co-located and never touch the raw corpus.
+    * Locally the memoized, pinned localCheckpoint plays that role (same
+    * pattern as NpmReplayOps.replayCache); probe queries read it without
+    * a single parquet scan (pinned by PlanShapeSpec).
+    */
+  private val indexCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def index(s: SparkSession, dir: String): DataFrame =
+    indexCache.synchronized {
+      indexCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      indexCache.getOrElseUpdate((s, dir), {
+        graft.functions.VectorExpressions.register(s)
+        graft.PinnedStorage.pin(s) {
+          withNorm(Tables.embeddings(s, dir)).localCheckpoint(true)
+        }
+      })
+    }
+
+  /** Probe over an already-materialized index frame: broadcast the (tiny)
+    * query set, equi-join on label when cluster-pruned, window top-k.
+    */
+  private def probeTopk(e: DataFrame, sameClusterOnly: Boolean): DataFrame = {
     val queries = e.filter(col("vec_id") < 10)
     val joinCond =
       if (sameClusterOnly)
@@ -47,6 +70,13 @@ object AnnSearch {
       .filter(col("rank") <= 5)
       .select("qid", "rank", "cand_id", "cos")
       .orderBy("qid", "rank")
+  }
+
+  private def topk(s: SparkSession, dir: String, sameClusterOnly: Boolean): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    // per-query index build — kept as the build-cost baseline next to the
+    // _prebuilt probe; ContextCleaner frees blocks on GC (cache() entries pin forever)
+    probeTopk(withNorm(Tables.embeddings(s, dir)).localCheckpoint(true), sameClusterOnly)
   }
 
   private def topkSql(clusterPred: String): String =
@@ -78,6 +108,16 @@ object AnnSearch {
   val ivfLabel: QueryDef = QueryDef(
     "ann_cosine_topk_ivf",
     (s, dir) => topk(s, dir, sameClusterOnly = true),
+    Some(topkSql("AND q.label = c.label")))
+
+  /** IVF probe against the prebuilt pinned index — identical semantics
+    * (and oracle) to ann_cosine_topk_ivf, but the bench time is
+    * probe-only: the index is built once per session, not inside every
+    * query. This is the shape a 100 TB ANN service runs.
+    */
+  val ivfPrebuilt: QueryDef = QueryDef(
+    "ann_cosine_topk_ivf_prebuilt",
+    (s, dir) => probeTopk(index(s, dir), sameClusterOnly = true),
     Some(topkSql("AND q.label = c.label")))
 
   /** Random-hyperplane LSH: 8 sign bits (one per ±1 hyperplane) form the
@@ -142,5 +182,5 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, ivfLabel, hyperplaneLsh)
+  val defs: Seq[QueryDef] = Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh)
 }
