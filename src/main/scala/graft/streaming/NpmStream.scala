@@ -19,11 +19,17 @@ import graft.npm.{Pipeline, Retention, model}
   */
 object NpmStream {
 
-  /** S3: the canonical Kafka ingress (topic npm-changes). Not exercised
-    * in tests (no broker / no kafka connector jar in this environment) —
-    * the file source below drives the identical downstream plan.
+  /** S3: the canonical Kafka ingress (topic npm-changes). The reader
+    * builder is split from load() so KafkaSurfaceSpec can pin every
+    * option on the ACTUAL Spark builder (no connector jar in this
+    * environment, so load() itself can only run in production); the
+    * MemoryStream/file sources drive the identical downstream plan in
+    * tests.
     */
-  def kafkaSource(spark: SparkSession, servers: String, topic: String = "npm-changes"): DataFrame =
+  def kafkaSourceReader(
+      spark: SparkSession,
+      servers: String,
+      topic: String = "npm-changes"): org.apache.spark.sql.streaming.DataStreamReader =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
@@ -34,6 +40,9 @@ object NpmStream {
       .option("kafka.max.partition.fetch.bytes", (10 * 1024 * 1024).toString)
       // bound each micro-batch (reference has no backpressure at all, O6)
       .option("maxOffsetsPerTrigger", "100000")
+
+  def kafkaSource(spark: SparkSession, servers: String, topic: String = "npm-changes"): DataFrame =
+    kafkaSourceReader(spark, servers, topic)
       .load()
       .select(col("value").cast("string").as("value"))
 
