@@ -15,7 +15,7 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_cluster_components",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",
-    "ann_cosine_topk_ivf_prebuilt",
+    "ann_cosine_topk_ivf_prebuilt", "ann_cosine_topk_hyperlsh_prebuilt",
     "text_tfidf_top_term", "text_winnow_fingerprint", "text_langid",
     "stream_sessionization_30m", "stream_hourly_windowed_agg",
     "npm_pipeline_replay_catalog", "npm_catalog_compaction_latest",
@@ -68,9 +68,13 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detailPath = "/root/repo/BENCH_DETAIL.json"
-    val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
-    catch { case _: Throwable => () }
+    // the tracked artifact records FULL-suite runs only; a SPARK_GRAFT_ONLY
+    // subset A/B run must not overwrite the committed full-run record
+    if (only.isEmpty) {
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
+      catch { case _: Throwable => () }
+    }
     // Printed line: headline subset only, hard-capped at 1600 chars so the
     // line + sbt's trailing "[success]" line always fit the 2000-char tail.
     var hl = headline.filter(results.contains).map(n => n -> results(n))

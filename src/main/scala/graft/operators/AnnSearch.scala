@@ -47,21 +47,26 @@ object AnnSearch {
       indexCache.getOrElseUpdate((s, dir), {
         graft.functions.VectorExpressions.register(s)
         graft.PinnedStorage.pin(s) {
-          withNorm(Tables.embeddings(s, dir)).localCheckpoint(true)
+          // one signature table serves BOTH probe paths: IVF prunes on
+          // label, hyperplane LSH on sig — exactly the columns a 100 TB
+          // deployment persists (bucketed by the probe key)
+          withNorm(Tables.embeddings(s, dir))
+            .withColumn("sig", concat(sigBits: _*))
+            .localCheckpoint(true)
         }
       })
     }
 
   /** Probe over an already-materialized index frame: broadcast the (tiny)
-    * query set, equi-join on label when cluster-pruned, window top-k.
+    * query set, equi-join on the prune key ("label" for IVF, "sig" for
+    * hyperplane LSH, none for brute force), window top-k.
     */
-  private def probeTopk(e: DataFrame, sameClusterOnly: Boolean): DataFrame = {
+  private def probeTopk(e: DataFrame, pruneKey: Option[String]): DataFrame = {
     val queries = e.filter(col("vec_id") < 10)
-    val joinCond =
-      if (sameClusterOnly)
-        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id")
-      else
-        col("q.vec_id") =!= col("c.vec_id")
+    val distinctVec = col("q.vec_id") =!= col("c.vec_id")
+    val joinCond = pruneKey
+      .map(k => col(s"q.$k") === col(s"c.$k") && distinctVec)
+      .getOrElse(distinctVec)
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     broadcast(queries).as("q").join(e.as("c"), joinCond)
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
@@ -76,7 +81,8 @@ object AnnSearch {
     graft.functions.VectorExpressions.register(s)
     // per-query index build — kept as the build-cost baseline next to the
     // _prebuilt probe; ContextCleaner frees blocks on GC (cache() entries pin forever)
-    probeTopk(withNorm(Tables.embeddings(s, dir)).localCheckpoint(true), sameClusterOnly)
+    probeTopk(withNorm(Tables.embeddings(s, dir)).localCheckpoint(true),
+      if (sameClusterOnly) Some("label") else None)
   }
 
   private def topkSql(clusterPred: String): String =
@@ -117,7 +123,7 @@ object AnnSearch {
     */
   val ivfPrebuilt: QueryDef = QueryDef(
     "ann_cosine_topk_ivf_prebuilt",
-    (s, dir) => probeTopk(index(s, dir), sameClusterOnly = true),
+    (s, dir) => probeTopk(index(s, dir), Some("label")),
     Some(topkSql("AND q.label = c.label")))
 
   /** Random-hyperplane LSH: 8 sign bits (one per ±1 hyperplane) form the
@@ -133,26 +139,32 @@ object AnnSearch {
     (0 until Dim).map(i => if ((i * (j + 1)) % 3 == 0) "1.0F" else "-1.0F")
       .mkString("array(", ", ", ")")
 
+  /** The 8 sign-bit columns of the hyperplane signature — shared by the
+    * per-query LSH build and the prebuilt index. */
+  private lazy val sigBits: Seq[org.apache.spark.sql.Column] = (0 until 8).map(j =>
+    when(expr(s"float_dot(embedding, ${planeSql(j)})") > 0, lit("1")).otherwise(lit("0")))
+
   val hyperplaneLsh: QueryDef = QueryDef(
     "ann_cosine_topk_hyperlsh",
     (s, dir) => {
       graft.functions.VectorExpressions.register(s)
-      val sigBits = (0 until 8).map(j =>
-        when(expr(s"float_dot(embedding, ${planeSql(j)})") > 0, lit("1")).otherwise(lit("0")))
       val e = withNorm(Tables.embeddings(s, dir))
         .withColumn("sig", concat(sigBits: _*))
         .localCheckpoint(true)  // query + corpus sides of the bucket join; GC-freed
-      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      e.filter(col("vec_id") < 10).as("q").join(e.as("c"),
-          col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
-        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
-          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("qid", "rank", "cand_id", "cos")
-        .orderBy("qid", "rank")
+      probeTopk(e, Some("sig"))
     },
-    Some(s"""
+    Some(hyperLshSql))
+
+  /** LSH probe against the prebuilt pinned index (same signature column
+    * IVF shares) — probe-only cost, identical results and oracle to
+    * ann_cosine_topk_hyperlsh.
+    */
+  val lshPrebuilt: QueryDef = QueryDef(
+    "ann_cosine_topk_hyperlsh_prebuilt",
+    (s, dir) => probeTopk(index(s, dir), Some("sig")),
+    Some(hyperLshSql))
+
+  private lazy val hyperLshSql: String = s"""
       WITH e AS (
         SELECT vec_id, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
@@ -180,7 +192,8 @@ object AnnSearch {
       SELECT qid, rank, cand_id, cos FROM ranked
       WHERE rank <= 5
       ORDER BY qid, rank
-    """.stripMargin.trim))
+    """.stripMargin.trim
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh)
+  val defs: Seq[QueryDef] =
+    Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt)
 }

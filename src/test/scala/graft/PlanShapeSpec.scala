@@ -79,17 +79,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("prebuilt ANN probe plan never rescans or recomputes the index") {
+  test("prebuilt ANN probe plans never rescan or recompute the index") {
     // building the query df materializes the pinned index as a side
     // effect; the PROBE plan itself must read only the checkpointed
-    // index rows — zero parquet scans, zero norm recomputation
-    val p = plan("ann_cosine_topk_ivf_prebuilt")
-    assert(!p.toLowerCase.contains("parquet"),
-      "prebuilt probe rebuilds the index from the embeddings parquet")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      "prebuilt probe does not read the checkpointed index")
-    assert(p.contains("BroadcastHashJoin"),
-      "prebuilt probe lost the broadcast equi-join shape")
+    // index rows — zero parquet scans, zero norm/signature recomputation
+    Seq("ann_cosine_topk_ivf_prebuilt", "ann_cosine_topk_hyperlsh_prebuilt").foreach { name =>
+      val p = plan(name)
+      assert(!p.toLowerCase.contains("parquet"),
+        s"$name rebuilds the index from the embeddings parquet")
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$name does not read the checkpointed index")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost the broadcast equi-join shape")
+    }
   }
 
   test("semver_clean runs in a codegen span and matches the pure function") {

@@ -67,8 +67,9 @@ class EventStreamSpec extends SparkSpec {
       input.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
         Ev(2, ts("2024-01-01 10:00:30"), 2, "view", 2.0))
       q.processAllAvailable()
-      // listener events are delivered asynchronously
-      val deadline = System.currentTimeMillis() + 10000
+      // listener events are delivered asynchronously; generous deadline —
+      // under a full parallel suite run the listener bus can lag seconds
+      val deadline = System.currentTimeMillis() + 30000
       while (listener.totalInputRows < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(listener.totalInputRows >= 2)
