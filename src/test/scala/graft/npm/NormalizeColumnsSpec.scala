@@ -108,4 +108,18 @@ class NormalizeColumnsSpec extends SparkSpec {
   test("column path == typed path on the 20k synthetic replay feed") {
     compareOn(NpmReplayOps.syntheticFeed(spark, "/root/testdata/sf0.01"))
   }
+
+  test("column-path normalization is idempotent (like the reference's fix())") {
+    // applying normalizedDocColumn to an already-normalized doc must be a
+    // no-op: every rename target is already clean, every couchapp field
+    // already defaulted/deleted
+    graft.functions.SemverExpressions.register(spark)
+    val raw = Seq(
+      """{"seq":400,"id":"i1","doc":{"_id":"i1","_rev":"1-a","ctime":"c","mtime":"m","dist-tags":{"latest":"v1.0.0","bad":"0.6"},"versions":{"v1.0.0":{"version":"v1.0.0","ctime":"vc"},"01.2.3":{"version":"01.2.3"}},"time":{"v1.0.0":"t1","01.2.3":"t2","created":"t0"}}}""",
+      """{"seq":401,"id":"i2","doc":{"_id":"i2","_rev":"1-a","dist-tags":{"latest":"1.0.0"}}}""").toDF("value")
+    val once = Pipeline.parse(raw).select("c.*")
+      .withColumn("doc", Normalize.normalizedDocColumn(col("doc")))
+    val twice = once.withColumn("doc", Normalize.normalizedDocColumn(col("doc")))
+    assert(canon(once) == canon(twice))
+  }
 }

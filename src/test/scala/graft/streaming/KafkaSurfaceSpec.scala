@@ -52,6 +52,24 @@ class KafkaSurfaceSpec extends SparkSpec {
     assert(skipped.filter(col("seq").isNotNull).count() == 6)
   }
 
+  test("streaming path routes an oversized change to the DLQ sink (F8/E2)") {
+    val base = Files.createTempDirectory("kafkaoversize").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pad = "x" * (graft.npm.model.MaxKafkaMessageBytes.toInt + 64)
+    val ms = MemoryStream[String]
+    ms.addData(Fixtures.withFetch404 :+ s"""{"seq":99,"id":"bigpkg","pad":"$pad"}""")
+    val q = NpmStream.start(spark, ms.toDF().select(col("value")),
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt",
+      fetcher = Fixtures.RoutingFetcher)
+    q.awaitTermination()
+    val row = spark.read.parquet(s"$base/out/skipped")
+      .filter(col("seq") === 99).head()
+    assert(row.getAs[String]("reason") == "msg_too_large")
+    assert(row.getAs[String]("stage") == "produce")
+    assert(spark.read.parquet(s"$base/out/catalog")
+      .filter(col("change_seq_id") === 99).count() == 0)
+  }
+
   test("kafka source builder carries the reference's subscription, caps, and backpressure") {
     val d = fieldDump(NpmStream.kafkaSourceReader(spark, "broker:9092"))
     assert(d.contains("kafka"), "source format is not kafka")
