@@ -69,6 +69,16 @@ class RetentionSpec extends SparkSpec {
     assert(evs.map(_.deleted_zip_path) == List("p1/a.zip"))
   }
 
+  // NOT tested here: the RocksDB state store provider (DESIGN.md's 100 TB
+  // choice) is a pure config swap (spark.sql.streaming.stateStore
+  // .providerClass), but its file manager requires Hadoop's checksum
+  // LocalFileSystem while this harness must run RawLocalFileSystem
+  // (SparkSpec: checksum sibling paths explode on the reference's
+  // colon-bearing ISO filenames) — the two cannot coexist in one JVM.
+  // The product-encoded state (DirState) is provider-agnostic and is
+  // exercised under the default provider below and across restarts in
+  // NpmStreamSpec.
+
   test("streaming operator carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
