@@ -212,6 +212,95 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** MinHash estimator quality: for every LSH candidate pair, the
+    * 16-hash Jaccard estimate (matching-minhash fraction) next to the
+    * exact shingle Jaccard and their absolute error — the metric that
+    * decides whether the sketch parameters (16 hashes, 4×4 bands) are
+    * trustworthy enough to SKIP exact verification at 100 TB, where
+    * computing exact Jaccard on every candidate is the dominant cost.
+    * All arithmetic is exact on both engines (k/16 is a power-of-two
+    * division; Jaccard is BIGINT/BIGINT), so the floats hash-match.
+    */
+  val minhashEstimateQuality: QueryDef = QueryDef(
+    "dedup_minhash_estimate_quality",
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir)).localCheckpoint(true)
+      val minCols = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .localCheckpoint(true)  // bands + both estimate sides
+      val bandKeys = (0 until 4).map(b =>
+        md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
+      val bands = mh
+        .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      val matchCount = (0 until 16)
+        .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cands
+        .join(mh.as("ma"), col("ia") === col("ma.doc_id"))
+        .join(mh.as("mb"), col("ib") === col("mb.doc_id"))
+        .select(col("ia"), col("ib"),
+          (matchCount.cast("double") / 16.0).as("est_jaccard"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candidatePairsOf(sh, Int.MaxValue)
+      val exactJac = (coalesce(col("inter"), lit(0L)).cast("double") /
+        (col("sa.n") + col("sb.n") - coalesce(col("inter"), lit(0L))))
+      est.join(inter, Seq("ia", "ib"), "left")
+        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"), col("est_jaccard"),
+          exactJac.as("jaccard"),
+          abs(col("est_jaccard") - exactJac).as("abs_err"))
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      e AS (
+        SELECT c.ia, c.ib,
+               SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS k
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.ia
+        JOIN mh mb ON mb.doc_id = c.ib AND mb.i = ma.i
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT e.ia, e.ib,
+             CAST(e.k AS DOUBLE) / 16.0 AS est_jaccard,
+             CAST(COALESCE(p.inter, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.inter, 0)) AS jaccard,
+             ABS(CAST(e.k AS DOUBLE) / 16.0 -
+                 CAST(COALESCE(p.inter, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.inter, 0))) AS abs_err
+      FROM e
+      LEFT JOIN pair p ON p.ia = e.ia AND p.ib = e.ib
+      JOIN sz sa ON sa.doc_id = e.ia
+      JOIN sz sb ON sb.doc_id = e.ib
+      ORDER BY e.ia, e.ib
+    """.stripMargin.trim))
+
   /** 32-bit frequency-weighted SimHash; near-dup pairs = Hamming ≤ 3,
     * found exactly via the 4×8-bit chunk pigeonhole (≤3 differing bits ⇒
     * at least one of 4 chunks identical), so candidate generation is an
@@ -415,5 +504,6 @@ object Dedup {
     """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusterComponents)
+    Seq(exact, ngramJaccard, minhashLsh, minhashEstimateQuality, simhash,
+      embeddingCosine, clusterComponents)
 }
