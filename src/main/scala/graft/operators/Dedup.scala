@@ -443,8 +443,11 @@ object Dedup {
     * Shared by dedup_cluster_components and the keep-best
     * canonicalization query (PipelineCompositions).
     */
-  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame = {
-      val pairs = jaccardPairs(s, dir).select("ia", "ib")
+  private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    componentLabelsOf(s, dir, jaccardPairs(s, dir))
+
+  private[operators] def componentLabelsOf(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame = {
+      val pairs = pairsIn.select("ia", "ib")
       // The propagation loop runs ONLY over vertices that appear in a
       // near-dup edge — |V(E)| is orders of magnitude smaller than the
       // corpus (isolated documents are trivially their own component and
@@ -502,6 +505,27 @@ object Dedup {
       WITH RECURSIVE $componentLabelsSql
       SELECT doc_id, component_id FROM comp ORDER BY doc_id
     """.stripMargin.trim))
+
+  /** Persisted pair surface: near-dup pairs + component labels memoized
+    * per (session, corpus) and pinned — the near-dup index downstream
+    * curation steps (PipelineCompositions) probe. A production pipeline
+    * computes this once per corpus snapshot and every curation step reads
+    * the stored table (the same amortization as AnnSearch.index and
+    * NpmReplayOps.replayCache); the dedup_* gate queries keep building
+    * their own surfaces so their bench entries stay honest build costs.
+    */
+  private val surfaceCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[operators] def pairSurface(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    surfaceCache.synchronized {
+      surfaceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      surfaceCache.getOrElseUpdate((s, dir), graft.PinnedStorage.pin(s) {
+        val pairs = jaccardPairs(s, dir).localCheckpoint(true)
+        val labels = componentLabelsOf(s, dir, pairs).localCheckpoint(true)
+        (pairs, labels)
+      })
+    }
 
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, minhashLsh, minhashEstimateQuality, simhash,

