@@ -313,7 +313,63 @@ object TextAnalysis {
       ORDER BY ia
     """.stripMargin.trim))
 
+  /** Repetition signals (the Gopher-style filters a pretraining pipeline
+    * applies before quality scoring): fraction of the document taken by
+    * its most frequent token and most frequent word bigram, plus the
+    * 0.18-top-bigram rejection flag. Two keyed aggregations with
+    * map-side combine (shuffle load = #distinct grams per doc, not doc
+    * length); all divisions are exact count/count doubles.
+    */
+  val repetitionRatios: QueryDef = QueryDef(
+    "text_repetition_ratios",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val toks = base
+        .select(col("doc_id"), size(col("ts")).as("n_tokens"), explode(col("ts")).as("tok"))
+        .groupBy("doc_id", "n_tokens", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tokens").agg(max("c").as("top_tok"))
+      val bigrams = base
+        .select(col("doc_id"), (size(col("ts")) - 1).as("n_bigrams"),
+          explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"))
+            .as("bg"))
+        .groupBy("doc_id", "n_bigrams", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_bigrams").agg(max("c").as("top_bg"))
+      toks.join(bigrams, "doc_id")
+        .select(col("doc_id"),
+          (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+          (col("top_bg").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+          (col("top_bg").cast("double") / col("n_bigrams") > 0.18).as("repetitive"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      tokc AS (
+        SELECT doc_id, n_tokens, tok, count(*) AS c
+        FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok FROM t) x
+        GROUP BY 1, 2, 3),
+      tokm AS (SELECT doc_id, n_tokens, max(c) AS top_tok FROM tokc GROUP BY 1, 2),
+      bgc AS (
+        SELECT doc_id, n_bigrams, bg, count(*) AS c
+        FROM (SELECT doc_id, len(ts) - 1 AS n_bigrams,
+                     ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT) + 1] AS bg
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS p FROM t) y) x
+        GROUP BY 1, 2, 3),
+      bgm AS (SELECT doc_id, n_bigrams, max(c) AS top_bg FROM bgc GROUP BY 1, 2)
+      SELECT m.doc_id,
+             CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+             CAST(top_bg AS DOUBLE) / n_bigrams AS top_bigram_frac,
+             CAST(top_bg AS DOUBLE) / n_bigrams > 0.18 AS repetitive
+      FROM tokm m JOIN bgm b ON m.doc_id = b.doc_id
+      ORDER BY m.doc_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
-      levenshteinNeighbors, winnowFingerprint)
+      levenshteinNeighbors, winnowFingerprint, repetitionRatios)
 }
