@@ -11,6 +11,7 @@ object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q10_returned_items", "window_top3_orders_per_customer",
+    "window_top3_orders_native_topk",
     "join_asof_last_click_before_error", "join_range_pairs_within_1h",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_cluster_components",

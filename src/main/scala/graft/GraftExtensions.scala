@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("semver_clean"),
       new ExpressionInfo(classOf[SemverClean].getName, "semver_clean"),
       SemverExpressions.builder))
+    // whole-operator extension: the sort-free per-key top-k physical
+    // operator (graft.plans.TopKPerKey); already-built sessions get it
+    // lazily via TopK.ensureRegistered
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

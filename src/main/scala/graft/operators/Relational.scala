@@ -217,6 +217,36 @@ object Relational {
         ORDER BY o_custkey, rn
       """.stripMargin.trim)),
 
+    // same semantics (and oracle) as window_top3_orders_per_customer, but
+    // the heavy lifting runs through the custom sort-free TopKPerKey
+    // physical operator (graft.plans): one streaming pass with k-bounded
+    // heaps instead of a full partition sort; the window that assigns
+    // ranks afterwards sees only k rows per customer.
+    QueryDef(
+      "window_top3_orders_native_topk",
+      (s, dir) => {
+        val pruned = graft.plans.TopK.perKey(
+          Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+          keyCols = Seq("o_custkey"),
+          order = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        pruned
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+      """.stripMargin.trim)),
+
     // ---- window: running aggregate ---------------------------------------
     QueryDef(
       "window_running_revenue_per_supplier",
