@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property check: for ANY random dataset (skewed keys, duplicate order
+  * values, tiny and large groups), the custom operator's row set equals
+  * the window row_number form's. Duplicate (v, tie) pairs within a key
+  * are disambiguated by a unique id column in the ordering so both
+  * definitions are deterministic.
+  */
+class TopKPerKeyPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(0, 300)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(0L, 8L)   // few keys → big skewed groups
+      v <- Gen.choose(0L, 20L)    // heavy duplicate order values
+    } yield (key, v))
+  } yield rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+
+  private def samples(count: Int): Seq[List[(Long, Long, Long)]] =
+    (0 until count).flatMap(i =>
+      rowsGen.apply(Gen.Parameters.default, Seed(77L + i)))
+
+  test("row-identical to the window form on random skewed data") {
+    samples(12).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("key", "v", "id")
+      Seq(1, 2, 5).foreach { k =>
+        val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id", true)), k)
+          .as[(Long, Long, Long)].collect().toSet
+        val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+        val window = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(native == window, s"sample $i k=$k: ${native.size} vs ${window.size}")
+      }
+    }
+  }
+}
