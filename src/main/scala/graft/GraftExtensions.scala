@@ -34,7 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SemverExpressions.builder))
     // whole-operator extension: the sort-free per-key top-k physical
     // operator (graft.plans.TopKPerKey); already-built sessions get it
-    // lazily via TopK.ensureRegistered
+    // lazily via TopK.ensureRegistered / TopK.enableRewrite
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // and the optimizer rule that routes plain `row_number <= k` window
+    // queries through it (prune-before-sort; semantics preserved)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

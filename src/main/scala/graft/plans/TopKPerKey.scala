@@ -108,6 +108,11 @@ object TopK {
       ex.extraStrategies = ex.extraStrategies :+ TopKPerKeyStrategy
   }
 
+  /** Enable the [[WindowTopKRewrite]] optimizer rule too: plain
+    * `row_number <= k` window queries then plan through this operator.
+    */
+  def enableRewrite(spark: SparkSession): Unit = WindowTopKRewriteSession.enable(spark)
+
   /** Top-k rows per key. `order` is (columnName, ascending) pairs; rows
     * come back unranked (apply a window over the pruned result for rank).
     */
