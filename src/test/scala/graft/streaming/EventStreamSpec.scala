@@ -67,11 +67,19 @@ class EventStreamSpec extends SparkSpec {
       input.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
         Ev(2, ts("2024-01-01 10:00:30"), 2, "view", 2.0))
       q.processAllAvailable()
-      // listener events are delivered asynchronously; generous deadline —
-      // under a full parallel suite run the listener bus can lag seconds
+      // listener events are delivered asynchronously and can lag (or be
+      // dropped) under a full parallel suite run — keep nudging fresh
+      // batches so a new progress event is always in flight
       val deadline = System.currentTimeMillis() + 30000
-      while (listener.totalInputRows < 2 && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
+      var nudge = 3
+      while (listener.totalInputRows < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        if (listener.totalInputRows < 2 && nudge > 0) {
+          nudge -= 1
+          input.addData(Ev(100L + nudge, ts("2024-01-01 10:01:00"), 3, "click", 1.0))
+          q.processAllAvailable()
+        }
+      }
       assert(listener.totalInputRows >= 2)
       assert(listener.batchDurationsMs.nonEmpty)
       assert(listener.progressEvents.exists(_.startsWith("batch:")))
