@@ -82,6 +82,47 @@ object PipelineCompositions {
       ORDER BY src_a, src_b
     """.stripMargin.trim))
 
+  /** Cross-modality dedup agreement: the same corpus deduped by text
+    * (word-3-gram Jaccard ≥ 0.5) and by embedding (cosine ≥ 0.4), pair
+    * sets compared — the curation question of whether the cheap text
+    * path can stand in for the expensive embedding path (and where they
+    * disagree). doc_id and vec_id are the same identifier space.
+    */
+  val modalityAgreement: QueryDef = QueryDef(
+    "pipeline_modality_agreement",
+    (s, dir) => {
+      val txt = Dedup.pairSurface(s, dir)._1
+        .select(col("ia"), col("ib")).withColumn("in_text", lit(true))
+      val emb = Dedup.embeddingCosine.run(s, dir)
+        .select(col("ia").as("ea"), col("ib").as("eb")).withColumn("in_emb", lit(true))
+      txt.join(emb, col("ia") === col("ea") && col("ib") === col("eb"), "full_outer")
+        .select(
+          coalesce(col("in_text"), lit(false)).as("text_dup"),
+          coalesce(col("in_emb"), lit(false)).as("emb_dup"))
+        .groupBy("text_dup", "emb_dup")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("text_dup", "emb_dup")
+    },
+    Some(s"""
+      WITH ${Dedup.jaccardPairsSql},
+      e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      ep AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+      agr AS (
+        SELECT jp.ia IS NOT NULL AS text_dup, ep.ia IS NOT NULL AS emb_dup
+        FROM jp FULL OUTER JOIN ep ON jp.ia = ep.ia AND jp.ib = ep.ib)
+      SELECT text_dup, emb_dup, COUNT(*) AS n_pairs
+      FROM agr GROUP BY 1, 2
+      ORDER BY text_dup, emb_dup
+    """.stripMargin.trim))
+
   /** Recall@5 of the hyperplane-LSH index against the exact brute-force
     * ranking, per query point — the measurement that decides whether an
     * ANN index is good enough to replace the exact scan at 100 TB.
@@ -151,5 +192,5 @@ object PipelineCompositions {
       ORDER BY e.qid
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(keepBest, crossSource, annRecall)
+  val defs: Seq[QueryDef] = Seq(keepBest, crossSource, modalityAgreement, annRecall)
 }
