@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_cosine_topk_bruteforce",     // query points broadcast vs corpus
     "ann_recall_lsh_vs_exact",        // composes the brute-force baseline
     "dedup_embedding_cosine",         // documented all-pairs baseline
+    "pipeline_modality_agreement",    // composes the all-pairs embedding baseline
     "subquery_parts_above_avg_price", // scalar subquery (1-row avg)
     "text_tfidf_top_term",            // 1-row corpus-size crossJoin
     "approx_hll_mergeable_union",     // 1-row global-sketch crossJoin
