@@ -247,7 +247,16 @@ object Dedup {
         .select(col("ia"), col("ib"),
           (matchCount.cast("double") / 16.0).as("est_jaccard"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = candidatePairsOf(sh, Int.MaxValue)
+      // exact intersection counts ONLY for the candidate pairs: two
+      // broadcast joins of the (tiny) candidate set against the shingle
+      // table, instead of the full posting-list pair expansion — at scale
+      // the candidate set is the LSH output, orders of magnitude smaller
+      // than the co-shingle pair space this metric would otherwise build.
+      val inter = cands
+        .join(sh.as("ca"), col("ia") === col("ca.doc_id"))
+        .join(sh.as("cb"),
+          col("ib") === col("cb.doc_id") && col("ca.shingle") === col("cb.shingle"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       val exactJac = (coalesce(col("inter"), lit(0L)).cast("double") /
         (col("sa.n") + col("sb.n") - coalesce(col("inter"), lit(0L))))
       est.join(inter, Seq("ia", "ib"), "left")
