@@ -27,27 +27,23 @@ object NpmReplayOps {
     * catalog cached — so a Verify/Bench run executes the pipeline once,
     * not once per query.
     */
-  private val replayCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), Pipeline.PipelineResult]
+  private val replayCache = new graft.SessionCache[Pipeline.PipelineResult]
 
   private def replayFor(s: org.apache.spark.sql.SparkSession, dir: String): Pipeline.PipelineResult =
-    replayCache.synchronized {
-      // evict entries owned by stopped sessions: they pin localCheckpoint'd
-      // RDD blocks (and the session itself) for the JVM lifetime otherwise
-      replayCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      replayCache.getOrElseUpdate((s, dir), {
-        implicit val spark = s
-        // eager localCheckpoint: materialized once per (session, dir) and
-        // immune to spark.catalog.clearCache() between bench passes;
-        // pinned so the per-query storage sweep doesn't drop blocks the
-        // other replay-backed queries still dereference
-        graft.PinnedStorage.pin(s) {
-          val r = Pipeline.replay(feed(s, dir))
-          r.copy(
-            catalog = r.catalog.localCheckpoint(true),
-            skipped = r.skipped.localCheckpoint(true))
-        }
-      })
+    replayCache.getOrElseUpdate(s, dir) {
+      implicit val spark = s
+      // eager localCheckpoint: materialized once per (session, dir) and
+      // immune to spark.catalog.clearCache() between bench passes;
+      // pinned so the per-query storage sweep doesn't drop blocks the
+      // other replay-backed queries still dereference. replay()'s
+      // internal caches are pinned DELIBERATELY here (unlike the pair
+      // surface): the returned audit/deletions frames dereference them.
+      graft.PinnedStorage.pin(s) {
+        val r = Pipeline.replay(feed(s, dir))
+        r.copy(
+          catalog = r.catalog.localCheckpoint(true),
+          skipped = r.skipped.localCheckpoint(true))
+      }
     }
 
   /** The deterministic change feed synthesized from `part` (see class

@@ -56,8 +56,11 @@ object Pipeline {
     * is already in DLQ shape (seq, package_name, reason, stage).
     */
   def splitOversized(raw: DataFrame): (DataFrame, DataFrame) = {
-    val fit = raw.filter(length(col("value")) <= MaxKafkaMessageBytes)
-    val oversized = parse(raw.filter(length(col("value")) > MaxKafkaMessageBytes))
+    // octet_length, not length: the broker cap is a BYTE limit and npm
+    // docs carry multibyte UTF-8 (CJK descriptions, emoji) — a 6M-char
+    // line can be 12 MiB of bytes
+    val fit = raw.filter(octet_length(col("value")) <= MaxKafkaMessageBytes)
+    val oversized = parse(raw.filter(octet_length(col("value")) > MaxKafkaMessageBytes))
       .select(
         col("c.seq").as("seq"), col("c.id").as("package_name"),
         lit("msg_too_large").as("reason"), lit("produce").as("stage"))

@@ -38,23 +38,19 @@ object AnnSearch {
     * pattern as NpmReplayOps.replayCache); probe queries read it without
     * a single parquet scan (pinned by PlanShapeSpec).
     */
-  private val indexCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val indexCache = new graft.SessionCache[DataFrame]
 
   private[graft] def index(s: SparkSession, dir: String): DataFrame =
-    indexCache.synchronized {
-      indexCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      indexCache.getOrElseUpdate((s, dir), {
-        graft.functions.VectorExpressions.register(s)
-        graft.PinnedStorage.pin(s) {
-          // one signature table serves BOTH probe paths: IVF prunes on
-          // label, hyperplane LSH on sig — exactly the columns a 100 TB
-          // deployment persists (bucketed by the probe key)
-          withNorm(Tables.embeddings(s, dir))
-            .withColumn("sig", concat(sigBits: _*))
-            .localCheckpoint(true)
-        }
-      })
+    indexCache.getOrElseUpdate(s, dir) {
+      graft.functions.VectorExpressions.register(s)
+      graft.PinnedStorage.pin(s) {
+        // one signature table serves BOTH probe paths: IVF prunes on
+        // label, hyperplane LSH on sig — exactly the columns a 100 TB
+        // deployment persists (bucketed by the probe key)
+        withNorm(Tables.embeddings(s, dir))
+          .withColumn("sig", concat(sigBits: _*))
+          .localCheckpoint(true)
+      }
     }
 
   /** Probe over an already-materialized index frame: broadcast the (tiny)

@@ -523,17 +523,21 @@ object Dedup {
     * NpmReplayOps.replayCache); the dedup_* gate queries keep building
     * their own surfaces so their bench entries stay honest build costs.
     */
-  private val surfaceCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val surfaceCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   private[operators] def pairSurface(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    surfaceCache.synchronized {
-      surfaceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      surfaceCache.getOrElseUpdate((s, dir), graft.PinnedStorage.pin(s) {
-        val pairs = jaccardPairs(s, dir).localCheckpoint(true)
-        val labels = componentLabelsOf(s, dir, pairs).localCheckpoint(true)
-        (pairs, labels)
-      })
+    surfaceCache.getOrElseUpdate(s, dir) {
+      // Pin ONLY the two frames the curation queries keep probing. The
+      // builders' internal eager checkpoints (shingle table, edge table,
+      // per-round label frames) materialize OUTSIDE the pin blocks, so
+      // the between-query sweep can still reclaim them — pinning them
+      // too would reintroduce exactly the storage accumulation
+      // PinnedStorage exists to prevent.
+      val pairsPlan = jaccardPairs(s, dir)
+      val pairs = graft.PinnedStorage.pin(s) { pairsPlan.localCheckpoint(true) }
+      val labelsPlan = componentLabelsOf(s, dir, pairs)
+      val labels = graft.PinnedStorage.pin(s) { labelsPlan.localCheckpoint(true) }
+      (pairs, labels)
     }
 
   val defs: Seq[QueryDef] =

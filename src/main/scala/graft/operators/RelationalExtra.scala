@@ -270,9 +270,9 @@ object RelationalExtra {
     // element, so bit-identical across engines, no interpolation) and the
     // exact distinct count alongside the sketch estimates, then emits the
     // exact columns plus within-bound booleans. DuckDB recomputes the
-    // exact side and expects every bound TRUE: an estimator drifting past
-    // 15% (HLL, rsd≈5%) / 5% (approx_percentile, rank error n/1000)
-    // breaks the hash.
+    // exact side and expects every bound TRUE: an HLL estimate drifting
+    // past 15% (rsd≈5%) or an approx_percentile answer landing outside
+    // its contractual rank tolerance (n/1000) breaks the hash.
     QueryDef(
       "approx_sketches_hll_quantiles",
       (s, dir) => {
@@ -290,12 +290,26 @@ object RelationalExtra {
           .groupBy("l_returnflag").agg(
             max(when(col("rn") === floor((col("n") - 1) * 0.5) + 1, col("l_extendedprice"))).as("exact_p50"),
             max(when(col("rn") === floor((col("n") - 1) * 0.95) + 1, col("l_extendedprice"))).as("exact_p95"))
-        agg.join(quant, "l_returnflag")
+        // approx_percentile's contract is RANK error (<= n/accuracy), not
+        // value error — bound the rank interval the returned element
+        // occupies ([#rows<v + 1, #rows<=v]) against the target position,
+        // with the contractual n/1000 slack (+1 for the discrete grid)
+        val rankPos = li.join(agg.select("l_returnflag", "ap50", "ap95"), "l_returnflag")
+          .groupBy("l_returnflag").agg(
+            sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("cb50"),
+            sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("ca50"),
+            sum(when(col("l_extendedprice") < col("ap95"), 1L).otherwise(0L)).as("cb95"),
+            sum(when(col("l_extendedprice") <= col("ap95"), 1L).otherwise(0L)).as("ca95"))
+        def rankOk(target: org.apache.spark.sql.Column, cb: String, ca: String) = {
+          val slack = ceil(col("n") / 1000.0) + 1
+          target >= col(cb) + 1 - slack && target <= col(ca) + slack
+        }
+        agg.join(quant, "l_returnflag").join(rankPos, "l_returnflag")
           .select(col("l_returnflag"), col("exact_parts"), col("exact_p50"), col("exact_p95"),
             (abs(col("approx_parts") - col("exact_parts")) <=
               col("exact_parts").cast("double") * 0.15).as("parts_ok"),
-            (abs(col("ap50") - col("exact_p50")) <= col("exact_p50") * 0.05).as("p50_ok"),
-            (abs(col("ap95") - col("exact_p95")) <= col("exact_p95") * 0.05).as("p95_ok"))
+            rankOk(floor((col("n") - 1) * 0.5) + 1, "cb50", "ca50").as("p50_ok"),
+            rankOk(floor((col("n") - 1) * 0.95) + 1, "cb95", "ca95").as("p95_ok"))
           .orderBy("l_returnflag")
       },
       Some("""

@@ -77,9 +77,14 @@ case class TopKPerKeyExec(
       }
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp))
+        val key = keyProj(row) // reused buffer; copy only on first sight
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.add(row.copy())
         else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())
@@ -121,9 +126,15 @@ object TopK {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.map(a => a.name -> a).toMap
-    def attr(name: String): Attribute =
-      byName.getOrElse(name, sys.error(s"topKPerKey: no column '$name' in ${byName.keys.mkString(", ")}"))
+    val byName = analyzed.output.groupBy(_.name)
+    def attr(name: String): Attribute = byName.get(name) match {
+      case Some(Seq(a)) => a
+      case Some(dups) => sys.error(
+        s"topKPerKey: column '$name' is ambiguous (${dups.size} attributes) — " +
+          "disambiguate with select/alias before calling")
+      case None => sys.error(
+        s"topKPerKey: no column '$name' in ${byName.keys.mkString(", ")}")
+    }
     val keyExprs: Seq[Expression] = keyCols.map(attr)
     val sortOrders = order.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)

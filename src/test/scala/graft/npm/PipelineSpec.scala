@@ -88,7 +88,10 @@ class PipelineSpec extends SparkSpec {
     // the reference can't produce a >10 MiB line to Kafka at all
     // (MSG_SIZE_TOO_LARGE) and writes the seq to skipped_changes instead
     // (changes_producer.py:74-84, producer.ts:185-194)
-    val pad = "x" * (model.MaxKafkaMessageBytes.toInt + 64)
+    // multibyte pad: é is 2 UTF-8 bytes, so this line is over the BYTE
+    // cap while its CHARACTER count is only ~half the cap — catches a
+    // length()-vs-octet_length() regression
+    val pad = "é" * (model.MaxKafkaMessageBytes.toInt / 2 + 64)
     val big = s"""{"seq":99,"id":"bigpkg","pad":"$pad"}"""
     val r = Pipeline.replay(
       (Fixtures.withFetch404 :+ big).toDF("value"), Fixtures.RoutingFetcher)
