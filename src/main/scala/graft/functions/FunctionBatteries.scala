@@ -231,9 +231,11 @@ object FunctionBatteries {
   val argAggBattery: QueryDef = QueryDef(
     "agg_argminmax_bitops",
     (s, dir) => {
-      // ord = orderkey*10 + linenumber is unique per row (linenumber ≤ 7),
-      // so min_by/max_by have deterministic winners on both engines
-      val ord = col("l_orderkey") * 10 + col("l_linenumber")
+      // the synthetic lineitem is NOT keyed by (orderkey, linenumber) —
+      // duplicate pairs exist at every SF — so the ordering value must
+      // break ties all the way down to the returned column itself, or
+      // min_by/max_by winners are engine-dependent (caught at sf0.001)
+      val ord = (col("l_orderkey") * 10 + col("l_linenumber")) * 1000000 + col("l_partkey")
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
@@ -247,8 +249,8 @@ object FunctionBatteries {
     },
     Some("""
       SELECT l_returnflag,
-             arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
-             arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+             arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS first_part,
+             arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS last_part,
              CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
              bit_and(l_partkey) AS band,
              bit_or(l_partkey) AS bor,
