@@ -36,9 +36,24 @@ case class MinHashSketchAgg(
 
   override def createAggregationBuffer(): Array[String] = Array.fill[String](k)(null)
 
+  // hot path: one reusable digest per operator instance (update is
+  // single-threaded per partition) and a nibble-table hex encoder — the
+  // naive per-hash getInstance + per-byte "%02x".format dominated the
+  // aggregate's CPU at corpus scale
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    digest.reset()
+    val bytes = digest.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
@@ -82,11 +97,21 @@ case class MinHashSketchAgg(
 }
 
 object MinHashAgg {
-  /** Idempotently register `minhash_sketch(col, k)` for SQL use. */
+  /** Idempotently register `minhash_sketch(col, k)` for SQL use; k must
+    * be an integer literal (arity and literal-ness produce analysis
+    * errors, not runtime casts).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch",
-      exprs => MinHashSketchAgg(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]).toAggregateExpression(),
+      Arity.checked("minhash_sketch", 2) { exprs =>
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+            messageParameters = Map("functionName" -> "minhash_sketch"))
+        }
+        MinHashSketchAgg(exprs(0), k).toAggregateExpression()
+      },
       "built-in")
 }

@@ -46,25 +46,31 @@ object Normalize {
     base.versions match {
       case None => Some(base)
       case Some(versions) =>
-        // (2) semver-clean version keys, tracking renames
+        // (2) semver-clean version keys, tracking renames. On a post-clean
+        // key collision (both "1.2.3" and "v1.2.3" present) the RENAMED
+        // entry wins REGARDLESS of map order: the reference assigns
+        // `versions[cleaned] = version` (index.js:44), overwriting any
+        // plain entry whether it was visited before or after the rename.
         var renames = Map.empty[String, String]
-        var newVersions = Map.empty[String, VersionDoc]
+        var keptPlain = Map.empty[String, VersionDoc]
+        var renamedEntries = Map.empty[String, VersionDoc]
         var newTime = base.time.getOrElse(Map.empty)
         versions.foreach { case (k, v0) =>
           val v = fixVersion(v0)
           Semver.clean(k) match {
             case Some(cleaned) if cleaned != k =>
               renames += (k -> cleaned)
-              newVersions += (cleaned -> v.copy(
+              renamedEntries += (cleaned -> v.copy(
                 version = Some(cleaned),
                 _id = Some(s"$id@$cleaned")))
               newTime.get(k).foreach { t =>
                 newTime = newTime - k + (cleaned -> t)
               }
             case _ =>
-              newVersions += (k -> v)
+              keptPlain += (k -> v)
           }
         }
+        val newVersions = keptPlain ++ renamedEntries
         // (3) dist-tags repair
         val newTags = base.`dist-tags`.map { tags =>
           tags.flatMap { case (tag, target) =>
@@ -108,17 +114,25 @@ object Normalize {
     * raises DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy.
     */
   def normalizedDocColumn(doc: Column): Column = {
-    // keep-last dedup of an array<struct<key,value>> before map_from_entries.
-    // Cheap path: no collision (the overwhelmingly common case) → use the
-    // entries as-is; collision → keep each entry only if no LATER entry has
-    // the same key (CaseWhen evaluates the O(n²) branch only on collision).
-    def dedupKeepLast(ents: Column): Column = {
+    // Rename-wins dedup of an array<struct<key,value,ren>> before
+    // map_from_entries: a renamed entry beats any plain entry with the
+    // same key regardless of position (the reference's
+    // `versions[cleaned] = version` assignment overwrites either way,
+    // index.js:44); among multiple renames to one key, the last wins.
+    // Cheap path: no collision (the overwhelmingly common case) → use
+    // the entries as-is; the O(n²) scan runs only on collision.
+    def dedupRenameWins(ents: Column): Column = {
       val keys = transform(ents, _.getField("key"))
       val collides = size(array_distinct(keys)) =!= size(keys)
       val kept = filter(ents, (e, i) =>
-        !exists(slice(ents, i + lit(2), size(ents)),
-          e2 => e2.getField("key") === e.getField("key")))
-      map_from_entries(when(collides, kept).otherwise(ents))
+        when(e.getField("ren"),
+          !exists(slice(ents, i + lit(2), size(ents)),
+            e2 => e2.getField("key") === e.getField("key") && e2.getField("ren")))
+        .otherwise(
+          !exists(ents,
+            e2 => e2.getField("key") === e.getField("key") && e2.getField("ren"))))
+      map_from_entries(transform(when(collides, kept).otherwise(ents),
+        e => struct(e.getField("key").as("key"), e.getField("value").as("value"))))
     }
     def clean(c: Column): Column = call_function("semver_clean", c)
     val id = doc.getField("_id")
@@ -138,7 +152,7 @@ object Normalize {
       .withField("mtime", noStr)
 
     // (2) semver-clean version keys; rewrite version/_id on rename
-    val versions2 = dedupKeepLast(transform(map_entries(versions), { e =>
+    val versions2 = dedupRenameWins(transform(map_entries(versions), { e =>
       val k = e.getField("key")
       val v0 = e.getField("value")
       val v = v0
@@ -153,15 +167,18 @@ object Normalize {
         when(renamed,
           v.withField("version", ck)
             .withField("_id", concat(id, lit("@"), ck)))
-          .otherwise(v).as("value"))
+          .otherwise(v).as("value"),
+        renamed.as("ren"))
     }))
 
-    // move time keys in lockstep with version-key renames
-    val time2 = dedupKeepLast(transform(map_entries(doc.getField("time")), { e =>
+    // move time keys in lockstep with version-key renames; a moved entry
+    // overwrites a plain one at the cleaned key (reference assignment)
+    val time2 = dedupRenameWins(transform(map_entries(doc.getField("time")), { e =>
       val k = e.getField("key")
       val ck = clean(k)
       val moved = ck.isNotNull && ck =!= k && map_contains_key(versions, k)
-      struct(when(moved, ck).otherwise(k).as("key"), e.getField("value").as("value"))
+      struct(when(moved, ck).otherwise(k).as("key"), e.getField("value").as("value"),
+        moved.as("ren"))
     }))
 
     // (3) dist-tags repair against the NEW version key set: retarget

@@ -110,8 +110,7 @@ object Pipeline {
         when(length(col("id")) >= DirHashLength, upper(substring(col("id"), 1, DirHashLength)))
           .otherwise(upper(substring(col("id"), 1, 1))))
       .withColumn("package_dir",
-        concat_ws("/", lit(RemotePackageDir), col("dir_prefix"),
-          when(col("id").contains("/"), col("id")).otherwise(col("id"))))
+        concat_ws("/", lit(RemotePackageDir), col("dir_prefix"), col("id")))
       .withColumn("zip_name",
         concat(
           when(coalesce(col("deleted"), lit(false)), lit("Deleted-")).otherwise(lit("")),

@@ -13,10 +13,14 @@ import org.apache.spark.sql.{Encoder, Encoders}
   *    when `len(time) - len(versions) == 2` (no versions were unpublished);
   *  - looking at the zips present BEFORE the new one is written: if there
   *    are ≥ 5 (OLD_PACKAGE_VERSIONS_LIMIT), walk them oldest-first and
-  *    delete the FIRST file whose successor (next-newer) is not a
-  *    `Deleted-*` file — at most ONE deletion per arrival;
-  *  - `Deleted-*` marker files are never themselves exempt from being
-  *    candidates, but a file directly preceding one is.
+  *    delete the FIRST file whose successor (next-newer) does NOT match
+  *    the reference's `re.search(r'Deleted', name, IGNORECASE)` — a
+  *    case-insensitive SUBSTRING test (changes_consumer.py:235), so a
+  *    legitimate package named e.g. `is-deleted-check` also shields its
+  *    predecessor, exactly as the reference behaves — at most ONE
+  *    deletion per arrival;
+  *  - marker files are never themselves exempt from being candidates,
+  *    but a file directly preceding one is.
   *
   * File creation time is modeled by the change `seq` (arrival order ==
   * ctime order in the reference's single-writer-per-package layout), which

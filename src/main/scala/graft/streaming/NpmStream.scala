@@ -82,6 +82,28 @@ object NpmStream {
       .option("maxFilesPerTrigger", "4")
       .text(dir)
 
+  /** Write one micro-batch's four outputs idempotently: each sink is
+    * partitioned by batch_id and a batch overwrites ONLY its own
+    * partition (dynamic overwrite). A plain append would be
+    * at-least-once: a crash between the parquet appends and the
+    * checkpoint commit re-runs the batch on restart and duplicates every
+    * row (within-batch dropDuplicates can't see the earlier run's
+    * output); overwrite-own-partition makes the re-run replace its
+    * previous output instead — exactly-once per seq end to end.
+    */
+  def writeBatchOutputs(r: Pipeline.PipelineResult, outDir: String, batchId: Long): Unit = {
+    def write(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    write(r.catalog.dropDuplicates("change_seq_id"), s"$outDir/catalog")
+    write(r.skipped, s"$outDir/skipped")
+    write(r.audit, s"$outDir/audit")
+    write(r.deletions, s"$outDir/deleted_zips")
+  }
+
   /** Run the pipeline as one streaming query writing the four parquet
     * sinks via foreachBatch. Retention state lives inside the batch
     * replay here (per-batch exactness); the pure streaming-state variant
@@ -99,15 +121,7 @@ object NpmStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val r = Pipeline.replay(batch, fetcher)
-        // exactly-once per seq into the catalog: dedupe within the batch;
-        // across restarts the checkpoint prevents re-delivery of a batch
-        r.catalog.dropDuplicates("change_seq_id")
-          .write.mode("append").parquet(s"$outDir/catalog")
-        r.skipped.write.mode("append").parquet(s"$outDir/skipped")
-        r.audit.write.mode("append").parquet(s"$outDir/audit")
-        r.deletions.write.mode("append").parquet(s"$outDir/deleted_zips")
-        ()
+        writeBatchOutputs(Pipeline.replay(batch, fetcher), outDir, batchId)
       }
       .start()
   }

@@ -85,24 +85,32 @@ class NormalizeColumnsSpec extends SparkSpec {
     assert(row.getAs[Map[String, String]]("dirs2") == Map("lib" -> "lib"))
   }
 
-  test("version keys colliding after cleaning last-win instead of raising") {
+  test("version keys colliding after cleaning: the renamed entry wins in either order") {
     // "1.2.3" and "v1.2.3" both clean to "1.2.3" (real npm data has such
     // docs) — must not throw DUPLICATED_MAP_KEY under the default
-    // mapKeyDedupPolicy=EXCEPTION; the later entry wins, like the typed
-    // path and the reference's plain-object assignment (index.js:44).
-    val collide = Seq(
-      """{"seq":200,"id":"c1","doc":{"_id":"c1","_rev":"1-a","dist-tags":{"latest":"1.2.3"},"versions":{"1.2.3":{"version":"1.2.3","_id":"c1@old"},"v1.2.3":{"version":"v1.2.3"}},"time":{"1.2.3":"2023-01-01T00:00:00.000Z","v1.2.3":"2023-02-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-02-01T00:00:00.000Z"}}}""")
+    // mapKeyDedupPolicy=EXCEPTION, and the RENAMED entry must win
+    // regardless of which key appears first: the reference assigns
+    // versions[cleaned] = version (index.js:44), overwriting a plain
+    // entry whether it was visited before or after the rename.
+    val plainFirst =
+      """{"seq":200,"id":"c1","doc":{"_id":"c1","_rev":"1-a","dist-tags":{"latest":"1.2.3"},"versions":{"1.2.3":{"version":"1.2.3","_id":"c1@old"},"v1.2.3":{"version":"v1.2.3"}},"time":{"1.2.3":"2023-01-01T00:00:00.000Z","v1.2.3":"2023-02-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-02-01T00:00:00.000Z"}}}"""
+    val renamedFirst =
+      """{"seq":201,"id":"c2","doc":{"_id":"c2","_rev":"1-a","dist-tags":{"latest":"1.2.3"},"versions":{"v1.2.3":{"version":"v1.2.3"},"1.2.3":{"version":"1.2.3","_id":"c2@old"}},"time":{"v1.2.3":"2023-02-01T00:00:00.000Z","1.2.3":"2023-01-01T00:00:00.000Z","created":"2023-01-01T00:00:00.000Z","modified":"2023-02-01T00:00:00.000Z"}}}"""
+    val collide = Seq(plainFirst, renamedFirst)
     compareOn(collide.toDF("value"))
-    // and the winner is the LAST entry (the renamed v1.2.3 one)
     val parsed = Pipeline.parse(collide.toDF("value"))
-    val row = Pipeline.normalize(parsed)(spark).toDF()
-      .select(expr("element_at(doc.versions, '1.2.3')._id").as("vid"),
+    val rows = Pipeline.normalize(parsed)(spark).toDF()
+      .select(col("seq"),
+        expr("element_at(doc.versions, '1.2.3')._id").as("vid"),
         expr("element_at(doc.time, '1.2.3')").as("t"),
         expr("size(doc.versions)").as("n"))
-      .head()
-    assert(row.getAs[String]("vid") == "c1@1.2.3")
-    assert(row.getAs[String]("t") == "2023-02-01T00:00:00.000Z")
-    assert(row.getAs[Int]("n") == 1)
+      .collect().map(r => r.getAs[Long]("seq") -> r).toMap
+    Seq(200L -> "c1", 201L -> "c2").foreach { case (seq, pkg) =>
+      val r = rows(seq)
+      assert(r.getAs[String]("vid") == s"$pkg@1.2.3", s"seq $seq: renamed entry must win")
+      assert(r.getAs[String]("t") == "2023-02-01T00:00:00.000Z", s"seq $seq: moved time must win")
+      assert(r.getAs[Int]("n") == 1)
+    }
   }
 
   test("column path == typed path on the 20k synthetic replay feed") {

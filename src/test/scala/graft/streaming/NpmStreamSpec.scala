@@ -53,6 +53,25 @@ class NpmStreamSpec extends SparkSpec {
     assert(evs.map(_.split("/").last) == List("hotpkg_1-r.zip", "hotpkg_2-r.zip"))
   }
 
+  test("a re-run of the same batch replaces its output instead of appending (idempotent sinks)") {
+    // simulates the crash-between-sink-write-and-checkpoint-commit case:
+    // Structured Streaming re-delivers the batch with the SAME batchId,
+    // and the dynamic partition overwrite must replace the previous
+    // attempt's rows, not duplicate them
+    val base = Files.createTempDirectory("npmidem").toString
+    val r = graft.npm.Pipeline.replay(
+      Fixtures.withFetch404.toDF("value"), Fixtures.RoutingFetcher)(spark)
+    NpmStream.writeBatchOutputs(r, base, batchId = 0)
+    val once = spark.read.parquet(s"$base/catalog").count()
+    NpmStream.writeBatchOutputs(r, base, batchId = 0) // same batch re-run
+    assert(spark.read.parquet(s"$base/catalog").count() == once)
+    assert(spark.read.parquet(s"$base/audit")
+      .groupBy("seq").count().filter(col("count") > 3).count() == 0)
+    // a genuinely new batch still lands alongside
+    NpmStream.writeBatchOutputs(r, base, batchId = 1)
+    assert(spark.read.parquet(s"$base/catalog").count() == once * 2)
+  }
+
   test("restart from checkpoint does not duplicate already-processed changes") {
     val base = Files.createTempDirectory("npmstream2").toString
     val feedDir = s"$base/feed"
