@@ -1,0 +1,126 @@
+package graft.streaming.source
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a REAL custom streaming source (SURVEY §2.1 deferred this as
+  * "a real impl would be a custom SparkDataStream (MicroBatchStream)"):
+  * a DataSource V2 `MicroBatchStream` serving a directory of immutable,
+  * name-ordered JSONL change dumps — the shape the reference's feed
+  * snapshots and backfill directory take — with the consumed position as
+  * a proper replayable `Offset`, so Structured Streaming's checkpoint
+  * gives resume/exactly-once delivery for free (the engine persists the
+  * offset JSON and replays uncommitted ranges; this class only has to
+  * make `planInputPartitions(start, end)` deterministic).
+  *
+  * Contract: files are append-new-only and immutable once visible
+  * (identical to FileStreamSource's assumption and the reference's
+  * seq-named dumps); the offset is the count of files in sorted-name
+  * order that have been consumed.
+  *
+  * Usage: `spark.readStream.format("npm-changes-feed")
+  *   .option("path", dir).load()` → one `value: string` column, the
+  * exact shape NpmStream's pipeline stages consume.
+  */
+class ChangesFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "npm-changes-feed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangesFeedSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("npm-changes-feed requires option 'path'"))
+    new ChangesFeedTable(path)
+  }
+}
+
+object ChangesFeedSource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Sorted-name listing of the feed files — the total order offsets
+    * index into. */
+  def listFiles(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.toString).toSeq.sorted
+  }
+}
+
+class ChangesFeedTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"npm-changes-feed($path)"
+  override def schema(): StructType = ChangesFeedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ChangesFeedSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangesFeedMicroBatchStream(path)
+      }
+    }
+}
+
+/** Offset = number of files (sorted by name) fully consumed. */
+case class FilesConsumedOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class ChangesFeedMicroBatchStream(path: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = FilesConsumedOffset(0)
+
+  override def latestOffset(): Offset =
+    FilesConsumedOffset(ChangesFeedSource.listFiles(path).size)
+
+  override def deserializeOffset(json: String): Offset =
+    FilesConsumedOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FilesConsumedOffset].n
+    val e = end.asInstanceOf[FilesConsumedOffset].n
+    // files are immutable + name-ordered, so the (start, end] slice is
+    // deterministic — replaying an uncommitted batch reads the same rows
+    ChangesFeedSource.listFiles(path).slice(s, e)
+      .map(f => ChangesFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangesFeedReaderFactory
+
+  override def commit(end: Offset): Unit = () // nothing external to ack
+  override def stop(): Unit = ()
+}
+
+case class ChangesFilePartition(file: String) extends InputPartition
+
+object ChangesFeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ChangesFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8)
+        .asScala.iterator.filter(_.nonEmpty)
+      private var current: String = _
+      override def next(): Boolean = { val has = lines.hasNext; if (has) current = lines.next(); has }
+      override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
+      override def close(): Unit = ()
+    }
+  }
+}
