@@ -1,0 +1,130 @@
+package graft.streaming.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** K1's DSv2 twin — a custom `StreamingWrite` sink with the two-phase,
+  * epoch-committed protocol a transactional catalog/feed sink needs:
+  *
+  *  - tasks write their rows to uniquely-named temp files and report
+  *    them in `WriterCommitMessage`s (phase 1, speculative);
+  *  - the driver's `commit(epochId, messages)` REPLACES the epoch's
+  *    directory with exactly the reported files (phase 2, atomic per
+  *    epoch) — so a re-run of an uncommitted epoch after a crash
+  *    replaces its own partial output instead of duplicating it, the
+  *    same exactly-once contract NpmStream.writeBatchOutputs gives the
+  *    foreachBatch path;
+  *  - `abort` deletes the reported temp files.
+  *
+  * Takes the Kafka-sink row contract (a `value: string` column — see
+  * NpmStream.kafkaSink) and lands each value as one line of
+  * `epoch=<id>/part-*.jsonl`. Local-filesystem rename stands in for the
+  * object-store manifest swap a cluster deployment would use; the
+  * PROTOCOL (task-unique temp names + driver-side epoch commit) is the
+  * part that carries over unchanged.
+  *
+  * Usage: `df.writeStream.format("npm-feed-sink").option("path", dir)`.
+  */
+class FeedSinkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "npm-feed-sink"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil) // write-only: schema comes from the query
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("npm-feed-sink requires option 'path'"))
+    new FeedSinkTable(path, schema)
+  }
+}
+
+class FeedSinkTable(path: String, schema: StructType) extends Table with SupportsWrite {
+  override def name(): String = s"npm-feed-sink($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.STREAMING_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val valueIdx = info.schema().fieldNames.indexOf("value")
+    require(valueIdx >= 0 && info.schema()(valueIdx).dataType == StringType,
+      s"npm-feed-sink requires a 'value: string' column, got ${info.schema().sql}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = new FeedStreamingWrite(path, valueIdx)
+      }
+    }
+  }
+}
+
+case class FeedFileCommit(tempFile: String) extends WriterCommitMessage
+
+class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    FeedWriterFactory(path, valueIdx)
+
+  /** Phase 2: replace the epoch directory with exactly the files the
+    * committing attempt reported — idempotent across epoch re-runs.
+    */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val epochDir = Paths.get(path, s"epoch=$epochId")
+    if (Files.isDirectory(epochDir)) {
+      Files.list(epochDir).iterator().asScala.foreach(Files.delete)
+    } else Files.createDirectories(epochDir)
+    messages.collect { case FeedFileCommit(tmp) => Paths.get(tmp) }
+      .filter(Files.exists(_))
+      .foreach { tmp =>
+        Files.move(tmp, epochDir.resolve(tmp.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case FeedFileCommit(tmp) => Paths.get(tmp) }
+      .foreach(Files.deleteIfExists(_))
+}
+
+case class FeedWriterFactory(path: String, valueIdx: Int) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new FeedDataWriter(path, valueIdx, partitionId, taskId, epochId)
+}
+
+/** Phase 1: speculative temp file, unique per (epoch, partition, task)
+  * attempt, only published by the driver commit.
+  */
+class FeedDataWriter(path: String, valueIdx: Int, partitionId: Int, taskId: Long, epochId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val tmpDir: Path = {
+    val d = Paths.get(path, "_tmp")
+    Files.createDirectories(d)
+    d
+  }
+  private val tmpFile: Path =
+    tmpDir.resolve(f"part-$epochId%05d-$partitionId%05d-$taskId.jsonl")
+  private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(valueIdx).toString)
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FeedFileCommit(tmpFile.toString)
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(tmpFile); () }
+  override def close(): Unit = ()
+}
