@@ -118,19 +118,25 @@ object Normalize {
     // map_from_entries: a renamed entry beats any plain entry with the
     // same key regardless of position (the reference's
     // `versions[cleaned] = version` assignment overwrites either way,
-    // index.js:44); among multiple renames to one key, the last wins.
-    // Cheap path: no collision (the overwhelmingly common case) → use
-    // the entries as-is; the O(n²) scan runs only on collision.
+    // index.js:44); among multiple entries of the SAME kind — renames
+    // colliding on one key, or literal duplicate raw JSON keys, which
+    // from_json preserves — the last wins (JS object parse / Scala Map
+    // semantics), so the stage never raises DUPLICATED_MAP_KEY under the
+    // default mapKeyDedupPolicy. Cheap path: no collision (the
+    // overwhelmingly common case) → entries as-is; the O(n²) scan runs
+    // only on collision.
     def dedupRenameWins(ents: Column): Column = {
       val keys = transform(ents, _.getField("key"))
       val collides = size(array_distinct(keys)) =!= size(keys)
+      def laterSameKey(e: Column, i: Column, ren: Boolean) =
+        exists(slice(ents, i + lit(2), size(ents)),
+          e2 => e2.getField("key") === e.getField("key") && (if (ren) e2.getField("ren") else !e2.getField("ren")))
       val kept = filter(ents, (e, i) =>
-        when(e.getField("ren"),
-          !exists(slice(ents, i + lit(2), size(ents)),
-            e2 => e2.getField("key") === e.getField("key") && e2.getField("ren")))
+        when(e.getField("ren"), !laterSameKey(e, i, ren = true))
         .otherwise(
           !exists(ents,
-            e2 => e2.getField("key") === e.getField("key") && e2.getField("ren"))))
+            e2 => e2.getField("key") === e.getField("key") && e2.getField("ren")) &&
+          !laterSameKey(e, i, ren = false)))
       map_from_entries(transform(when(collides, kept).otherwise(ents),
         e => struct(e.getField("key").as("key"), e.getField("value").as("value"))))
     }

@@ -82,11 +82,16 @@ class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val epochDir = Paths.get(path, s"epoch=$epochId")
     if (Files.isDirectory(epochDir)) {
-      Files.list(epochDir).iterator().asScala.foreach(Files.delete)
+      val old = Files.list(epochDir)
+      try old.iterator().asScala.toList.foreach(Files.delete)
+      finally old.close()
     } else Files.createDirectories(epochDir)
     messages.collect { case FeedFileCommit(tmp) => Paths.get(tmp) }
-      .filter(Files.exists(_))
       .foreach { tmp =>
+        // a reported file that vanished is DATA LOSS, not something to
+        // skip: fail the batch so the engine replays the epoch
+        if (!Files.exists(tmp)) throw new IllegalStateException(
+          s"npm-feed-sink epoch $epochId commit: reported temp file missing: $tmp")
         Files.move(tmp, epochDir.resolve(tmp.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
       }
@@ -118,8 +123,13 @@ class FeedDataWriter(path: String, valueIdx: Int, partitionId: Int, taskId: Long
   private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
 
   override def write(row: InternalRow): Unit = {
-    out.write(row.getUTF8String(valueIdx).toString)
-    out.write("\n")
+    // null values are tombstones in the Kafka contract this sink mirrors;
+    // a line-oriented file has no tombstone representation, so they are
+    // skipped rather than NPE-ing the task
+    if (!row.isNullAt(valueIdx)) {
+      out.write(row.getUTF8String(valueIdx).toString)
+      out.write("\n")
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()

@@ -53,13 +53,20 @@ object ChangesFeedSource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 
   /** Sorted-name listing of the feed files — the total order offsets
-    * index into. */
+    * index into. The directory stream is closed eagerly: this runs at
+    * least twice per trigger for the stream's lifetime, and unclosed
+    * Files.list handles leak file descriptors until GC.
+    */
   def listFiles(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(_.toString).toSeq.sorted
+    else {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.toString).toList.sorted
+      finally stream.close()
+    }
   }
 }
 
@@ -115,12 +122,19 @@ object ChangesFeedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ChangesFilePartition].file
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8)
-        .asScala.iterator.filter(_.nonEmpty)
+      // streamed, not readAllLines: change lines run up to the 10 MB
+      // broker cap each, so materializing a whole dump file would cost
+      // O(file) heap per open partition instead of O(one line)
+      private val reader = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
       private var current: String = _
-      override def next(): Boolean = { val has = lines.hasNext; if (has) current = lines.next(); has }
+      override def next(): Boolean = {
+        var line = reader.readLine()
+        while (line != null && line.isEmpty) line = reader.readLine()
+        current = line
+        line != null
+      }
       override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -117,6 +117,20 @@ class NormalizeColumnsSpec extends SparkSpec {
     compareOn(NpmReplayOps.syntheticFeed(spark, "/root/testdata/sf0.01"))
   }
 
+  test("literal duplicate raw JSON keys keep-last instead of raising") {
+    // from_json preserves duplicate map keys; JS object parse and the
+    // typed path's Scala Map both keep the LAST — the column path must
+    // agree, not throw DUPLICATED_MAP_KEY
+    val dup = Seq(
+      """{"seq":210,"id":"d1","doc":{"_id":"d1","_rev":"1-a","dist-tags":{"latest":"1.0.0"},"versions":{"1.0.0":{"version":"1.0.0","_id":"d1@first"},"1.0.0":{"version":"1.0.0","_id":"d1@second"}},"time":{"1.0.0":"2023-01-01T00:00:00.000Z"}}}""")
+    compareOn(dup.toDF("value"))
+    val row = Pipeline.normalize(Pipeline.parse(dup.toDF("value")))(spark).toDF()
+      .select(expr("element_at(doc.versions, '1.0.0')._id").as("vid"),
+        expr("size(doc.versions)").as("n")).head()
+    assert(row.getAs[String]("vid") == "d1@second")
+    assert(row.getAs[Int]("n") == 1)
+  }
+
   test("column-path normalization is idempotent (like the reference's fix())") {
     // applying normalizedDocColumn to an already-normalized doc must be a
     // no-op: every rename target is already clean, every couchapp field
