@@ -192,5 +192,64 @@ object PipelineCompositions {
       ORDER BY e.qid
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(keepBest, crossSource, modalityAgreement, annRecall)
+  /** Recall@5 of the IVF label-pruned probe against exact brute force —
+    * the twin measurement to ann_recall_lsh_vs_exact, so BOTH shipped
+    * index structures carry their own quality gate. Probes the prebuilt
+    * pinned index (probe-only cost, like production).
+    */
+  val annRecallIvf: QueryDef = QueryDef(
+    "ann_recall_ivf_vs_exact",
+    (s, dir) => {
+      val exact = AnnSearch.bruteForce.run(s, dir)
+        .select(col("qid"), col("cand_id"))
+      val approx = AnnSearch.ivfPrebuilt.run(s, dir)
+        .select(col("qid").as("aqid"), col("cand_id").as("acand"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("cand_id") === col("acand"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("acand")).as("n_hits"),
+          (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      exact AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5),
+      iscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id AND q.label = c.label),
+      approx AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM iscored) t
+        WHERE rank <= 5)
+      SELECT e.qid,
+             COUNT(a.cand_id) AS n_hits,
+             CAST(COUNT(a.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM exact e
+      LEFT JOIN approx a ON e.qid = a.qid AND e.cand_id = a.cand_id
+      GROUP BY e.qid
+      ORDER BY e.qid
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf)
 }
