@@ -58,9 +58,12 @@ object Pipeline {
   def splitOversized(raw: DataFrame): (DataFrame, DataFrame) = {
     // octet_length, not length: the broker cap is a BYTE limit and npm
     // docs carry multibyte UTF-8 (CJK descriptions, emoji) — a 6M-char
-    // line can be 12 MiB of bytes
-    val fit = raw.filter(octet_length(col("value")) <= MaxKafkaMessageBytes)
-    val oversized = parse(raw.filter(octet_length(col("value")) > MaxKafkaMessageBytes))
+    // line can be 12 MiB of bytes. NULL values (Kafka tombstones) count
+    // as 0 bytes so they flow to parse() and land in the DLQ as
+    // corrupt_json — a bare filter would drop them from BOTH branches.
+    val bytes = coalesce(octet_length(col("value")), lit(0L))
+    val fit = raw.filter(bytes <= MaxKafkaMessageBytes)
+    val oversized = parse(raw.filter(bytes > MaxKafkaMessageBytes))
       .select(
         col("c.seq").as("seq"), col("c.id").as("package_name"),
         lit("msg_too_large").as("reason"), lit("produce").as("stage"))

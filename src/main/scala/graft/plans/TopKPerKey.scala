@@ -81,7 +81,10 @@ case class TopKPerKeyExec(
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
-            val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+            // small initial capacity that grows on demand: preallocating
+            // k+1 slots per key would cost O(keys × k) empty array up
+            // front for large k, dwarfing the actual kept rows
+            val h = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, cmp)
             heaps.put(key.copy(), h)
             h
         }
@@ -126,15 +129,18 @@ object TopK {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.groupBy(_.name)
-    def attr(name: String): Attribute = byName.get(name) match {
-      case Some(Seq(a)) => a
-      case Some(dups) => sys.error(
-        s"topKPerKey: column '$name' is ambiguous (${dups.size} attributes) — " +
-          "disambiguate with select/alias before calling")
-      case None => sys.error(
-        s"topKPerKey: no column '$name' in ${byName.keys.mkString(", ")}")
-    }
+    // resolve with the session's resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false, like every other Spark API)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): Attribute =
+      analyzed.output.filter(a => resolver(a.name, name)) match {
+        case Seq(a) => a
+        case Seq() => sys.error(
+          s"topKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}")
+        case dups => sys.error(
+          s"topKPerKey: column '$name' is ambiguous (${dups.size} attributes) — " +
+            "disambiguate with select/alias before calling")
+      }
     val keyExprs: Seq[Expression] = keyCols.map(attr)
     val sortOrders = order.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)

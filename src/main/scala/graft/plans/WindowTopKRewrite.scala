@@ -56,16 +56,29 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     bounds.reduceOption(_ min _)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, w @ Window(
-        Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-        parts, order, child, _))
-        if parts.nonEmpty && order.nonEmpty && !child.isInstanceOf[TopKPerKeyNode] =>
-      rnLimit(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 && k <= MaxK =>
-          f.copy(child = w.copy(child = TopKPerKeyNode(parts, order, k.toInt, child)))
-        case _ => f
-      }
+  /** The rewrite is gated on this conf even where the rule is injected
+    * (GraftExtensions adds it to every extension-built session): the
+    * heap operator has NO spill path — per-partition memory is
+    * distinct-keys × k — so trading the spill-safe sort for it must be
+    * an explicit, per-session decision, never a side effect of loading
+    * the extension for semver_clean/float_dot. It also keeps the bench's
+    * sort-based window baselines honest.
+    */
+  val EnabledKey = "spark.graft.windowTopKRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    else plan.transform {
+      case f @ Filter(cond, w @ Window(
+          Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          parts, order, child, _))
+          if parts.nonEmpty && order.nonEmpty && !child.isInstanceOf[TopKPerKeyNode] =>
+        rnLimit(cond, alias.toAttribute) match {
+          case Some(k) if k >= 1 && k <= MaxK =>
+            f.copy(child = w.copy(child = TopKPerKeyNode(parts, order, k.toInt, child)))
+          case _ => f
+        }
+    }
   }
 }
 
@@ -76,10 +89,12 @@ object WindowTopKRewriteSession {
     val ex = spark.experimental
     if (!ex.extraOptimizations.contains(WindowTopKRewrite))
       ex.extraOptimizations = ex.extraOptimizations :+ WindowTopKRewrite
+    spark.conf.set(WindowTopKRewrite.EnabledKey, "true")
   }
 
-  /** Remove the rewrite (the strategy stays; it only matches our node). */
+  /** Disable the rewrite (the strategy stays; it only matches our node). */
   def disable(spark: SparkSession): Unit = {
+    spark.conf.set(WindowTopKRewrite.EnabledKey, "false")
     val ex = spark.experimental
     ex.extraOptimizations = ex.extraOptimizations.filterNot(_ == WindowTopKRewrite)
   }

@@ -95,6 +95,21 @@ class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
         Files.move(tmp, epochDir.resolve(tmp.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
       }
+    // GC orphaned speculative files from dead task attempts (killed
+    // executors never run abort): anything still in _tmp for an epoch at
+    // or below the one just committed can never be committed again
+    val tmpDir = Paths.get(path, "_tmp")
+    if (Files.isDirectory(tmpDir)) {
+      val orphans = Files.list(tmpDir)
+      try orphans.iterator().asScala.toList
+        .filter { f =>
+          f.getFileName.toString.split("-").lift(1)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .exists(_ <= epochId)
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally orphans.close()
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -26,10 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * offset JSON and replays uncommitted ranges; this class only has to
   * make `planInputPartitions(start, end)` deterministic).
   *
-  * Contract: files are append-new-only and immutable once visible
-  * (identical to FileStreamSource's assumption and the reference's
-  * seq-named dumps); the offset is the count of files in sorted-name
-  * order that have been consumed.
+  * Contract: files are append-new-only, immutable once visible, and
+  * MONOTONICALLY NAMED — a new file must sort after every already-
+  * consumed one (the reference's seq-named dumps satisfy this by
+  * construction). The offset is the highest consumed file NAME (a
+  * watermark), so a contract violation (a late file sorting below the
+  * watermark) is skipped — it can never cause re-delivery of already-
+  * consumed files, which a count-based offset would. Tracking arbitrary
+  * arrival orders needs a seen-file log (what FileStreamSource keeps);
+  * for seq-named dumps the watermark is the right, O(1) offset.
   *
   * Usage: `spark.readStream.format("npm-changes-feed")
   *   .option("path", dir).load()` → one `value: string` column, the
@@ -85,27 +90,30 @@ class ChangesFeedTable(path: String) extends Table with SupportsRead {
     }
 }
 
-/** Offset = number of files (sorted by name) fully consumed. */
-case class FilesConsumedOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+/** Offset = the highest consumed file name ("" = nothing consumed). */
+case class NameWatermarkOffset(lastName: String) extends Offset {
+  override def json(): String = lastName
 }
 
 class ChangesFeedMicroBatchStream(path: String) extends MicroBatchStream {
 
-  override def initialOffset(): Offset = FilesConsumedOffset(0)
+  override def initialOffset(): Offset = NameWatermarkOffset("")
 
   override def latestOffset(): Offset =
-    FilesConsumedOffset(ChangesFeedSource.listFiles(path).size)
+    NameWatermarkOffset(ChangesFeedSource.listFiles(path).lastOption.getOrElse(""))
 
   override def deserializeOffset(json: String): Offset =
-    FilesConsumedOffset(json.trim.toInt)
+    NameWatermarkOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FilesConsumedOffset].n
-    val e = end.asInstanceOf[FilesConsumedOffset].n
-    // files are immutable + name-ordered, so the (start, end] slice is
-    // deterministic — replaying an uncommitted batch reads the same rows
-    ChangesFeedSource.listFiles(path).slice(s, e)
+    val s = start.asInstanceOf[NameWatermarkOffset].lastName
+    val e = end.asInstanceOf[NameWatermarkOffset].lastName
+    // files are immutable and the (start, end] name range is closed under
+    // re-listing, so replaying an uncommitted batch reads the same rows;
+    // a file sorting at or below the start watermark is by contract
+    // already consumed and is never re-delivered
+    ChangesFeedSource.listFiles(path)
+      .filter(f => f > s && f <= e)
       .map(f => ChangesFilePartition(f): InputPartition).toArray
   }
 

@@ -103,6 +103,14 @@ class PipelineSpec extends SparkSpec {
     assert(r.catalog.filter(col("change_seq_id") === 99).count() == 0)
   }
 
+  test("a NULL value (Kafka tombstone) lands in the DLQ, never silently dropped") {
+    val r = Pipeline.replay(
+      (Fixtures.withFetch404 :+ (null: String)).toDF("value"), Fixtures.RoutingFetcher)
+    // the tombstone has no parseable seq → corrupt_json at parse, like
+    // any unparseable line; the fixture corpus itself contributes one
+    assert(r.skipped.filter(col("seq").isNull && col("reason") === "corrupt_json").count() == 2)
+  }
+
   test("retention heuristic: seq 13 (unpublished versions) does not trigger") {
     // seq 13 has len(time)-len(versions)=3 → arrival flagged untriggered;
     // with single-arrival packages there are no evictions at all here

@@ -63,17 +63,31 @@ class ChangesFeedSourceSpec extends SparkSpec {
     assert(catalog.groupBy("change_seq_id").count().filter(col("count") > 1).count() == 0)
   }
 
-  test("offset arithmetic: deterministic (start, end] file slices") {
+  test("offset arithmetic: deterministic (start, end] name-watermark slices") {
     val base = Files.createTempDirectory("feedsrc3").toString
     (0 until 4).foreach(i => writeFeed(base, Seq(s"""{"seq":$i}"""), f"f-$i%03d.jsonl"))
     val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
-    assert(stream.initialOffset().json() == "0")
-    assert(stream.latestOffset().json() == "4")
+    assert(stream.initialOffset().json() == "")
+    assert(stream.latestOffset().json().endsWith("f-003.jsonl"))
     val parts = stream.planInputPartitions(
-      stream.deserializeOffset("1"), stream.deserializeOffset("3"))
-    assert(parts.length == 2)
+      stream.deserializeOffset(s"$base/f-000.jsonl"),
+      stream.deserializeOffset(s"$base/f-002.jsonl"))
     val names = parts.map(_.asInstanceOf[graft.streaming.source.ChangesFilePartition]
       .file.split("/").last).toSeq
     assert(names == Seq("f-001.jsonl", "f-002.jsonl"))
+  }
+
+  test("a late file sorting below the watermark never re-delivers consumed files") {
+    // the name-watermark offset makes a contract violation (new file
+    // sorting before already-consumed names) safe: the violating file is
+    // skipped, and — unlike a count-based offset — consumed files are
+    // NOT shifted back into the undelivered range and duplicated
+    val base = Files.createTempDirectory("feedsrc4").toString
+    writeFeed(base, Seq("""{"seq":10}"""), "f-010.jsonl")
+    val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
+    val consumed = stream.latestOffset() // watermark = f-010
+    writeFeed(base, Seq("""{"seq":5}"""), "f-005.jsonl") // violates naming contract
+    val parts = stream.planInputPartitions(consumed, stream.latestOffset())
+    assert(parts.isEmpty, "no duplicate delivery of f-010, no pickup of the violating f-005")
   }
 }
