@@ -238,24 +238,37 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
+        .localCheckpoint(true)  // tiny LSH output; probed 3× below
+      // The whole exact side is scoped to CANDIDATE DOCUMENTS before any
+      // further work: one broadcast semi-join prunes the shingle table to
+      // the docs the LSH stage surfaced (at scale: orders of magnitude
+      // smaller than the corpus). Intersections between two candidate
+      // docs and per-doc shingle counts are unchanged by that pruning, so
+      // the output is bit-identical — but the 3 full-shingle-table
+      // shuffles the unpruned form paid (inter ×2, sz) become shuffles of
+      // the pruned table (r5: 11.0 s → this is the round-6 hotspot fix).
+      val candDocs = cands.select(col("ia").as("doc_id"))
+        .union(cands.select(col("ib").as("doc_id"))).distinct()
+      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+        .localCheckpoint(true)  // referenced 2× (intersections, sizes)
       val matchCount = (0 until 16)
         .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
         .reduce(_ + _)
-      val est = cands
+      val est = cands.hint("broadcast")
         .join(mh.as("ma"), col("ia") === col("ma.doc_id"))
         .join(mh.as("mb"), col("ib") === col("mb.doc_id"))
         .select(col("ia"), col("ib"),
           (matchCount.cast("double") / 16.0).as("est_jaccard"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // exact intersection counts ONLY for the candidate pairs: two
-      // broadcast joins of the (tiny) candidate set against the shingle
-      // table, instead of the full posting-list pair expansion — at scale
-      // the candidate set is the LSH output, orders of magnitude smaller
-      // than the co-shingle pair space this metric would otherwise build.
-      val inter = cands
-        .join(sh.as("ca"), col("ia") === col("ca.doc_id"))
-        .join(sh.as("cb"),
-          col("ib") === col("cb.doc_id") && col("ca.shingle") === col("cb.shingle"))
+      val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // exact intersection counts ONLY for the candidate pairs: a
+      // co-shingle self-join of the pruned shingle table, semi-joined
+      // back to the broadcast candidate set — never the full posting-list
+      // pair expansion over the corpus.
+      val inter = shC.as("ca").join(shC.as("cb"),
+          col("ca.shingle") === col("cb.shingle") &&
+          col("ca.doc_id") < col("cb.doc_id"))
+        .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
+        .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       val exactJac = (coalesce(col("inter"), lit(0L)).cast("double") /
         (col("sa.n") + col("sb.n") - coalesce(col("inter"), lit(0L))))

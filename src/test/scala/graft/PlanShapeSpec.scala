@@ -81,6 +81,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate-quality: exact side is candidate-scoped and broadcast") {
+    // r6 hotspot fix: the exact-Jaccard side must never shuffle the full
+    // shingle table — candidates are broadcast (est joins + the left-semi
+    // pair filter) and the shingle table is pruned through a broadcast
+    // semi-join on candidate docs before any self-join.
+    val p = plan("dedup_minhash_estimate_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set is not broadcast in the exact-verification joins")
+    assert(p.contains("LeftSemi"),
+      "pair filter lost its left-semi shape (candidate scoping regressed)")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "estimate-quality fell off the equi-join path")
+  }
+
   test("prebuilt ANN probe plans never rescan or recompute the index") {
     // building the query df materializes the pinned index as a side
     // effect; the PROBE plan itself must read only the checkpointed
