@@ -42,6 +42,31 @@ class DedupCapSpec extends SparkSpec {
     assert(p.getAs[Double]("jaccard") == 1.0) // identical docs, no hot shingles lost
   }
 
+  test("selfjoin and postinglist strategies produce identical candidate pairs") {
+    val sh = Dedup.shingles(docs)
+    def run(strategy: String) = {
+      spark.conf.set("spark.graft.dedup.pairStrategy", strategy)
+      try Dedup.candidatePairsOf(sh, Int.MaxValue)
+        .orderBy("ia", "ib").collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.dedup.pairStrategy")
+    }
+    assert(run("selfjoin") == run("postinglist"))
+  }
+
+  test("capped jaccard scores over the capped vocabulary (consistent denominator)") {
+    // two identical docs that ALSO contain the hot prefix: with the cap,
+    // the hot shingle leaves both the intersection AND the sizes, so the
+    // score is 1.0 (true Jaccard over the capped vocabulary) — not the
+    // deflated 3/(4+4-3)=0.6 a numerator-only cap would give.
+    val hot = (0 until 50).map(i => (i.toLong, s"HOT HOT HOT u${i}a u${i}b u${i}c"))
+    val mixed = (hot :+ (2000L, "HOT HOT HOT r1 r2 r3") :+ (2001L, "HOT HOT HOT r1 r2 r3"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsOf(mixed, maxDocFreq = 20)
+      .filter($"ia" === 2000L && $"ib" === 2001L).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("default (no cap) jaccard output is unchanged by the refactor") {
     // hot-shingle pairs share 1 of ~4+4 shingles → jaccard ≈ 0.14 < 0.5,
     // so the final output is the near-dup pair either way; the cap only
