@@ -234,8 +234,15 @@ object FunctionBatteries {
       // the synthetic lineitem is NOT keyed by (orderkey, linenumber) —
       // duplicate pairs exist at every SF — so the ordering value must
       // break ties all the way down to the returned column itself, or
-      // min_by/max_by winners are engine-dependent (caught at sf0.001)
-      val ord = (col("l_orderkey") * 10 + col("l_linenumber")) * 1000000 + col("l_partkey")
+      // min_by/max_by winners are engine-dependent (caught at sf0.001).
+      // 128-bit key (DECIMAL(38,0) here, HUGEINT in the twin): the r5
+      // BIGINT form overflowed into the neighbouring (orderkey,
+      // linenumber) bucket once partkey ≥ its multiplier; partkey's
+      // domain is SF-dependent (SF×200k), so no 64-bit multiplier is
+      // provably safe at every SF — 10^10 clears partkey at any
+      // conceivable SF and the 128-bit product can't wrap
+      val ord = (col("l_orderkey") * 10 + col("l_linenumber")).cast("decimal(28,0)") *
+        lit(10000000000L) + col("l_partkey")
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
@@ -249,8 +256,8 @@ object FunctionBatteries {
     },
     Some("""
       SELECT l_returnflag,
-             arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS first_part,
-             arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS last_part,
+             arg_min(l_partkey, CAST(l_orderkey * 10 + l_linenumber AS HUGEINT) * 10000000000 + l_partkey) AS first_part,
+             arg_max(l_partkey, CAST(l_orderkey * 10 + l_linenumber AS HUGEINT) * 10000000000 + l_partkey) AS last_part,
              CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
              bit_and(l_partkey) AS band,
              bit_or(l_partkey) AS bor,

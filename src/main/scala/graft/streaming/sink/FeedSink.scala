@@ -69,9 +69,11 @@ class FeedSinkTable(path: String, schema: StructType) extends Table with Support
   }
 }
 
-case class FeedFileCommit(tempFile: String) extends WriterCommitMessage
+case class FeedFileCommit(tempFile: String, droppedTombstones: Long = 0L)
+  extends WriterCommitMessage
 
-class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
+class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite
+  with org.apache.spark.internal.Logging {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     FeedWriterFactory(path, valueIdx)
@@ -86,7 +88,7 @@ class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
       try old.iterator().asScala.toList.foreach(Files.delete)
       finally old.close()
     } else Files.createDirectories(epochDir)
-    messages.collect { case FeedFileCommit(tmp) => Paths.get(tmp) }
+    messages.collect { case FeedFileCommit(tmp, _) => Paths.get(tmp) }
       .foreach { tmp =>
         // a reported file that vanished is DATA LOSS, not something to
         // skip: fail the batch so the engine replays the epoch
@@ -95,6 +97,17 @@ class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
         Files.move(tmp, epochDir.resolve(tmp.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
       }
+    // a JSONL file has no tombstone representation, so writers drop
+    // NULL-value rows — but silently diverging from the input is not
+    // acceptable: surface the count in the committed epoch's manifest
+    // (and the log) so an exported feed is auditable against its source
+    val dropped = messages.collect { case FeedFileCommit(_, d) => d }.sum
+    if (dropped > 0) {
+      Files.write(epochDir.resolve("_dropped_tombstones"),
+        dropped.toString.getBytes(StandardCharsets.UTF_8))
+      logWarning(s"npm-feed-sink epoch $epochId dropped $dropped NULL-value " +
+        "tombstone row(s) with no JSONL representation")
+    }
     // GC orphaned speculative files from dead task attempts (killed
     // executors never run abort): anything still in _tmp for an epoch at
     // or below the one just committed can never be committed again
@@ -113,7 +126,7 @@ class FeedStreamingWrite(path: String, valueIdx: Int) extends StreamingWrite {
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case FeedFileCommit(tmp) => Paths.get(tmp) }
+    messages.collect { case FeedFileCommit(tmp, _) => Paths.get(tmp) }
       .foreach(Files.deleteIfExists(_))
 }
 
@@ -136,19 +149,21 @@ class FeedDataWriter(path: String, valueIdx: Int, partitionId: Int, taskId: Long
   private val tmpFile: Path =
     tmpDir.resolve(f"part-$epochId%05d-$partitionId%05d-$taskId.jsonl")
   private val out = Files.newBufferedWriter(tmpFile, StandardCharsets.UTF_8)
+  private var droppedTombstones = 0L
 
   override def write(row: InternalRow): Unit = {
     // null values are tombstones in the Kafka contract this sink mirrors;
     // a line-oriented file has no tombstone representation, so they are
-    // skipped rather than NPE-ing the task
+    // skipped rather than NPE-ing the task — but COUNTED, so the driver
+    // commit can surface how far the exported feed diverges from its input
     if (!row.isNullAt(valueIdx)) {
       out.write(row.getUTF8String(valueIdx).toString)
       out.write("\n")
-    }
+    } else droppedTombstones += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    FeedFileCommit(tmpFile.toString)
+    FeedFileCommit(tmpFile.toString, droppedTombstones)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(tmpFile); () }
   override def close(): Unit = ()

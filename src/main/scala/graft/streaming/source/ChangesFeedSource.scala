@@ -4,7 +4,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.util
 
+import scala.collection.immutable.SortedSet
 import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -26,15 +29,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * offset JSON and replays uncommitted ranges; this class only has to
   * make `planInputPartitions(start, end)` deterministic).
   *
-  * Contract: files are append-new-only, immutable once visible, and
-  * MONOTONICALLY NAMED — a new file must sort after every already-
-  * consumed one (the reference's seq-named dumps satisfy this by
-  * construction). The offset is the highest consumed file NAME (a
-  * watermark), so a contract violation (a late file sorting below the
-  * watermark) is skipped — it can never cause re-delivery of already-
-  * consumed files, which a count-based offset would. Tracking arbitrary
-  * arrival orders needs a seen-file log (what FileStreamSource keeps);
-  * for seq-named dumps the watermark is the right, O(1) offset.
+  * Contract: files are append-new-only and immutable once visible;
+  * arrival ORDER is arbitrary. The offset is the SET of consumed file
+  * names (FileStreamSource's seen-log semantics, carried in the offset
+  * itself): a batch is exactly `end.names -- start.names`, so a late
+  * file sorting below every already-consumed name is still delivered
+  * exactly once — the r5 name-watermark design silently skipped it —
+  * and `latestOffset` is monotone by construction (the union with
+  * everything previously seen), so a transient empty/unlistable
+  * directory can never regress the offset and re-deliver consumed
+  * files. Cost: the offset JSON grows O(#files); right for the
+  * reference's dump-directory shape (thousands of files). A
+  * millions-of-files feed would move the seen log to checkpoint-side
+  * compacted metadata exactly as FileStreamSource does — same
+  * semantics, same planInputPartitions, different persistence.
+  *
+  * r5-era checkpoints (offset = highest-name watermark) deserialize
+  * via the legacy branch: the watermark reifies to "every current file
+  * at or below it", which is exactly the set it stood for under the
+  * old monotone-naming contract.
   *
   * Usage: `spark.readStream.format("npm-changes-feed")
   *   .option("path", dir).load()` → one `value: string` column, the
@@ -90,37 +103,73 @@ class ChangesFeedTable(path: String) extends Table with SupportsRead {
     }
 }
 
-/** Offset = the highest consumed file name ("" = nothing consumed). */
-case class NameWatermarkOffset(lastName: String) extends Offset {
-  override def json(): String = lastName
+/** Offset = the SET of consumed file names, serialized as a sorted JSON
+  * array (sorted ⇒ byte-identical JSON for equal sets, so the engine's
+  * offset comparisons behave).
+  */
+case class SeenFilesOffset(names: SortedSet[String]) extends Offset {
+  override def json(): String = SeenFilesOffset.mapper.writeValueAsString(
+    names.toArray)
+}
+
+object SeenFilesOffset {
+  private[source] val mapper = new ObjectMapper()
+
+  /** Parse an offset; `legacyDir` serves pre-set-era checkpoints whose
+    * offset was a highest-consumed-name watermark: under that design's
+    * monotone-naming contract the watermark denoted exactly "all files
+    * sorting at or below it", and files are immutable/append-only, so
+    * reifying it against the current listing reconstructs that set.
+    */
+  def parse(json: String, legacyDir: String): SeenFilesOffset =
+    if (json.startsWith("[")) {
+      val arr = mapper.readValue(json, classOf[Array[String]])
+      SeenFilesOffset(SortedSet.from(arr))
+    } else if (json.isEmpty) SeenFilesOffset(SortedSet.empty)
+    else SeenFilesOffset(
+      SortedSet.from(ChangesFeedSource.listFiles(legacyDir).filter(_ <= json)))
 }
 
 class ChangesFeedMicroBatchStream(path: String) extends MicroBatchStream {
 
-  override def initialOffset(): Offset = NameWatermarkOffset("")
+  /** Everything this stream instance knows to be at-or-past the engine's
+    * start offset. Seeded from every offset the engine hands back
+    * (deserializeOffset on restart, commit during a run) and unioned
+    * with each listing, so latestOffset can never move backwards — a
+    * momentarily empty or unlistable directory (unmount, NFS blip)
+    * yields the previous set, not a regressed offset that would
+    * re-deliver every consumed file after a restart.
+    */
+  @volatile private var seen: SortedSet[String] = SortedSet.empty
+
+  private def remember(names: Iterable[String]): SortedSet[String] =
+    synchronized { seen = seen ++ names; seen }
+
+  override def initialOffset(): Offset = SeenFilesOffset(SortedSet.empty)
 
   override def latestOffset(): Offset =
-    NameWatermarkOffset(ChangesFeedSource.listFiles(path).lastOption.getOrElse(""))
+    SeenFilesOffset(remember(ChangesFeedSource.listFiles(path)))
 
-  override def deserializeOffset(json: String): Offset =
-    NameWatermarkOffset(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = SeenFilesOffset.parse(json, path)
+    remember(o.names)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[NameWatermarkOffset].lastName
-    val e = end.asInstanceOf[NameWatermarkOffset].lastName
-    // files are immutable and the (start, end] name range is closed under
-    // re-listing, so replaying an uncommitted batch reads the same rows;
-    // a file sorting at or below the start watermark is by contract
-    // already consumed and is never re-delivered
-    ChangesFeedSource.listFiles(path)
-      .filter(f => f > s && f <= e)
-      .map(f => ChangesFilePartition(f): InputPartition).toArray
+    val s = start.asInstanceOf[SeenFilesOffset].names
+    val e = end.asInstanceOf[SeenFilesOffset].names
+    // a batch is the set difference of two persisted offsets — no
+    // listing at plan time, so replaying an uncommitted batch after a
+    // crash plans the identical file set (files are immutable)
+    (e -- s).toSeq.map(f => ChangesFilePartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ChangesFeedReaderFactory
 
-  override def commit(end: Offset): Unit = () // nothing external to ack
+  override def commit(end: Offset): Unit =
+    remember(end.asInstanceOf[SeenFilesOffset].names)
   override def stop(): Unit = ()
 }
 

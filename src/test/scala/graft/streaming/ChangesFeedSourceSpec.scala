@@ -63,31 +63,76 @@ class ChangesFeedSourceSpec extends SparkSpec {
     assert(catalog.groupBy("change_seq_id").count().filter(col("count") > 1).count() == 0)
   }
 
-  test("offset arithmetic: deterministic (start, end] name-watermark slices") {
+  test("offset arithmetic: a batch is the seen-set difference; legacy watermarks reify") {
     val base = Files.createTempDirectory("feedsrc3").toString
     (0 until 4).foreach(i => writeFeed(base, Seq(s"""{"seq":$i}"""), f"f-$i%03d.jsonl"))
     val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
-    assert(stream.initialOffset().json() == "")
-    assert(stream.latestOffset().json().endsWith("f-003.jsonl"))
+    assert(stream.initialOffset().json() == "[]")
+    assert(stream.latestOffset().json().contains("f-003.jsonl"))
+    // r5-era checkpoint offsets were highest-name watermarks: they must
+    // parse as "every file at or below the watermark"
     val parts = stream.planInputPartitions(
       stream.deserializeOffset(s"$base/f-000.jsonl"),
       stream.deserializeOffset(s"$base/f-002.jsonl"))
     val names = parts.map(_.asInstanceOf[graft.streaming.source.ChangesFilePartition]
-      .file.split("/").last).toSeq
+      .file.split("/").last).toSeq.sorted
     assert(names == Seq("f-001.jsonl", "f-002.jsonl"))
   }
 
-  test("a late file sorting below the watermark never re-delivers consumed files") {
-    // the name-watermark offset makes a contract violation (new file
-    // sorting before already-consumed names) safe: the violating file is
-    // skipped, and — unlike a count-based offset — consumed files are
-    // NOT shifted back into the undelivered range and duplicated
+  test("a late-sorting file is delivered exactly once; consumed files never re-deliver") {
     val base = Files.createTempDirectory("feedsrc4").toString
     writeFeed(base, Seq("""{"seq":10}"""), "f-010.jsonl")
     val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
-    val consumed = stream.latestOffset() // watermark = f-010
-    writeFeed(base, Seq("""{"seq":5}"""), "f-005.jsonl") // violates naming contract
-    val parts = stream.planInputPartitions(consumed, stream.latestOffset())
-    assert(parts.isEmpty, "no duplicate delivery of f-010, no pickup of the violating f-005")
+    val consumed = stream.latestOffset() // seen = {f-010}
+    writeFeed(base, Seq("""{"seq":5}"""), "f-005.jsonl") // sorts BELOW every consumed name
+    val next = stream.latestOffset()
+    val parts = stream.planInputPartitions(consumed, next)
+    val names = parts.map(_.asInstanceOf[graft.streaming.source.ChangesFilePartition]
+      .file.split("/").last).toSeq
+    assert(names == Seq("f-005.jsonl"),
+      "the late file is delivered, f-010 is not re-delivered")
+    assert(stream.planInputPartitions(next, stream.latestOffset()).isEmpty,
+      "second trigger delivers nothing new")
+  }
+
+  test("latestOffset never regresses when the directory is momentarily unlistable") {
+    val base = Files.createTempDirectory("feedsrc5").toString
+    val feed = s"$base/feed"
+    writeFeed(feed, Seq("""{"seq":1}"""), "f-001.jsonl")
+    val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(feed)
+    val o1 = stream.latestOffset().asInstanceOf[graft.streaming.source.SeenFilesOffset]
+    assert(o1.names.size == 1)
+    // simulate an unmount/NFS blip: the directory vanishes for a trigger
+    Files.delete(Paths.get(feed, "f-001.jsonl"))
+    Files.delete(Paths.get(feed))
+    val o2 = stream.latestOffset().asInstanceOf[graft.streaming.source.SeenFilesOffset]
+    assert(o2.names == o1.names,
+      "offset regressed below the consumed set — restart would re-deliver everything")
+  }
+
+  test("late-sorting file arriving across a RESTART is consumed exactly once (end-to-end)") {
+    val base = Files.createTempDirectory("feedsrc6").toString
+    val feed = s"$base/feed"
+    // first run consumes a high-sorting file
+    writeFeed(feed, Fixtures.withFetch404, "changes-900.jsonl")
+    NpmStream.start(spark, source(feed), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    val afterFirst = spark.read.parquet(s"$base/out/catalog").count()
+
+    // a late file arrives whose name sorts BELOW the consumed one
+    writeFeed(feed, Seq(
+      """{"seq":31,"id":"latepkg","doc":{"_id":"latepkg","_rev":"1-a","name":"latepkg","dist-tags":{"latest":"1.0.0"},"versions":{"1.0.0":{"version":"1.0.0","dist":{"tarball":"http://r/l.tgz","unpackedSize":5,"shasum":"s"}}},"time":{"1.0.0":"2023-03-01T00:00:00.000Z","created":"2023-03-01T00:00:00.000Z","modified":"2023-03-01T00:00:00.000Z"}}}"""),
+      "changes-100.jsonl")
+    NpmStream.start(spark, source(feed), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    val catalog = spark.read.parquet(s"$base/out/catalog")
+    assert(catalog.count() == afterFirst + 1)
+    assert(catalog.filter(col("change_seq_id") === 31).count() == 1)
+    // a third run over the unchanged directory delivers nothing new
+    NpmStream.start(spark, source(feed), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    assert(spark.read.parquet(s"$base/out/catalog").count() == afterFirst + 1)
+    assert(spark.read.parquet(s"$base/out/catalog")
+      .groupBy("change_seq_id").count().filter(col("count") > 1).count() == 0)
   }
 }

@@ -20,7 +20,8 @@ class FeedSinkSpec extends SparkSpec {
 
   private def readAll(dir: String): Set[String] =
     Files.walk(Paths.get(dir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.toString.contains("_tmp"))
+      .filter(p => Files.isRegularFile(p) && !p.toString.contains("_tmp")
+        && !p.getFileName.toString.startsWith("_"))
       .flatMap(p => Files.readAllLines(p).asScala)
       .toSet
 
@@ -67,6 +68,28 @@ class FeedSinkSpec extends SparkSpec {
     w.abort(8, Array(doomed))
     assert(!Files.exists(Paths.get(doomed.asInstanceOf[FeedFileCommit].tempFile)))
     assert(readAll(base) == Set("x", "y"))
+  }
+
+  test("dropped tombstones are counted in the epoch manifest, not lost silently") {
+    val base = Files.createTempDirectory("feedsink4").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    // "DEL:x" becomes a NULL value — the Kafka-tombstone shape
+    ms.addData("a", "DEL:p1", "b", "DEL:p2")
+    val q = ms.toDF()
+      .select(when(!col("value").startsWith("DEL:"), col("value")).as("value"))
+      .writeStream.format("npm-feed-sink")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(readAll(s"$base/out") == Set("a", "b"))
+      val manifests = Files.walk(Paths.get(s"$base/out")).iterator().asScala
+        .filter(_.getFileName.toString == "_dropped_tombstones").toList
+      assert(manifests.nonEmpty, "no _dropped_tombstones manifest written")
+      assert(manifests.map(f => Files.readAllLines(f).asScala.head.toLong).sum == 2L)
+    } finally q.stop()
   }
 
   test("rejects a schema without a value string column") {
