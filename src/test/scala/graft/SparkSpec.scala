@@ -17,6 +17,11 @@ object SparkSpec {
     // builds them as relative paths, which explodes on the reference's
     // ISO-8601 (colon-bearing) payload filenames (see npm.Backfill)
     .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    // a second local scheme keeping Hadoop's CHECKSUM LocalFileSystem
+    // reachable: the RocksDB state store's file manager hard-casts to it,
+    // so RocksDB-backed checkpoints use localfs:// paths (RetentionSpec)
+    // while file:// stays raw for the colon-bearing payload filenames
+    .config("spark.hadoop.fs.localfs.impl", "graft.testfs.ChecksumLocalFs")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")

@@ -69,15 +69,36 @@ class RetentionSpec extends SparkSpec {
     assert(evs.map(_.deleted_zip_path) == List("p1/a.zip"))
   }
 
-  // NOT tested here: the RocksDB state store provider (DESIGN.md's 100 TB
-  // choice) is a pure config swap (spark.sql.streaming.stateStore
-  // .providerClass), but its file manager requires Hadoop's checksum
-  // LocalFileSystem while this harness must run RawLocalFileSystem
-  // (SparkSpec: checksum sibling paths explode on the reference's
-  // colon-bearing ISO filenames) — the two cannot coexist in one JVM.
-  // The product-encoded state (DirState) is provider-agnostic and is
-  // exercised under the default provider below and across restarts in
-  // NpmStreamSpec.
+  test("streaming retention under the RocksDB state store provider (the 100 TB config)") {
+    // DESIGN.md's scale choice for A5 state (~2.5M packages) — exercised
+    // for real now that rocksdbjni is on the classpath, not config-only
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("rocksckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ZipArrival]
+      val q = Retention.streamingEvictions(input.toDS())
+        .writeStream.format("memory").queryName("evictions_rocksdb")
+        .option("checkpointLocation", s"localfs://$ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1 to 5).map(i => ZipArrival("p", s"f$i.zip", i.toLong, true)): _*)
+        q.processAllAvailable()
+        assert(spark.table("evictions_rocksdb").count() == 0)
+        input.addData(ZipArrival("p", "f6.zip", 6, true))
+        q.processAllAvailable()
+        assert(spark.table("evictions_rocksdb").as[Eviction].collect()
+          .map(_.deleted_zip_path).toList == List("p/f1.zip"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   test("streaming operator carries state across micro-batches") {
     import spark.implicits._
