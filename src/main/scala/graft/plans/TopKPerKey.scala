@@ -27,10 +27,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * — k rows per key — which is where the reference's "latest/top
   * version" selections (A5/A6 family) want to be at 100 TB.
   *
-  * Trade-off vs the window (kept honest in the scaladoc rather than
-  * hidden): per-partition memory is distinct-keys × k rows with no spill
-  * path, so the sort-based window remains the fallback when key
-  * cardinality per partition is unbounded.
+  * Memory is distinct-keys × k rows per partition, BOUNDED by a
+  * grace-hash spill fallback (r6; the r5 operator would OOM on
+  * unbounded key cardinality): when kept rows exceed
+  * `spark.graft.topk.maxKeptRowsPerPartition` (default 4M), every
+  * heap's current contents — a valid per-key partial top-k, since
+  * topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — spill to a local file and
+  * the pass continues with an empty map. Spilled runs are then
+  * refined: rows are routed into 16 bucket files by the next nibble
+  * of the key's hash and each bucket re-runs the same bounded heap
+  * pass one nibble deeper, so each level divides distinct keys ~16×
+  * until a bucket fits (8 nibble levels; a bucket still over
+  * threshold at max depth — only possible when ~all keys share a
+  * 32-bit hash — degrades to unbounded in-memory, the pre-r6
+  * behavior). Spill I/O is sequential UnsafeRow bytes, amortized by
+  * the ≤k-per-key compaction already applied to every spilled run.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -67,40 +78,170 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
+    val maxKept = conf.getConfString(
+      "spark.graft.topk.maxKeptRowsPerPartition", "4194304").toLong
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordering = GenerateOrdering.generate(orderExprs, childOutput)
-      // heap head = worst row currently kept (reverse ordering), so a
-      // better-than-head row evicts in O(log k)
-      val cmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
-      }
-      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row) // reused buffer; copy only on first sight
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            // small initial capacity that grows on demand: preallocating
-            // k+1 slots per key would cost O(keys × k) empty array up
-            // front for large k, dwarfing the actual kept rows
-            val h = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, cmp)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
-      heaps.valuesIterator.flatMap { h =>
-        Iterator.continually(h.poll()).takeWhile(_ != null)
-      }
+      new TopKPartitionProcessor(kLocal, keyExprs, orderExprs, childOutput, maxKept)
+        .process(iter)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Spill events across the JVM — observability for specs (local mode
+    * shares the JVM) and for eyeballing whether a workload is actually
+    * hitting the fallback; not a correctness input.
+    */
+  val spillEvents = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** One input partition's bounded-memory top-k pass (see the operator
+  * scaladoc for the algorithm).
+  */
+private[plans] class TopKPartitionProcessor(
+    k: Int,
+    keyExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    childOutput: Seq[Attribute],
+    maxKeptRows: Long) {
+
+  import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+
+  /** Deepest bucket-refinement level: 8 nibbles exhaust the 32-bit key
+    * hash; beyond it splitting cannot make progress.
+    */
+  private val MaxDepth = 7
+
+  private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+  private val ordering = GenerateOrdering.generate(orderExprs, childOutput)
+  private val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+  private val numFields = childOutput.size
+  // heap head = worst row currently kept (reverse ordering), so a
+  // better-than-head row evicts in O(log k)
+  private val cmp = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
+  }
+
+  /** Spill files not yet consumed — deleted on task completion so a
+    * failed/killed task leaks nothing.
+    */
+  private val liveFiles = scala.collection.mutable.Set.empty[File]
+  Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+    _ => liveFiles.foreach(_.delete())
+  })
+
+  def process(iter: Iterator[InternalRow]): Iterator[InternalRow] = run(iter, depth = 0)
+
+  private def run(iter: Iterator[InternalRow], depth: Int): Iterator[InternalRow] = {
+    val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+    var kept = 0L
+    val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+
+    def spillAll(): Unit = {
+      val f = newSpillFile()
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      try heaps.valuesIterator.foreach { h =>
+        var r = h.poll()
+        while (r != null) { writeRow(out, r); r = h.poll() }
+      } finally out.close()
+      spills += f
+      heaps.clear()
+      kept = 0
+      TopKPerKeyExec.spillEvents.incrementAndGet()
+    }
+
+    iter.foreach { row =>
+      val key = keyProj(row) // reused buffer; copy only on first sight
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          // small initial capacity that grows on demand: preallocating
+          // k+1 slots per key would cost O(keys × k) empty array up
+          // front for large k, dwarfing the actual kept rows
+          val h = new java.util.PriorityQueue[InternalRow](math.min(k, 16) + 1, cmp)
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (heap.size < k) { heap.add(copyUnsafe(row)); kept += 1 }
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(copyUnsafe(row))
+      }
+      if (kept > maxKeptRows && depth <= MaxDepth) spillAll()
+    }
+
+    if (spills.isEmpty) {
+      heaps.valuesIterator.flatMap { h =>
+        Iterator.continually(h.poll()).takeWhile(_ != null)
+      }
+    } else {
+      if (heaps.nonEmpty) spillAll() // flush the tail: refinement must see every run
+      refine(spills.toSeq, depth)
+    }
+  }
+
+  /** Route spilled rows into 16 bucket files by the `depth`-th nibble of
+    * the key hash, then re-run the bounded pass per bucket one level
+    * deeper. Same key ⇒ same bucket at every level, so per-key merging
+    * stays correct; distinct keys split ~16× per level.
+    */
+  private def refine(files: Seq[File], depth: Int): Iterator[InternalRow] = {
+    val bucketFiles = Array.fill(16)(newSpillFile())
+    val outs = bucketFiles.map(f =>
+      new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f))))
+    try files.foreach { f =>
+      readRows(f).foreach { row =>
+        val b = (keyProj(row).hashCode() >>> (4 * depth)) & 15
+        writeRow(outs(b), row)
+      }
+      f.delete(); liveFiles -= f
+    } finally outs.foreach(_.close())
+    bucketFiles.iterator.flatMap { bf =>
+      // run() drains its input eagerly, so the bucket file is fully read
+      // (and deletable) by the time it returns
+      val it = run(readRows(bf), depth + 1)
+      bf.delete(); liveFiles -= bf
+      it
+    }
+  }
+
+  private def newSpillFile(): File = {
+    val f = File.createTempFile("graft-topk-spill-", ".bin")
+    liveFiles += f
+    f
+  }
+
+  private def copyUnsafe(row: InternalRow): UnsafeRow = row match {
+    case u: UnsafeRow => u.copy()
+    case other => toUnsafe(other).copy() // non-unsafe child output (rare)
+  }
+
+  private def writeRow(out: DataOutputStream, row: InternalRow): Unit = {
+    val u = row.asInstanceOf[UnsafeRow]
+    out.writeInt(u.getSizeInBytes)
+    out.write(u.getBytes)
+  }
+
+  private def readRows(f: File): Iterator[InternalRow] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    new Iterator[InternalRow] {
+      private var nextLen = tryReadLen()
+      private def tryReadLen(): Int =
+        try in.readInt()
+        catch { case _: EOFException => in.close(); -1 }
+      override def hasNext: Boolean = nextLen >= 0
+      override def next(): InternalRow = {
+        val bytes = new Array[Byte](nextLen)
+        in.readFully(bytes)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(bytes, nextLen)
+        nextLen = tryReadLen()
+        r
+      }
+    }
+  }
 }
 
 /** Public DataFrame API + per-session strategy registration. */

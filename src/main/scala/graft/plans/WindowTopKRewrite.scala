@@ -57,9 +57,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The rewrite is gated on this conf even where the rule is injected
-    * (GraftExtensions adds it to every extension-built session): the
-    * heap operator has NO spill path — per-partition memory is
-    * distinct-keys × k — so trading the spill-safe sort for it must be
+    * (GraftExtensions adds it to every extension-built session). The
+    * heap operator is memory-bounded since r6 (grace-hash spill at
+    * `spark.graft.topk.maxKeptRowsPerPartition`), but silently replacing
+    * a user's window plan with a different physical operator — different
+    * spill profile, unspecified intra-group output order — should stay
     * an explicit, per-session decision, never a side effect of loading
     * the extension for semver_clean/float_dot. It also keeps the bench's
     * sort-based window baselines honest.

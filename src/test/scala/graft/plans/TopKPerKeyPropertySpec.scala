@@ -28,6 +28,32 @@ class TopKPerKeyPropertySpec extends SparkSpec {
     (0 until count).flatMap(i =>
       rowsGen.apply(Gen.Parameters.default, Seed(77L + i)))
 
+  test("spill fallback engages at adversarial key cardinality and stays row-identical") {
+    // 5000 distinct keys per few rows with a 64-row memory cap: the pass
+    // must spill repeatedly and refine through at least one bucket level
+    // (bucket of ~312 keys × k=2 kept rows still exceeds the cap), and
+    // the result must equal the sort-based window's exactly
+    val key = "spark.graft.topk.maxKeptRowsPerPartition"
+    spark.conf.set(key, "64")
+    try {
+      val before = TopKPerKeyExec.spillEvents.get()
+      val df = spark.range(0, 20000).select(
+        (col("id") % 5000).as("key"),
+        (col("id") * 37 % 101).as("v"),
+        col("id").as("id2"))
+      val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id2", true)), 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy("key").orderBy(desc("v"), asc("id2"))
+      val window = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(native == window)
+      assert(native.size == 10000) // 5000 keys × k=2
+      assert(TopKPerKeyExec.spillEvents.get() > before,
+        "memory cap of 64 rows never triggered a spill — fallback untested")
+    } finally spark.conf.unset(key)
+  }
+
   test("row-identical to the window form on random skewed data") {
     samples(12).zipWithIndex.foreach { case (rows, i) =>
       val df = rows.toDF("key", "v", "id")
