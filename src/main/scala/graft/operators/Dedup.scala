@@ -206,6 +206,35 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** The CAPPED pair surface as an oracle-gated query: df cap = 5 (hot
+    * at both verification SFs: 29 over-cap shingles at sf0.01, ~24.5k at
+    * sf0.1), DuckDB twin capped identically via a HAVING on the posting
+    * CTE — so the 100 TB knob's semantics (true Jaccard over the capped
+    * vocabulary, r6 denominator fix included) are hash-checked, not just
+    * spec-pinned.
+    */
+  val ngramJaccardCapped: QueryDef = QueryDef(
+    "dedup_ngram_jaccard_capped",
+    (s, dir) => jaccardPairsOf(Tables.documents(s, dir), maxDocFreq = 5)
+      .orderBy("ia", "ib"),
+    Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 5),
+      sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia, ib,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pair
+      JOIN sz sa ON sa.doc_id = ia
+      JOIN sz sb ON sb.doc_id = ib
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
   /** MinHash + LSH candidate pairs: 16 minhashes (lexicographic min of
     * md5(seed:shingle) — md5 hex min is a valid permutation surrogate and
     * portable), banded 4×4; pairs sharing any band bucket are candidates.
@@ -597,6 +626,6 @@ object Dedup {
     }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, minhashLsh, minhashEstimateQuality, simhash,
-      embeddingCosine, clusterComponents)
+    Seq(exact, ngramJaccard, ngramJaccardCapped, minhashLsh,
+      minhashEstimateQuality, simhash, embeddingCosine, clusterComponents)
 }
