@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and the optimizer rule that routes plain `row_number <= k` window
     // queries through it (prune-before-sort; semantics preserved)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // SURVEY §4.2's deferred rewrite: fuse repeated map accesses
+    // (element_at(versions, dist_tags['latest']) chains) into a single
+    // plan-visible materialization
+    e.injectOptimizerRule(_ => graft.plans.MapAccessFusion)
   }
 }

@@ -110,6 +110,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("P1/P3 derived chain materializes each doc map lookup exactly once") {
+    // the catalog projection / tarball-URL extraction derive latest,
+    // latest_version_doc and latest_time_str from three map lookups;
+    // staged withColumn aliases (plus MapAccessFusion as the backstop
+    // for inline-duplicated chains) must keep each lookup single in the
+    // optimized plan — a collapse regression would re-evaluate the
+    // versions-map access once per derived column
+    import spark.implicits._
+    val raw = spark.createDataset(graft.npm.Fixtures.withFetch404).toDF("value")
+    val derived = graft.npm.Pipeline.withDerived(
+        graft.npm.Pipeline.normalize(graft.npm.Pipeline.parse(raw)))
+      .select("id", "latest", "tarball_url", "tarball_size",
+        "latest_time_str", "save_path", "reject_reason")
+    val opt = derived.queryExecution.optimizedPlan.toString
+    Seq("versions", "dist-tags", "time").foreach { m =>
+      val n = s"element_at\\(doc#\\d+\\.$m".r.findAllIn(opt).size
+      assert(n == 1, s"doc.$m looked up $n times in the optimized plan (want 1):\n$opt")
+    }
+  }
+
   test("semver_clean runs in a codegen span and matches the pure function") {
     graft.functions.SemverExpressions.register(spark)
     val df = Tables.part(spark, dir)

@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The map-access CSE rule (SURVEY §4.2's deferred rewrite): repeated
+  * `element_at(versions, dist_tags['latest'])`-style chains written
+  * INLINE must materialize the shared lookup once at the plan level,
+  * with results identical to the unfused plan.
+  */
+class MapAccessFusionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // parquet-backed (a LocalRelation would be constant-folded away before
+  // the rule could matter); map columns built per row, with a null key
+  // every third row to exercise null propagation
+  private def docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    .select(
+      col("doc_id").as("id"),
+      map(lit("latest"),
+        when(col("doc_id") % 3 === 0, lit(null: String))
+          .otherwise(lit("2.0.0"))).as("dist_tags"),
+      map(lit("2.0.0"), substring(col("text"), 1, 8)).as("versions"),
+      map(lit("2.0.0"), substring(col("text"), 9, 8)).as("time"))
+
+  // the P3 shape, written naively: the versions[dist_tags[latest]] chain
+  // repeated inline for every derived column
+  private def naiveChain = docs.select(
+    col("id"),
+    element_at(col("versions"), element_at(col("dist_tags"), "latest")).as("tarball"),
+    upper(element_at(col("versions"), element_at(col("dist_tags"), "latest"))).as("tarball_uc"),
+    element_at(col("time"), element_at(col("dist_tags"), "latest")).as("latest_time"))
+
+  private def countAccesses(plan: String, map: String): Int =
+    s"element_at\\($map#\\d+".r.findAllIn(plan).size
+
+  test("inline-duplicated map chains materialize each lookup once") {
+    MapAccessFusion.ensureRegistered(spark)
+    val opt = naiveChain.queryExecution.optimizedPlan.toString
+    // versions is LOOKED UP twice inline (tarball, tarball_uc) and
+    // dist_tags three times (every derived column's key); after fusion
+    // each map column feeds exactly ONE element_at, computed in a fused
+    // child Project and referenced by attribute everywhere else
+    assert(countAccesses(opt, "versions") == 1,
+      s"versions map looked up more than once after fusion:\n$opt")
+    assert(countAccesses(opt, "dist_tags") == 1,
+      s"dist_tags map looked up more than once after fusion:\n$opt")
+    assert(opt.contains("_fused_map_access"), s"fusion did not fire:\n$opt")
+  }
+
+  test("fused results are identical to the unfused plan, nulls included") {
+    MapAccessFusion.ensureRegistered(spark)
+    val fused = naiveChain.collect().map(_.toSeq).toSet
+    spark.conf.set(MapAccessFusion.EnabledKey, "false")
+    val unfused =
+      try naiveChain.collect().map(_.toSeq).toSet
+      finally spark.conf.unset(MapAccessFusion.EnabledKey)
+    assert(fused == unfused)
+    assert(fused.exists(_.contains(null))) // doc "c" exercises null propagation
+  }
+
+  test("no duplication → rule is a no-op (no extra Project, stable fixpoint)") {
+    MapAccessFusion.ensureRegistered(spark)
+    val single = docs.select(
+      element_at(col("versions"), lit("1.0.0")).as("v1"))
+    val opt = single.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("_fused_map_access"))
+  }
+}
