@@ -432,11 +432,16 @@ object Dedup {
         .select(col("doc_id"),
           concat((0 until 32).map(j =>
             when(col(s"sv$j") > 0, "1").otherwise("0")): _*).as("sig"))
-      val chunks = sig.select(col("doc_id"), col("sig"),
+      // sigv: the 32-bit signature parsed to a LONG once per doc-chunk
+      // row (≈4×docs rows) — NOT per candidate pair: the r5 form ran
+      // conv(sig,2,10) twice inside the join projection, i.e. ~3.4M
+      // string-parse calls over the 1.7M-pair candidate surface at sf0.1
+      val chunks = sig.select(col("doc_id"),
+          conv(col("sig"), 2, 10).cast("long").as("sigv"),
           explode(expr("transform(sequence(0, 3), k -> struct(k AS k, substring(sig, k * 8 + 1, 8) AS chunk))")).as("c"))
-        .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+        .select(col("doc_id"), col("sigv"), col("c.k").as("k"), col("c.chunk").as("chunk"))
         .localCheckpoint(true)  // self-joined below; sig pipeline is the expensive part
-      // positional diff count == popcount of XOR of the bit-strings as
+      // positional diff count == popcount of XOR of the signatures as
       // integers — all codegen'd builtins (the HOF filter/substring form
       // cost 116 s over 1.7M candidate pairs at sf0.1). Hamming is
       // computed and filtered INSIDE the join projection, before the
@@ -447,8 +452,7 @@ object Dedup {
           col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-          bit_count(conv(col("a.sig"), 2, 10).cast("long")
-            .bitwiseXOR(conv(col("b.sig"), 2, 10).cast("long"))).cast("long").as("hamming"))
+          bit_count(col("a.sigv").bitwiseXOR(col("b.sigv"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
         .orderBy("ia", "ib")
