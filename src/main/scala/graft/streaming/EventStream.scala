@@ -138,10 +138,15 @@ class GraftMetricsListener extends org.apache.spark.sql.streaming.StreamingQuery
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
     val p = event.progress
-    totalInputRows += p.numInputRows
+    // the VOLATILE counter is written LAST: an unsynchronized reader that
+    // polls totalInputRows gets a happens-before edge to the buffer
+    // appends above it (piggybacked ordering) — with the counter first,
+    // a reader could observe rows >= n while the matching batch: entry
+    // is still invisible (the flake EventStreamSpec:85 chased in r6)
     batchDurationsMs += p.batchDuration
     lastInputRowsPerSecond = p.inputRowsPerSecond
     progressEvents += s"batch:${p.batchId}:${p.numInputRows}"
+    totalInputRows += p.numInputRows
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =

@@ -69,20 +69,26 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       // listener events are delivered asynchronously and can lag (or be
       // dropped) under a full parallel suite run — keep nudging fresh
-      // batches so a new progress event is always in flight
+      // batches so a new progress event is always in flight. Read the
+      // whole condition under the listener's lock: the buffers are not
+      // individually volatile, so polling any single field and then
+      // asserting the others races event publication.
+      def ready(): Boolean = listener.synchronized {
+        listener.totalInputRows >= 2 && listener.batchDurationsMs.nonEmpty &&
+          listener.progressEvents.exists(_.startsWith("batch:"))
+      }
       val deadline = System.currentTimeMillis() + 30000
       var nudge = 3
-      while (listener.totalInputRows < 2 && System.currentTimeMillis() < deadline) {
+      while (!ready() && System.currentTimeMillis() < deadline) {
         Thread.sleep(200)
-        if (listener.totalInputRows < 2 && nudge > 0) {
+        if (!ready() && nudge > 0) {
           nudge -= 1
           input.addData(Ev(100L + nudge, ts("2024-01-01 10:01:00"), 3, "click", 1.0))
           q.processAllAvailable()
         }
       }
-      assert(listener.totalInputRows >= 2)
-      assert(listener.batchDurationsMs.nonEmpty)
-      assert(listener.progressEvents.exists(_.startsWith("batch:")))
+      assert(ready(), s"listener never observed a complete batch: rows=" +
+        s"${listener.totalInputRows} events=${listener.synchronized(listener.progressEvents.toList)}")
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
