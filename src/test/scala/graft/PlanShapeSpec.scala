@@ -73,7 +73,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup joins are keyed (shuffled on content keys, not all-pairs)") {
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash").foreach { n =>
+    Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_minhash_lsh", "dedup_simhash").foreach { n =>
       val p = plan(n)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
         || p.contains("BroadcastHashJoin"), s"$n is not an equi join")
