@@ -250,6 +250,40 @@ object PipelineCompositions {
       ORDER BY e.qid
     """.stripMargin.trim))
 
+  /** Per-source document quota: keep the top-N documents per source
+    * (longest first, doc_id tie-break) — the frequency-capping step that
+    * stops one crawl domain from dominating a training mix. Runs through
+    * the NATIVE TopKPerKeyExec operator (graft.plans.TopK): the heap
+    * prunes each source to N rows in one pass (no per-source sort, spill
+    * fallback for unbounded source cardinality), then a window over the
+    * N-row groups assigns the final ranks — the prune-before-rank shape
+    * the operator exists for, here oracle-checked inside an actual
+    * pipeline query rather than only in the window-battery twins.
+    */
+  val sourceQuota: QueryDef = QueryDef(
+    "pipeline_source_quota_topk",
+    (s, dir) => {
+      val pruned = graft.plans.TopK.perKey(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        keyCols = Seq("source"), order = Seq(("n_chars", false), ("doc_id", true)), k = 3)
+      val w = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+      pruned.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY source, rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf)
+    Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
+      sourceQuota)
 }
