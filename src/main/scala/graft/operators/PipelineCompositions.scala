@@ -283,7 +283,53 @@ object PipelineCompositions {
       ORDER BY source, rank
     """.stripMargin.trim))
 
+  /** Benchmark decontamination (the GPT-3/Gopher-style n-gram scrub,
+    * word-8-grams here): every training document sharing any 8-gram
+    * with the eval/benchmark source is flagged with its overlap volume
+    * — the step that keeps test sets out of a training mix.
+    *
+    * Scale shape: the benchmark side is structurally tiny next to a
+    * 100 TB training corpus, so its n-gram table is BROADCAST and the
+    * probe is a map-side hash join on the n-gram — the training corpus
+    * is never shuffled. (At sf0.01 both sides are small; the hint keeps
+    * the plan's shape what it would be at scale.)
+    */
+  val decontaminate: QueryDef = QueryDef(
+    "pipeline_benchmark_decontaminate",
+    (s, dir) => {
+      val ng = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))")).as("ng"))
+        .distinct()
+      val bench = ng.filter(col("source") === "src0")
+        .select(col("ng"), col("doc_id").as("bench_doc"))
+      val train = ng.filter(col("source") =!= "src0").select("doc_id", "ng")
+      train.join(broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("ng")).as("n_overlap_ngrams"),
+          countDistinct(col("bench_doc")).as("n_benchmark_docs"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      ng AS (SELECT DISTINCT doc_id, source,
+                    array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS ng
+             FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts) - 6)) AS i
+                   FROM t0 WHERE len(ts) >= 8) x),
+      bench AS (SELECT ng, doc_id AS bench_doc FROM ng WHERE source = 'src0'),
+      train AS (SELECT doc_id, ng FROM ng WHERE source <> 'src0')
+      SELECT t.doc_id,
+             CAST(COUNT(DISTINCT t.ng) AS BIGINT) AS n_overlap_ngrams,
+             CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_benchmark_docs
+      FROM train t JOIN bench b ON t.ng = b.ng
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
-      sourceQuota)
+      sourceQuota, decontaminate)
 }
