@@ -14,7 +14,9 @@ object Bench {
     "window_top3_orders_native_topk",
     "join_asof_last_click_before_error", "join_range_pairs_within_1h",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_minhash_estimate_quality",
     "dedup_embedding_cosine", "dedup_cluster_components",
+    "pipeline_source_quota_topk", "pipeline_benchmark_decontaminate",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_prebuilt", "ann_cosine_topk_hyperlsh_prebuilt",
     "text_tfidf_top_term", "text_winnow_fingerprint", "text_langid",
