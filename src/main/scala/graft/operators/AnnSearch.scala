@@ -190,6 +190,56 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim
 
+  /** Int8 scalar quantization error: quantize each embedding to one
+    * byte per dimension (floor(x·64) clamped to [-128,127], midpoint
+    * dequantization) and report the per-vector reconstruction error —
+    * the metric that gates shipping a 4×-smaller vector table (4 B
+    * float → 1 B) at 100 TB, where embedding bytes dominate both the
+    * index footprint and every probe's shuffle/broadcast volume.
+    *
+    * Oracle-exact on both engines: floor/clamp are unambiguous (no
+    * round-half semantics), float→double widening is exact, and the
+    * error sum left-folds sequentially (Spark `aggregate` HOF vs DuckDB
+    * `list_reduce`, the bit-identical pairing embeddingCosine proved).
+    */
+  val int8QuantError: QueryDef = QueryDef(
+    "ann_int8_quantization_error",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("q8", expr(
+          "transform(embedding, x -> cast(greatest(-128.0D, least(127.0D, floor(cast(x as double) * 64.0D))) as int))"))
+        .withColumn("se", expr(
+          """aggregate(
+            |  zip_with(embedding, q8,
+            |    (a, b) -> (cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)
+            |            * (cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)),
+            |  0.0D, (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("max_abs_err", expr(
+          """array_max(zip_with(embedding, q8,
+            |  (a, b) -> abs(cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)))""".stripMargin))
+        .select(col("vec_id"),
+          (col("se") / size(col("embedding"))).as("mse"),
+          col("max_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(greatest(-128.0, least(127.0, floor(CAST(x AS DOUBLE) * 64.0))) AS INT)) AS q8
+        FROM embeddings)
+      SELECT vec_id,
+             list_reduce(list_transform(generate_series(1, len(embedding)),
+               i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0)
+                  * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0)),
+               (x, y) -> x + y) / len(embedding) AS mse,
+             list_max(list_transform(generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0))) AS max_abs_err
+      FROM q
+      ORDER BY vec_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt)
+    Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
+      int8QuantError)
 }

@@ -283,6 +283,89 @@ object PipelineCompositions {
       ORDER BY source, rank
     """.stripMargin.trim))
 
+  /** Recall@5 of int8-quantized cosine against full-precision cosine —
+    * the quality gate for the 4×-compression path
+    * (ann_int8_quantization_error measures reconstruction error; this
+    * measures what actually matters downstream: whether the quantized
+    * index returns the same neighbors). Same exact-vs-approx join shape
+    * as the LSH/IVF recall twins.
+    */
+  val annRecallInt8: QueryDef = QueryDef(
+    "ann_recall_int8_vs_exact",
+    (s, dir) => {
+      val exact = AnnSearch.bruteForce.run(s, dir)
+        .select(col("qid"), col("cand_id"))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("dq", expr(
+          "transform(embedding, x -> (cast(cast(greatest(-128.0D, least(127.0D, floor(cast(x as double) * 64.0D))) as int) as double) + 0.5D) / 64.0D)"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(zip_with(dq, dq, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"))
+        .select("vec_id", "dq", "nrm")
+        .localCheckpoint(true) // both sides of the probe join
+      val w = Window.partitionBy("aqid").orderBy(desc("cos"), asc("acand"))
+      val approx = broadcast(e.filter(col("vec_id") < 10)).as("q")
+        .join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("aqid"), col("c.vec_id").as("acand"),
+          (expr("aggregate(zip_with(q.dq, c.dq, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")
+            / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("aqid", "acand")
+      exact.join(approx,
+          col("qid") === col("aqid") && col("cand_id") === col("acand"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("acand")).as("n_hits"),
+          (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      exact AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5),
+      qn AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> (CAST(CAST(greatest(-128.0, least(127.0, floor(CAST(x AS DOUBLE) * 64.0))) AS INT) AS DOUBLE) + 0.5) / 64.0) AS dq
+        FROM embeddings),
+      qe AS (
+        SELECT vec_id, dq,
+               sqrt(list_reduce(list_transform(dq, x -> x * x), (x, y) -> x + y)) AS nrm
+        FROM qn),
+      qscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.dq)),
+                 i -> q.dq[CAST(i AS INT)] * c.dq[CAST(i AS INT)]),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM qe q JOIN qe c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      approx AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM qscored) t
+        WHERE rank <= 5)
+      SELECT e.qid,
+             COUNT(a.cand_id) AS n_hits,
+             CAST(COUNT(a.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM exact e
+      LEFT JOIN approx a ON e.qid = a.qid AND e.cand_id = a.cand_id
+      GROUP BY e.qid
+      ORDER BY e.qid
+    """.stripMargin.trim))
+
   /** Benchmark decontamination (the GPT-3/Gopher-style n-gram scrub,
     * word-8-grams here): every training document sharing any 8-gram
     * with the eval/benchmark source is flagged with its overlap volume
@@ -331,5 +414,5 @@ object PipelineCompositions {
 
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
-      sourceQuota, decontaminate)
+      annRecallInt8, sourceQuota, decontaminate)
 }

@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_cosine_topk_bruteforce",     // query points broadcast vs corpus
     "ann_recall_lsh_vs_exact",        // composes the brute-force baseline
     "ann_recall_ivf_vs_exact",        // composes the brute-force baseline
+    "ann_recall_int8_vs_exact",       // composes the brute-force baseline (both sides)
     "dedup_embedding_cosine",         // documented all-pairs baseline
     "pipeline_modality_agreement",    // composes the all-pairs embedding baseline
     "subquery_parts_above_avg_price", // scalar subquery (1-row avg)
