@@ -190,6 +190,21 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim
 
+  /** THE int8 quantizer, defined once for every gate that measures it
+    * (reconstruction error here, recall@5 in PipelineCompositions) — a
+    * second hand-written copy would let the two gates silently validate
+    * different quantizers after a parameter change. `x`/`v` are the
+    * element variable names inside the enclosing lambda.
+    */
+  private[operators] def int8Quant(x: String): String =
+    s"cast(greatest(-128.0D, least(127.0D, floor(cast($x as double) * 64.0D))) as int)"
+  private[operators] def int8Dequant(v: String): String =
+    s"(cast($v as double) + 0.5D) / 64.0D"
+  private[operators] def int8QuantSql(x: String): String =
+    s"CAST(greatest(-128.0, least(127.0, floor(CAST($x AS DOUBLE) * 64.0))) AS INT)"
+  private[operators] def int8DequantSql(v: String): String =
+    s"(CAST($v AS DOUBLE) + 0.5) / 64.0"
+
   /** Int8 scalar quantization error: quantize each embedding to one
     * byte per dimension (floor(x·64) clamped to [-128,127], midpoint
     * dequantization) and report the per-vector reconstruction error —
@@ -206,35 +221,33 @@ object AnnSearch {
     "ann_int8_quantization_error",
     (s, dir) => {
       Tables.embeddings(s, dir)
-        .withColumn("q8", expr(
-          "transform(embedding, x -> cast(greatest(-128.0D, least(127.0D, floor(cast(x as double) * 64.0D))) as int))"))
+        .withColumn("q8", expr(s"transform(embedding, x -> ${int8Quant("x")})"))
         .withColumn("se", expr(
-          """aggregate(
+          s"""aggregate(
             |  zip_with(embedding, q8,
-            |    (a, b) -> (cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)
-            |            * (cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)),
+            |    (a, b) -> (cast(a as double) - ${int8Dequant("b")})
+            |            * (cast(a as double) - ${int8Dequant("b")})),
             |  0.0D, (acc, x) -> acc + x)""".stripMargin))
         .withColumn("max_abs_err", expr(
-          """array_max(zip_with(embedding, q8,
-            |  (a, b) -> abs(cast(a as double) - (cast(b as double) + 0.5D) / 64.0D)))""".stripMargin))
+          s"""array_max(zip_with(embedding, q8,
+            |  (a, b) -> abs(cast(a as double) - ${int8Dequant("b")})))""".stripMargin))
         .select(col("vec_id"),
           (col("se") / size(col("embedding"))).as("mse"),
           col("max_abs_err"))
         .orderBy("vec_id")
     },
-    Some("""
+    Some(s"""
       WITH q AS (
         SELECT vec_id, embedding,
-               list_transform(embedding,
-                 x -> CAST(greatest(-128.0, least(127.0, floor(CAST(x AS DOUBLE) * 64.0))) AS INT)) AS q8
+               list_transform(embedding, x -> ${int8QuantSql("x")}) AS q8
         FROM embeddings)
       SELECT vec_id,
              list_reduce(list_transform(generate_series(1, len(embedding)),
-               i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0)
-                  * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0)),
+               i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - ${int8DequantSql("q8[CAST(i AS INT)]")})
+                  * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - ${int8DequantSql("q8[CAST(i AS INT)]")})),
                (x, y) -> x + y) / len(embedding) AS mse,
              list_max(list_transform(generate_series(1, len(embedding)),
-               i -> abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - (CAST(q8[CAST(i AS INT)] AS DOUBLE) + 0.5) / 64.0))) AS max_abs_err
+               i -> abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - ${int8DequantSql("q8[CAST(i AS INT)]")}))) AS max_abs_err
       FROM q
       ORDER BY vec_id
     """.stripMargin.trim))

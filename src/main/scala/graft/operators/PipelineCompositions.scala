@@ -297,7 +297,7 @@ object PipelineCompositions {
         .select(col("qid"), col("cand_id"))
       val e = Tables.embeddings(s, dir)
         .withColumn("dq", expr(
-          "transform(embedding, x -> (cast(cast(greatest(-128.0D, least(127.0D, floor(cast(x as double) * 64.0D))) as int) as double) + 0.5D) / 64.0D)"))
+          s"transform(embedding, x -> ${AnnSearch.int8Dequant(AnnSearch.int8Quant("x"))})"))
         .withColumn("nrm", expr(
           "sqrt(aggregate(zip_with(dq, dq, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"))
         .select("vec_id", "dq", "nrm")
@@ -319,7 +319,7 @@ object PipelineCompositions {
           (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
         .orderBy("qid")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
@@ -339,7 +339,7 @@ object PipelineCompositions {
       qn AS (
         SELECT vec_id,
                list_transform(embedding,
-                 x -> (CAST(CAST(greatest(-128.0, least(127.0, floor(CAST(x AS DOUBLE) * 64.0))) AS INT) AS DOUBLE) + 0.5) / 64.0) AS dq
+                 x -> ${AnnSearch.int8DequantSql(AnnSearch.int8QuantSql("x"))}) AS dq
         FROM embeddings),
       qe AS (
         SELECT vec_id, dq,
@@ -386,6 +386,9 @@ object PipelineCompositions {
         .select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))")).as("ng"))
         .distinct()
+        .localCheckpoint(true) // referenced 2× (bench + train sides): the
+                               // explode + corpus-wide distinct must not
+                               // be computed twice
       val bench = ng.filter(col("source") === "src0")
         .select(col("ng"), col("doc_id").as("bench_doc"))
       val train = ng.filter(col("source") =!= "src0").select("doc_id", "ng")

@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ElementAt, Expression, GetMapValue, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CaseWhen, Coalesce, ElementAt, Expression, GetMapValue, If, LambdaFunction, NamedExpression, NamedLambdaVariable, Or}
 import org.apache.spark.sql.types.MapType
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -72,19 +72,41 @@ object MapAccessFusion extends Rule[LogicalPlan] {
         }
     }
 
-  /** Deterministic GetMapValue expressions evaluable directly against
-    * `child` that occur semantically ≥2 times across the projection
-    * list, outermost-first (LinkedHashMap keeps discovery order) so
-    * replacement rewrites whole chains before their parts; residual
-    * duplication inside the introduced child Project fuses as the
-    * rewrite recurses / the optimizer batch iterates to fixpoint.
+  /** Deterministic map accesses evaluable directly against `child` that
+    * occur semantically ≥2 times across the projection list AND at
+    * least once in an ALWAYS-EVALUATED position, outermost-first
+    * (LinkedHashMap keeps discovery order) so replacement rewrites
+    * whole chains before their parts; residual duplication inside the
+    * introduced child Project fuses as the rewrite recurses / the
+    * optimizer batch iterates to fixpoint.
+    *
+    * Two hoisting guards (both correctness, found in the r6 review):
+    *
+    *  - an access whose key references a [[NamedLambdaVariable]] is
+    *    never a candidate — lambda variables contribute nothing to
+    *    `references`, so the outputSet check alone would let the rule
+    *    rip a per-element lookup out of its higher-order-function scope
+    *    (unbound variable, one constant value for every element);
+    *  - an access occurring ONLY inside lazily-evaluated branches
+    *    (If/CaseWhen arms, Coalesce tails, And/Or right sides, lambda
+    *    bodies) is never hoisted: the unconditional child Project would
+    *    evaluate it on rows where the original plan short-circuited
+    *    past it — under ANSI mode (the Spark 4 default) that turns a
+    *    guarded `element_at` into MAP_KEY_DOES_NOT_EXIST. With at
+    *    least one always-evaluated occurrence the hoist only MOVES an
+    *    evaluation that happened on every row anyway, so replacing the
+    *    conditional occurrences too is safe.
     */
   private def duplicatedMapAccesses(
       list: Seq[NamedExpression],
       child: LogicalPlan): Seq[Expression] = {
     val counts = mutable.LinkedHashMap.empty[Expression, (Expression, Int)]
+    val unconditional = mutable.Set.empty[Expression]
+    def candidate(e: Expression): Boolean =
+      isMapAccess(e) && e.deterministic && e.references.subsetOf(child.outputSet) &&
+        !e.exists(_.isInstanceOf[NamedLambdaVariable])
     def collect(e: Expression): Unit = {
-      if (isMapAccess(e) && e.deterministic && e.references.subsetOf(child.outputSet)) {
+      if (candidate(e)) {
         val k = e.canonicalized
         counts(k) = counts.get(k).map { case (e0, n) => (e0, n + 1) }.getOrElse((e, 1))
       }
@@ -93,12 +115,29 @@ object MapAccessFusion extends Rule[LogicalPlan] {
       // time[dt[latest]]) is itself a duplicate worth fusing
       e.children.foreach(collect)
     }
-    list.foreach {
-      case Alias(c, _) => collect(c)
-      case a: Attribute => () // bare pass-through
-      case other => collect(other)
+    // walk only positions evaluated on EVERY row: stop at the lazy
+    // branches of conditionals and short-circuiting booleans, and at
+    // lambda bodies (evaluated zero times for an empty collection)
+    def walkAlways(e: Expression): Unit = {
+      if (candidate(e)) unconditional += e.canonicalized
+      e match {
+        case If(pred, _, _) => walkAlways(pred)
+        case cw: CaseWhen => cw.branches.headOption.foreach(b => walkAlways(b._1))
+        case c: Coalesce => c.children.headOption.foreach(walkAlways)
+        case a: And => walkAlways(a.left)
+        case o: Or => walkAlways(o.left)
+        case _: LambdaFunction => ()
+        case other => other.children.foreach(walkAlways)
+      }
     }
-    counts.valuesIterator.collect { case (g, n) if n >= 2 => g }.toSeq
+    list.foreach {
+      case Alias(c, _) => collect(c); walkAlways(c)
+      case _: Attribute => () // bare pass-through
+      case other => collect(other); walkAlways(other)
+    }
+    counts.valuesIterator.collect {
+      case (g, n) if n >= 2 && unconditional.contains(g.canonicalized) => g
+    }.toSeq
   }
 
   /** Both surface forms of a map lookup: `m[k]` (GetMapValue) and

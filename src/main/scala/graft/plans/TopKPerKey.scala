@@ -207,8 +207,22 @@ private[plans] class TopKPartitionProcessor(
     }
   }
 
+  /** Spill root: Spark's configured scratch volume, not java.io.tmpdir —
+    * on a cluster spark.local.dir points at the large shuffle disks
+    * while /tmp is often a small root partition or tmpfs (which would
+    * consume the very memory the spill bounds). Best-effort: first
+    * configured dir, tmpdir when no SparkEnv (plain unit tests).
+    */
+  private val spillRoot: File = {
+    val dir = Option(org.apache.spark.SparkEnv.get)
+      .flatMap(env => env.conf.getOption("spark.local.dir"))
+      .map(_.split(",").head.trim)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new File(dir)
+  }
+
   private def newSpillFile(): File = {
-    val f = File.createTempFile("graft-topk-spill-", ".bin")
+    val f = File.createTempFile("graft-topk-spill-", ".bin", spillRoot)
     liveFiles += f
     f
   }

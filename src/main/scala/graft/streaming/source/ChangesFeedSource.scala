@@ -120,14 +120,30 @@ object SeenFilesOffset {
     * monotone-naming contract the watermark denoted exactly "all files
     * sorting at or below it", and files are immutable/append-only, so
     * reifying it against the current listing reconstructs that set.
+    *
+    * Reification FAILS FAST if the listing does not contain the
+    * watermark file itself (r6 review finding): consumed files are
+    * immutable and never deleted, so its absence means the directory is
+    * momentarily unlistable/unmounted — silently reifying to a smaller
+    * set would mark everything unconsumed and re-deliver the whole feed
+    * on the upgrade restart, the exact failure the seen-set design
+    * exists to prevent. Throwing lets the engine surface the restart
+    * against a healthy mount instead.
     */
   def parse(json: String, legacyDir: String): SeenFilesOffset =
     if (json.startsWith("[")) {
       val arr = mapper.readValue(json, classOf[Array[String]])
       SeenFilesOffset(SortedSet.from(arr))
     } else if (json.isEmpty) SeenFilesOffset(SortedSet.empty)
-    else SeenFilesOffset(
-      SortedSet.from(ChangesFeedSource.listFiles(legacyDir).filter(_ <= json)))
+    else {
+      val listed = ChangesFeedSource.listFiles(legacyDir)
+      if (!listed.contains(json)) throw new IllegalStateException(
+        s"npm-changes-feed: legacy watermark offset '$json' not present in " +
+          s"directory listing of '$legacyDir' (${listed.size} files) — feed " +
+          "directory unavailable or truncated; refusing to reify a smaller " +
+          "consumed set (would re-deliver already-consumed files)")
+      SeenFilesOffset(SortedSet.from(listed.filter(_ <= json)))
+    }
 }
 
 class ChangesFeedMicroBatchStream(path: String) extends MicroBatchStream {

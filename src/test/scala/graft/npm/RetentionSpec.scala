@@ -71,33 +71,32 @@ class RetentionSpec extends SparkSpec {
 
   test("streaming retention under the RocksDB state store provider (the 100 TB config)") {
     // DESIGN.md's scale choice for A5 state (~2.5M packages) — exercised
-    // for real now that rocksdbjni is on the classpath, not config-only
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    // for real now that rocksdbjni is on the classpath, not config-only.
+    // The provider conf lives on an ISOLATED newSession (own SQLConf,
+    // shared SparkContext): suites run in parallel against the shared
+    // session, and a session-wide provider swap would intermittently
+    // hand RocksDB + file:// checkpoints to another suite's stateful
+    // query mid-flight (r6 review finding).
+    val s2 = spark.newSession()
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("rocksckpt").toString
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ZipArrival]
+    val q = Retention.streamingEvictions(input.toDS())
+      .writeStream.format("memory").queryName("evictions_rocksdb")
+      .option("checkpointLocation", s"localfs://$ckpt")
+      .outputMode(OutputMode.Append()).start()
     try {
-      val input = MemoryStream[ZipArrival]
-      val q = Retention.streamingEvictions(input.toDS())
-        .writeStream.format("memory").queryName("evictions_rocksdb")
-        .option("checkpointLocation", s"localfs://$ckpt")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        input.addData((1 to 5).map(i => ZipArrival("p", s"f$i.zip", i.toLong, true)): _*)
-        q.processAllAvailable()
-        assert(spark.table("evictions_rocksdb").count() == 0)
-        input.addData(ZipArrival("p", "f6.zip", 6, true))
-        q.processAllAvailable()
-        assert(spark.table("evictions_rocksdb").as[Eviction].collect()
-          .map(_.deleted_zip_path).toList == List("p/f1.zip"))
-      } finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+      input.addData((1 to 5).map(i => ZipArrival("p", s"f$i.zip", i.toLong, true)): _*)
+      q.processAllAvailable()
+      assert(s2.table("evictions_rocksdb").count() == 0)
+      input.addData(ZipArrival("p", "f6.zip", 6, true))
+      q.processAllAvailable()
+      assert(s2.table("evictions_rocksdb").as[Eviction].collect()
+        .map(_.deleted_zip_path).toList == List("p/f1.zip"))
+    } finally q.stop()
   }
 
   test("streaming operator carries state across micro-batches") {

@@ -60,6 +60,51 @@ class MapAccessFusionSpec extends SparkSpec {
     assert(fused.exists(_.contains(null))) // doc "c" exercises null propagation
   }
 
+  test("lambda-keyed lookups are never hoisted out of their HOF scope") {
+    MapAccessFusion.ensureRegistered(spark)
+    // element_at(versions, k) repeats inside the lambda with k the
+    // LAMBDA VARIABLE: hoisting would unbind k (it contributes nothing
+    // to references) and turn a per-element lookup into one constant
+    val df = docs.select(col("id"), expr(
+      "transform(map_keys(versions), k -> concat(element_at(versions, k), element_at(versions, k)))")
+      .as("doubled"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("_fused_map_access"),
+      s"lambda-scoped access was hoisted:\n$opt")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getSeq[String](1).forall(s => s != null && s.length % 2 == 0)))
+  }
+
+  test("accesses occurring only in lazy branches are never hoisted (ANSI safety)") {
+    MapAccessFusion.ensureRegistered(spark)
+    // both occurrences of element_at(versions, 'absent') sit in a
+    // never-taken When arm: the original plan never evaluates them, so
+    // an unconditional hoist would introduce MAP_KEY_DOES_NOT_EXIST
+    // under ANSI mode where the unfused plan returns nulls
+    val df = docs.select(col("id"),
+      when(col("id") < 0, element_at(col("versions"), "absent")).as("a"),
+      when(col("id") < 0, upper(element_at(col("versions"), "absent"))).as("b"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("_fused_map_access"),
+      s"conditionally-guarded access was hoisted:\n$opt")
+    assert(df.collect().forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("one unconditional occurrence licenses fusing the guarded ones too") {
+    MapAccessFusion.ensureRegistered(spark)
+    val df = docs.select(col("id"),
+      element_at(col("versions"), "2.0.0").as("x"),
+      when(col("id") % 2 === 0, element_at(col("versions"), "2.0.0")).as("y"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("_fused_map_access"), s"mixed-position dup did not fuse:\n$opt")
+    val fused = df.collect().map(_.toSeq).toSet
+    spark.conf.set(MapAccessFusion.EnabledKey, "false")
+    val unfused =
+      try df.collect().map(_.toSeq).toSet
+      finally spark.conf.unset(MapAccessFusion.EnabledKey)
+    assert(fused == unfused)
+  }
+
   test("no duplication → rule is a no-op (no extra Project, stable fixpoint)") {
     MapAccessFusion.ensureRegistered(spark)
     val single = docs.select(

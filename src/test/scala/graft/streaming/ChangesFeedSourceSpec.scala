@@ -79,6 +79,17 @@ class ChangesFeedSourceSpec extends SparkSpec {
     assert(names == Seq("f-001.jsonl", "f-002.jsonl"))
   }
 
+  test("legacy watermark parse fails fast when the directory is unlistable") {
+    // reifying a watermark against an empty listing would mark the whole
+    // feed unconsumed and re-deliver everything after an upgrade restart
+    val base = Files.createTempDirectory("feedsrc7").toString
+    val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(s"$base/missing")
+    val ex = intercept[IllegalStateException] {
+      stream.deserializeOffset(s"$base/missing/changes-900.jsonl")
+    }
+    assert(ex.getMessage.contains("refusing to reify"))
+  }
+
   test("a late-sorting file is delivered exactly once; consumed files never re-deliver") {
     val base = Files.createTempDirectory("feedsrc4").toString
     writeFeed(base, Seq("""{"seq":10}"""), "f-010.jsonl")
