@@ -235,26 +235,35 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
-  /** MinHash + LSH candidate pairs: 16 minhashes (lexicographic min of
-    * md5(seed:shingle) — md5 hex min is a valid permutation surrogate and
-    * portable), banded 4×4; pairs sharing any band bucket are candidates.
-    * The banding join is the scale path: cost is O(Σ bucket²), never
-    * all-pairs.
+  /** All 16 minhashes in ONE aggregation (16 min buffers, map-side
+    * combine, single shuffle of the shingle set) instead of a ×16
+    * row-exploding crossJoin through two shuffles. Lexicographic min of
+    * md5(seed:shingle) — md5 hex min is a valid permutation surrogate
+    * and portable to the oracle. Shared by every minhash-family query
+    * so the sketch definition cannot drift between them.
+    */
+  private[operators] def minhashOf(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** 4×4 banding of [[minhashOf]]'s signature: (doc_id, band, bkey). */
+  private[operators] def bandsOf(mh: DataFrame): DataFrame = {
+    val bandKeys = (0 until 4).map(b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
+    mh.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** MinHash + LSH candidate pairs: 16 minhashes, banded 4×4; pairs
+    * sharing any band bucket are candidates. The banding join is the
+    * scale path: cost is O(Σ bucket²), never all-pairs.
     */
   val minhashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     (s, dir) => {
       val sh = shingles(Tables.documents(s, dir))
-      // all 16 minhashes in ONE aggregation (16 min buffers, map-side
-      // combine, single shuffle of the shingle set) instead of a ×16
-      // row-exploding crossJoin through two shuffles — same values.
-      val minCols = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
-      val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandKeys = (0 until 4).map(b =>
-        md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
-      val bands = mh
-        .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      val bands = bandsOf(minhashOf(sh))
         .localCheckpoint(true)  // self-joined below; avoids recomputing the minhash pipeline twice
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -297,14 +306,9 @@ object Dedup {
     "dedup_minhash_estimate_quality",
     (s, dir) => {
       val sh = shingles(Tables.documents(s, dir)).localCheckpoint(true)
-      val minCols = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
-      val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val mh = minhashOf(sh)
         .localCheckpoint(true)  // bands + both estimate sides
-      val bandKeys = (0 until 4).map(b =>
-        md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
-      val bands = mh
-        .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      val bands = bandsOf(mh)
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -393,6 +397,83 @@ object Dedup {
       JOIN sz sa ON sa.doc_id = e.ia
       JOIN sz sb ON sb.doc_id = e.ib
       ORDER BY e.ia, e.ib
+    """.stripMargin.trim))
+
+  /** Incremental (delta) near-dup detection — the mode a growing corpus
+    * actually runs: today's crawl (doc_id % 10 == 0 stands in for the
+    * arrival partition) is checked against the EXISTING corpus only.
+    * Candidate generation is the one-sided LSH band join (delta bands ⋈
+    * corpus bands), so cost is O(|delta| × bucket), never corpus², and
+    * the exact-Jaccard verification is scoped to candidate documents
+    * with the same broadcast pruning as the estimate-quality gate. At
+    * production scale the corpus band table is the persisted index
+    * (AnnSearch's prebuilt pattern); here both sides build from the
+    * same snapshot so the oracle can replay the whole computation.
+    */
+  val minhashIncrementalDelta: QueryDef = QueryDef(
+    "dedup_minhash_incremental_delta",
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir)).localCheckpoint(true)
+      val bands = bandsOf(minhashOf(sh)).localCheckpoint(true)
+      val isNew = col("doc_id") % 10 === 0
+      val cands = bands.filter(isNew).as("n")
+        .join(bands.filter(!isNew).as("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+        .localCheckpoint(true)  // probed 2× (candDocs, inter)
+      val candDocs = cands.select(col("new_id").as("doc_id"))
+        .union(cands.select(col("old_id").as("doc_id"))).distinct()
+      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+        .localCheckpoint(true)  // referenced 2× (intersections, sizes)
+      val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands.hint("broadcast")
+        .join(shC.as("ca"), col("new_id") === col("ca.doc_id"))
+        .join(shC.as("cb"),
+          col("old_id") === col("cb.doc_id") && col("ca.shingle") === col("cb.shingle"))
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.as("sa"), col("new_id") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("old_id") === col("sb.doc_id"))
+        .select(col("new_id"), col("old_id"),
+          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("new_id", "old_id")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.bkey = o.bkey
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT c.new_id, c.old_id, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT new_id, old_id,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pair
+      JOIN sz sa ON sa.doc_id = new_id
+      JOIN sz sb ON sb.doc_id = old_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY new_id, old_id
     """.stripMargin.trim))
 
   /** 32-bit frequency-weighted SimHash; near-dup pairs = Hamming ≤ 3,
@@ -631,5 +712,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, minhashLsh,
-      minhashEstimateQuality, simhash, embeddingCosine, clusterComponents)
+      minhashEstimateQuality, minhashIncrementalDelta, simhash,
+      embeddingCosine, clusterComponents)
 }
