@@ -208,15 +208,18 @@ private[plans] class TopKPartitionProcessor(
   }
 
   /** Spill root: Spark's configured scratch volume, not java.io.tmpdir —
-    * on a cluster spark.local.dir points at the large shuffle disks
-    * while /tmp is often a small root partition or tmpfs (which would
-    * consume the very memory the spill bounds). Best-effort: first
-    * configured dir, tmpdir when no SparkEnv (plain unit tests).
+    * on a cluster the local dirs point at the large shuffle disks while
+    * /tmp is often a small root partition or tmpfs (which would consume
+    * the very memory the spill bounds). Resolved via Utils.getLocalDir
+    * (through the graftaccess forwarder) rather than reading
+    * `spark.local.dir` directly: on YARN/K8s the scratch dirs arrive via
+    * SPARK_LOCAL_DIRS/LOCAL_DIRS env vars, which only Utils consults —
+    * a bare conf read would land spills in /tmp exactly there (r6
+    * advisor finding). Falls back to tmpdir when no SparkEnv exists
+    * (plain unit tests).
     */
   private val spillRoot: File = {
-    val dir = Option(org.apache.spark.SparkEnv.get)
-      .flatMap(env => env.conf.getOption("spark.local.dir"))
-      .map(_.split(",").head.trim)
+    val dir = org.apache.spark.graftaccess.LocalDirAccess.scratchDir()
       .getOrElse(System.getProperty("java.io.tmpdir"))
     new File(dir)
   }

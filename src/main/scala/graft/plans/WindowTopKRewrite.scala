@@ -22,9 +22,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * covers part of this (rank-limited consumption) but still sorts the
   * full partition; this removes the bulk before the sort.
   *
-  * Opt-in via [[TopK.enableRewrite]] (or GraftExtensions for sessions
-  * built with `.withExtensions`) — the gate's window queries stay plain
-  * so they remain an honest sort-based baseline.
+  * Default-ON wherever the rule is present in the optimizer
+  * (GraftExtensions-built sessions, or [[TopK.enableRewrite]] /
+  * [[WindowTopKRewriteSession.enable]] on a built session). Driver-contract
+  * sessions never inject the rule, so the bench's plain window queries
+  * (`window_top3_orders_per_customer`) keep their sort-based plans — the
+  * honest baseline — while `_native_topk` routes through the operator.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -56,20 +59,23 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     bounds.reduceOption(_ min _)
   }
 
-  /** The rewrite is gated on this conf even where the rule is injected
-    * (GraftExtensions adds it to every extension-built session). The
-    * heap operator is memory-bounded since r6 (grace-hash spill at
-    * `spark.graft.topk.maxKeptRowsPerPartition`), but silently replacing
-    * a user's window plan with a different physical operator — different
-    * spill profile, unspecified intra-group output order — should stay
-    * an explicit, per-session decision, never a side effect of loading
-    * the extension for semver_clean/float_dot. It also keeps the bench's
-    * sort-based window baselines honest.
+  /** Per-session off-switch for sessions that loaded the extension but
+    * want the plain window plans back (A/B runs, debugging a suspected
+    * rewrite interaction). Default TRUE (r7): the rewrite is
+    * semantics-preserving — the Window above still sorts and ranks the
+    * ≤k survivors, so output rows, ranks and order are identical — and
+    * the operator's memory has been bounded by the grace-hash spill
+    * fallback since r6 (`spark.graft.topk.maxKeptRowsPerPartition`),
+    * which removed the r5 reason for default-off ("no spill path").
+    * WindowTopKDefaultOnSpec pins both halves of the new contract: the
+    * rewrite fires on the untouched-conf default for the gate's own
+    * window query shape, and the spill fallback engages row-identically
+    * at adversarial key cardinality THROUGH the rewrite path.
     */
   val EnabledKey = "spark.graft.windowTopKRewrite.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
     else plan.transform {
       case f @ Filter(cond, w @ Window(
           Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),

@@ -44,6 +44,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * compacted metadata exactly as FileStreamSource does — same
   * semantics, same planInputPartitions, different persistence.
   *
+  * Offsets store DIRECTORY-RELATIVE file names, resolved against the
+  * `path` option at plan time (r7; the r6 form persisted absolute
+  * paths): a relocated/remounted feed directory or a re-spelled path
+  * option across a restart leaves every persisted name valid, where
+  * absolute paths would silently rename the entire universe and
+  * re-deliver the whole feed as "unconsumed". Deserialization
+  * additionally cross-checks a non-empty offset against a non-empty
+  * current listing and FAILS FAST on zero overlap — consumed files are
+  * immutable and never deleted, so total disjointness means the path
+  * option points at a different feed than the checkpoint consumed.
+  *
   * r5-era checkpoints (offset = highest-name watermark) deserialize
   * via the legacy branch: the watermark reifies to "every current file
   * at or below it", which is exactly the set it stood for under the
@@ -70,10 +81,11 @@ class ChangesFeedProvider extends TableProvider with DataSourceRegister {
 object ChangesFeedSource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 
-  /** Sorted-name listing of the feed files — the total order offsets
-    * index into. The directory stream is closed eagerly: this runs at
-    * least twice per trigger for the stream's lifetime, and unclosed
-    * Files.list handles leak file descriptors until GC.
+  /** Sorted listing of the feed files as DIRECTORY-RELATIVE names (the
+    * form offsets persist — see the class scaladoc). The directory
+    * stream is closed eagerly: this runs at least twice per trigger for
+    * the stream's lifetime, and unclosed Files.list handles leak file
+    * descriptors until GC.
     */
   def listFiles(dir: String): Seq[String] = {
     val p = Paths.get(dir)
@@ -82,10 +94,18 @@ object ChangesFeedSource {
       val stream = Files.list(p)
       try stream.iterator().asScala
         .filter(Files.isRegularFile(_))
-        .map(_.toString).toList.sorted
+        .map(_.getFileName.toString).toList.sorted
       finally stream.close()
     }
   }
+
+  /** A persisted name relativized to the feed dir: r6-era checkpoints
+    * stored absolute paths; taking the final path element recovers the
+    * stable per-file identity (the listing is non-recursive, so names
+    * never contain separators going forward).
+    */
+  private[source] def relativeName(persisted: String): String =
+    Paths.get(persisted).getFileName.toString
 }
 
 class ChangesFeedTable(path: String) extends Table with SupportsRead {
@@ -115,34 +135,58 @@ case class SeenFilesOffset(names: SortedSet[String]) extends Offset {
 object SeenFilesOffset {
   private[source] val mapper = new ObjectMapper()
 
-  /** Parse an offset; `legacyDir` serves pre-set-era checkpoints whose
-    * offset was a highest-consumed-name watermark: under that design's
-    * monotone-naming contract the watermark denoted exactly "all files
-    * sorting at or below it", and files are immutable/append-only, so
-    * reifying it against the current listing reconstructs that set.
+  /** Parse an offset against the configured feed `dir`.
     *
-    * Reification FAILS FAST if the listing does not contain the
-    * watermark file itself (r6 review finding): consumed files are
-    * immutable and never deleted, so its absence means the directory is
+    * Array offsets (the current form) hold relative names; r6-era
+    * checkpoints persisted absolute paths, which relativize to the same
+    * stable per-file identity. A non-empty parsed set is then
+    * cross-checked against a non-empty current listing and FAILS FAST
+    * on ZERO overlap: consumed files are immutable and never deleted,
+    * so a healthy feed dir always still contains them — total
+    * disjointness means the path option points at a different feed than
+    * the checkpoint consumed, and proceeding would interleave two feeds
+    * and re-deliver this one wholesale. (An EMPTY listing stays
+    * permissive: a momentarily unlistable mount must not kill a restart
+    * that the monotone seen-set already protects.)
+    *
+    * Non-array offsets serve pre-set-era checkpoints whose offset was a
+    * highest-consumed-name watermark: under that design's monotone-
+    * naming contract the watermark denoted exactly "all files sorting at
+    * or below it", and files are immutable/append-only, so reifying it
+    * against the current listing reconstructs that set. Reification
+    * FAILS FAST if the listing does not contain the watermark file
+    * itself (r6 review finding): its absence means the directory is
     * momentarily unlistable/unmounted — silently reifying to a smaller
     * set would mark everything unconsumed and re-deliver the whole feed
-    * on the upgrade restart, the exact failure the seen-set design
-    * exists to prevent. Throwing lets the engine surface the restart
-    * against a healthy mount instead.
+    * on the upgrade restart. Throwing lets the engine surface the
+    * restart against a healthy mount instead.
     */
-  def parse(json: String, legacyDir: String): SeenFilesOffset =
+  def parse(json: String, dir: String): SeenFilesOffset =
     if (json.startsWith("[")) {
       val arr = mapper.readValue(json, classOf[Array[String]])
-      SeenFilesOffset(SortedSet.from(arr))
+      val names = SortedSet.from(arr.map(ChangesFeedSource.relativeName(_)))
+      if (names.nonEmpty) {
+        val listed = ChangesFeedSource.listFiles(dir)
+        if (listed.nonEmpty && !listed.exists(names.contains)) {
+          throw new IllegalStateException(
+            s"npm-changes-feed: none of the ${names.size} consumed file names " +
+              s"in the checkpoint offset appear under '$dir' (${listed.size} " +
+              "files listed) — the path option points at a different feed " +
+              "than the checkpoint consumed; refusing to re-deliver it " +
+              "wholesale against the wrong directory")
+        }
+      }
+      SeenFilesOffset(names)
     } else if (json.isEmpty) SeenFilesOffset(SortedSet.empty)
     else {
-      val listed = ChangesFeedSource.listFiles(legacyDir)
-      if (!listed.contains(json)) throw new IllegalStateException(
-        s"npm-changes-feed: legacy watermark offset '$json' not present in " +
-          s"directory listing of '$legacyDir' (${listed.size} files) — feed " +
+      val name = ChangesFeedSource.relativeName(json)
+      val listed = ChangesFeedSource.listFiles(dir)
+      if (!listed.contains(name)) throw new IllegalStateException(
+        s"npm-changes-feed: legacy watermark offset '$name' not present in " +
+          s"directory listing of '$dir' (${listed.size} files) — feed " +
           "directory unavailable or truncated; refusing to reify a smaller " +
           "consumed set (would re-deliver already-consumed files)")
-      SeenFilesOffset(SortedSet.from(listed.filter(_ <= json)))
+      SeenFilesOffset(SortedSet.from(listed.filter(_ <= name)))
     }
 }
 
@@ -177,8 +221,13 @@ class ChangesFeedMicroBatchStream(path: String) extends MicroBatchStream {
     val e = end.asInstanceOf[SeenFilesOffset].names
     // a batch is the set difference of two persisted offsets — no
     // listing at plan time, so replaying an uncommitted batch after a
-    // crash plans the identical file set (files are immutable)
-    (e -- s).toSeq.map(f => ChangesFilePartition(f): InputPartition).toArray
+    // crash plans the identical file set (files are immutable). Offsets
+    // carry dir-relative names; the reader path resolves against the
+    // CURRENT path option here, so a relocated feed dir reads the same
+    // files from their new home.
+    (e -- s).toSeq
+      .map(f => ChangesFilePartition(Paths.get(path).resolve(f).toString): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -43,12 +43,17 @@ class DedupCapSpec extends SparkSpec {
   }
 
   test("selfjoin and postinglist strategies produce identical candidate pairs") {
-    val sh = Dedup.shingles(docs)
+    // isolated newSession (r7, ADVICE r6): the strategy conf is read at
+    // plan-build time from the frame's own session, so flipping it on
+    // the shared session could change the plan of a Dedup query another
+    // suite is building in parallel
+    val iso = spark.newSession()
+    val isoDocs = iso.createDataFrame(
+      java.util.Arrays.asList(docs.collect(): _*), docs.schema)
     def run(strategy: String) = {
-      spark.conf.set("spark.graft.dedup.pairStrategy", strategy)
-      try Dedup.candidatePairsOf(sh, Int.MaxValue)
+      iso.conf.set("spark.graft.dedup.pairStrategy", strategy)
+      Dedup.candidatePairsOf(Dedup.shingles(isoDocs), Int.MaxValue)
         .orderBy("ia", "ib").collect().map(_.toSeq).toSeq
-      finally spark.conf.unset("spark.graft.dedup.pairStrategy")
     }
     assert(run("selfjoin") == run("postinglist"))
   }

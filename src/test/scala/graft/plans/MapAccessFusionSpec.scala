@@ -10,12 +10,20 @@ import org.apache.spark.sql.functions._
   */
 class MapAccessFusionSpec extends SparkSpec {
 
-  import spark.implicits._
+  // Isolated newSession (r7, ADVICE r6): the suite toggles the fusion
+  // EnabledKey, which on the shared session would disable the rule for
+  // queries other suites plan in parallel. The rule is registered once
+  // here; the shared session never sees it toggled.
+  private lazy val iso = {
+    val s = spark.newSession()
+    MapAccessFusion.ensureRegistered(s)
+    s
+  }
 
   // parquet-backed (a LocalRelation would be constant-folded away before
   // the rule could matter); map columns built per row, with a null key
   // every third row to exercise null propagation
-  private def docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+  private def docs = graft.Tables.documents(iso, "/root/testdata/sf0.001")
     .select(
       col("doc_id").as("id"),
       map(lit("latest"),
@@ -36,7 +44,6 @@ class MapAccessFusionSpec extends SparkSpec {
     s"element_at\\($map#\\d+".r.findAllIn(plan).size
 
   test("inline-duplicated map chains materialize each lookup once") {
-    MapAccessFusion.ensureRegistered(spark)
     val opt = naiveChain.queryExecution.optimizedPlan.toString
     // versions is LOOKED UP twice inline (tarball, tarball_uc) and
     // dist_tags three times (every derived column's key); after fusion
@@ -50,18 +57,16 @@ class MapAccessFusionSpec extends SparkSpec {
   }
 
   test("fused results are identical to the unfused plan, nulls included") {
-    MapAccessFusion.ensureRegistered(spark)
     val fused = naiveChain.collect().map(_.toSeq).toSet
-    spark.conf.set(MapAccessFusion.EnabledKey, "false")
+    iso.conf.set(MapAccessFusion.EnabledKey, "false")
     val unfused =
       try naiveChain.collect().map(_.toSeq).toSet
-      finally spark.conf.unset(MapAccessFusion.EnabledKey)
+      finally iso.conf.unset(MapAccessFusion.EnabledKey)
     assert(fused == unfused)
     assert(fused.exists(_.contains(null))) // doc "c" exercises null propagation
   }
 
   test("lambda-keyed lookups are never hoisted out of their HOF scope") {
-    MapAccessFusion.ensureRegistered(spark)
     // element_at(versions, k) repeats inside the lambda with k the
     // LAMBDA VARIABLE: hoisting would unbind k (it contributes nothing
     // to references) and turn a per-element lookup into one constant
@@ -76,7 +81,6 @@ class MapAccessFusionSpec extends SparkSpec {
   }
 
   test("accesses occurring only in lazy branches are never hoisted (ANSI safety)") {
-    MapAccessFusion.ensureRegistered(spark)
     // both occurrences of element_at(versions, 'absent') sit in a
     // never-taken When arm: the original plan never evaluates them, so
     // an unconditional hoist would introduce MAP_KEY_DOES_NOT_EXIST
@@ -91,22 +95,20 @@ class MapAccessFusionSpec extends SparkSpec {
   }
 
   test("one unconditional occurrence licenses fusing the guarded ones too") {
-    MapAccessFusion.ensureRegistered(spark)
     val df = docs.select(col("id"),
       element_at(col("versions"), "2.0.0").as("x"),
       when(col("id") % 2 === 0, element_at(col("versions"), "2.0.0")).as("y"))
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("_fused_map_access"), s"mixed-position dup did not fuse:\n$opt")
     val fused = df.collect().map(_.toSeq).toSet
-    spark.conf.set(MapAccessFusion.EnabledKey, "false")
+    iso.conf.set(MapAccessFusion.EnabledKey, "false")
     val unfused =
       try df.collect().map(_.toSeq).toSet
-      finally spark.conf.unset(MapAccessFusion.EnabledKey)
+      finally iso.conf.unset(MapAccessFusion.EnabledKey)
     assert(fused == unfused)
   }
 
   test("no duplication → rule is a no-op (no extra Project, stable fixpoint)") {
-    MapAccessFusion.ensureRegistered(spark)
     val single = docs.select(
       element_at(col("versions"), lit("1.0.0")).as("v1"))
     val opt = single.queryExecution.optimizedPlan.toString

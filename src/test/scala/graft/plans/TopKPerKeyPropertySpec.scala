@@ -32,26 +32,26 @@ class TopKPerKeyPropertySpec extends SparkSpec {
     // 5000 distinct keys per few rows with a 64-row memory cap: the pass
     // must spill repeatedly and refine through at least one bucket level
     // (bucket of ~312 keys × k=2 kept rows still exceeds the cap), and
-    // the result must equal the sort-based window's exactly
-    val key = "spark.graft.topk.maxKeptRowsPerPartition"
-    spark.conf.set(key, "64")
-    try {
-      val before = TopKPerKeyExec.spillEvents.get()
-      val df = spark.range(0, 20000).select(
-        (col("id") % 5000).as("key"),
-        (col("id") * 37 % 101).as("v"),
-        col("id").as("id2"))
-      val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id2", true)), 2)
-        .as[(Long, Long, Long)].collect().toSet
-      val w = Window.partitionBy("key").orderBy(desc("v"), asc("id2"))
-      val window = df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2).drop("rn")
-        .as[(Long, Long, Long)].collect().toSet
-      assert(native == window)
-      assert(native.size == 10000) // 5000 keys × k=2
-      assert(TopKPerKeyExec.spillEvents.get() > before,
-        "memory cap of 64 rows never triggered a spill — fallback untested")
-    } finally spark.conf.unset(key)
+    // the result must equal the sort-based window's exactly.
+    // Isolated newSession (r7, ADVICE r6): the cap conf must not leak to
+    // suites planning TopK queries in parallel on the shared session.
+    val iso = spark.newSession()
+    iso.conf.set("spark.graft.topk.maxKeptRowsPerPartition", "64")
+    val before = TopKPerKeyExec.spillEvents.get()
+    val df = iso.range(0, 20000).select(
+      (col("id") % 5000).as("key"),
+      (col("id") * 37 % 101).as("v"),
+      col("id").as("id2"))
+    val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id2", true)), 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id2"))
+    val window = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == window)
+    assert(native.size == 10000) // 5000 keys × k=2
+    assert(TopKPerKeyExec.spillEvents.get() > before,
+      "memory cap of 64 rows never triggered a spill — fallback untested")
   }
 
   test("row-identical to the window form on random skewed data") {

@@ -106,6 +106,71 @@ class ChangesFeedSourceSpec extends SparkSpec {
       "second trigger delivers nothing new")
   }
 
+  test("relocated feed directory: relative-name offsets survive the move (no re-delivery)") {
+    // consume from dir A through a real checkpoint, then MOVE the feed to
+    // dir B and restart pointing at B: the r6 absolute-path offsets would
+    // treat every file as unconsumed and re-deliver the whole feed; the
+    // relative-name offsets must deliver nothing old and only what's new
+    val base = Files.createTempDirectory("feedsrc8").toString
+    val feedA = s"$base/feedA"
+    writeFeed(feedA, Fixtures.withFetch404, "changes-000.jsonl")
+    NpmStream.start(spark, source(feedA), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    val afterFirst = spark.read.parquet(s"$base/out/catalog").count()
+
+    val feedB = s"$base/feedB"
+    Files.createDirectories(Paths.get(feedB))
+    Files.move(Paths.get(feedA, "changes-000.jsonl"), Paths.get(feedB, "changes-000.jsonl"))
+    // restart against the relocated dir: nothing re-delivered
+    NpmStream.start(spark, source(feedB), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    assert(spark.read.parquet(s"$base/out/catalog").count() == afterFirst,
+      "relocation re-delivered already-consumed files")
+
+    // and a file arriving in the NEW location is consumed exactly once
+    writeFeed(feedB, Seq(
+      """{"seq":32,"id":"movedpkg","doc":{"_id":"movedpkg","_rev":"1-b","name":"movedpkg","dist-tags":{"latest":"1.0.0"},"versions":{"1.0.0":{"version":"1.0.0","dist":{"tarball":"http://r/m.tgz","unpackedSize":5,"shasum":"s"}}},"time":{"1.0.0":"2023-03-01T00:00:00.000Z","created":"2023-03-01T00:00:00.000Z","modified":"2023-03-01T00:00:00.000Z"}}}"""),
+      "changes-001.jsonl")
+    NpmStream.start(spark, source(feedB), s"$base/out", s"$base/ckpt",
+      Fixtures.RoutingFetcher).awaitTermination()
+    val catalog = spark.read.parquet(s"$base/out/catalog")
+    assert(catalog.count() == afterFirst + 1)
+    assert(catalog.filter(col("change_seq_id") === 32).count() == 1)
+    assert(catalog.groupBy("change_seq_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("r6-era absolute-path offsets relativize on upgrade (no re-delivery)") {
+    val base = Files.createTempDirectory("feedsrc9").toString
+    (0 until 3).foreach(i => writeFeed(base, Seq(s"""{"seq":$i}"""), f"f-$i%03d.jsonl"))
+    val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
+    // an r6 checkpoint: the offset array holds ABSOLUTE paths
+    val legacyJson = s"""["$base/f-000.jsonl","$base/f-001.jsonl"]"""
+    val start = stream.deserializeOffset(legacyJson)
+    val parts = stream.planInputPartitions(start, stream.latestOffset())
+    val names = parts.map(_.asInstanceOf[graft.streaming.source.ChangesFilePartition]
+      .file.split("/").last).toSeq
+    assert(names == Seq("f-002.jsonl"),
+      "absolute-path offset entries were not recognized as consumed")
+  }
+
+  test("offset naming a disjoint feed fails fast instead of re-delivering wholesale") {
+    // the path option points at a directory sharing NO file with the
+    // checkpoint's consumed set: silently proceeding would mark the whole
+    // new feed unconsumed AND interleave two different feeds' data
+    val base = Files.createTempDirectory("feedsrc10").toString
+    writeFeed(base, Seq("""{"seq":1}"""), "other-feed-000.jsonl")
+    val stream = new graft.streaming.source.ChangesFeedMicroBatchStream(base)
+    val ex = intercept[IllegalStateException] {
+      stream.deserializeOffset("""["changes-000.jsonl","changes-001.jsonl"]""")
+    }
+    assert(ex.getMessage.contains("different feed"))
+    // an EMPTY listing (transient unmount) stays permissive: the seen-set
+    // union already guards re-delivery, and a restart must not be killed
+    val gone = new graft.streaming.source.ChangesFeedMicroBatchStream(s"$base/missing")
+    assert(gone.deserializeOffset("""["changes-000.jsonl"]""")
+      .asInstanceOf[graft.streaming.source.SeenFilesOffset].names.size == 1)
+  }
+
   test("latestOffset never regresses when the directory is momentarily unlistable") {
     val base = Files.createTempDirectory("feedsrc5").toString
     val feed = s"$base/feed"
