@@ -72,7 +72,7 @@ object Dedup {
     * and the cross-source contamination query.
     */
   private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsOf(Tables.documents(s, dir))
+    jaccardPairsFromShingles(shingleSurface(s, dir))
 
   /** Core pair generator over any (doc_id, text) frame.
     *
@@ -91,8 +91,19 @@ object Dedup {
     * deflated hybrid (capped numerator / uncapped denominator) a
     * numerator-only cap would produce.
     */
-  private[operators] def jaccardPairsOf(docs: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val shAll = shingles(docs).localCheckpoint(true)  // referenced 2× (sizes, buckets); GC-freed, unlike cache()
+  private[operators] def jaccardPairsOf(docs: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    jaccardPairsFromShingles(
+      shingles(docs).localCheckpoint(true), // referenced 2× (sizes, buckets); GC-freed, unlike cache()
+      maxDocFreq)
+
+  /** Pair surface over an ALREADY-MATERIALIZED shingle table — the entry
+    * the corpus-level queries use so the session-pinned
+    * [[shingleSurface]] is shared across the ngram family instead of
+    * each query re-exploding the corpus (r7; same amortization as the
+    * minhash [[sketchSurface]]).
+    */
+  private[operators] def jaccardPairsFromShingles(
+      shAll: DataFrame, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh =
       if (maxDocFreq == Int.MaxValue) shAll
       else cappedShingles(shAll, maxDocFreq).localCheckpoint(true)
@@ -215,7 +226,7 @@ object Dedup {
     */
   val ngramJaccardCapped: QueryDef = QueryDef(
     "dedup_ngram_jaccard_capped",
-    (s, dir) => jaccardPairsOf(Tables.documents(s, dir), maxDocFreq = 5)
+    (s, dir) => jaccardPairsFromShingles(shingleSurface(s, dir), maxDocFreq = 5)
       .orderBy("ia", "ib"),
     Some(s"""
       WITH sh0 AS ($shinglesSql),
@@ -270,13 +281,27 @@ object Dedup {
     * deriving them per probe is cheaper than holding a third pinned
     * frame across the whole bench run.
     */
+  private val shingleCache = new graft.SessionCache[DataFrame]
   private val sketchCache = new graft.SessionCache[(DataFrame, DataFrame)]
+
+  /** The corpus shingle table alone, pinned per (session, corpus) — the
+    * layer of the sketch index the NGRAM family also probes (r7):
+    * `dedup_ngram_jaccard`, its capped twin and the component step all
+    * consume the same distinct (doc_id, shingle) surface, so rebuilding
+    * the corpus explode per query modeled nothing. Split from
+    * [[sketchSurface]] so a shingle-only consumer never charges the
+    * 16-hash signature build to its own timed window.
+    */
+  private[operators] def shingleSurface(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(s, dir) {
+      graft.PinnedStorage.pin(s) {
+        shingles(Tables.documents(s, dir)).localCheckpoint(true)
+      }
+    }
 
   private[operators] def sketchSurface(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     sketchCache.getOrElseUpdate(s, dir) {
-      val sh = graft.PinnedStorage.pin(s) {
-        shingles(Tables.documents(s, dir)).localCheckpoint(true)
-      }
+      val sh = shingleSurface(s, dir)
       val mh = graft.PinnedStorage.pin(s) { minhashOf(sh).localCheckpoint(true) }
       (sh, mh)
     }
