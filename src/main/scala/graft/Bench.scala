@@ -15,7 +15,7 @@ object Bench {
     "join_asof_last_click_before_error", "join_range_pairs_within_1h",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_minhash_estimate_quality",
-    "dedup_minhash_incremental_delta",
+    "dedup_minhash_incremental_delta", "stream_delta_dedup_minhash",
     "dedup_embedding_cosine", "dedup_cluster_components",
     "pipeline_source_quota_topk", "pipeline_benchmark_decontaminate",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",

@@ -546,6 +546,150 @@ object Dedup {
       ORDER BY new_id, old_id
     """.stripMargin.trim))
 
+  /** The incremental near-dup check as a REAL Structured Streaming run
+    * (graft.streaming.DeltaDedupStream): the delta documents arrive as
+    * two parquet file drops on a file stream (`maxFilesPerTrigger=1` ⇒
+    * one micro-batch per drop, so the pipeline genuinely crosses
+    * micro-batch boundaries), each batch probes the session-pinned
+    * corpus sketch index through the shared [[deltaNearDups]] core, and
+    * confirmed pairs land in a batch_id-partitioned idempotent parquet
+    * sink. Near-dup pairs are delta-vs-corpus only on both paths, and
+    * each delta doc's pairs are independent of its batch assignment, so
+    * the union over micro-batches equals the one-shot
+    * [[minhashIncrementalDelta]] — which is why the SAME oracle SQL
+    * hash-checks a genuine streaming execution.
+    */
+  val streamDeltaDedup: QueryDef = QueryDef(
+    "stream_delta_dedup_minhash",
+    (s, dir) => {
+      val (sh, mh) = sketchSurface(s, dir)
+      val isNew = col("doc_id") % 10 === 0
+      val corpusSh = sh.filter(!isNew)
+      val corpusBands = bandsOf(mh).filter(!isNew)
+      val deltaDocs = Tables.documents(s, dir).filter(isNew).select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
+      // two crawl drops, written executor-side (no driver collect);
+      // coalesce(1) gives one file per drop = one micro-batch per drop
+      deltaDocs.filter(expr("(doc_id div 10) % 2 = 0"))
+        .coalesce(1).write.parquet(s"$base/in/drop0")
+      deltaDocs.filter(expr("(doc_id div 10) % 2 = 1"))
+        .coalesce(1).write.parquet(s"$base/in/drop1")
+      val arrivals = s.readStream
+        .schema(deltaDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*")
+      graft.streaming.DeltaDedupStream.start(s, arrivals, corpusSh, corpusBands,
+        s"$base/pairs", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/pairs")
+        .select("new_id", "old_id", "jaccard")
+        .orderBy("new_id", "old_id")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.bkey = o.bkey
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT c.new_id, c.old_id, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT new_id, old_id,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pair
+      JOIN sz sa ON sa.doc_id = new_id
+      JOIN sz sb ON sb.doc_id = old_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY new_id, old_id
+    """.stripMargin.trim))
+
+  /** Delta-batch sketch: the (shingles, LSH bands) pair for ONE arrival
+    * batch, eagerly checkpointed — O(|batch|) work, reused by the probe
+    * and (in the growth loop) appended to the corpus index.
+    */
+  private[graft] def deltaSketch(deltaDocs: DataFrame): (DataFrame, DataFrame) = {
+    val bsh = shingles(deltaDocs).localCheckpoint(true)
+    val bbands = bandsOf(minhashOf(bsh)).localCheckpoint(true)
+    (bsh, bbands)
+  }
+
+  /** Core of the incremental near-dup probe — the reusable form of
+    * [[minhashIncrementalDelta]]'s computation, shared by the streaming
+    * wrapper (graft.streaming.DeltaDedupStream), the throughput bench
+    * (DeltaDedupBench) and the oracle-gated stream query: one arrival
+    * batch (its [[deltaSketch]]) against a corpus sketch index.
+    * Candidates come from the one-sided band join (batch bands ⋈ index
+    * bands — O(|batch| × bucket), never corpus²); exact verification is
+    * the estimate_quality shape (broadcast-prune the combined shingle
+    * surface to candidate docs, co-shingle self-join, broadcast
+    * semi-join back on the normalized pair key). Orientation is
+    * recovered with a broadcast join against the batch's own doc ids —
+    * the caller guarantees the index excludes the CURRENT batch, so
+    * every candidate pair is one batch doc + one indexed doc.
+    * Returns (new_id, old_id, jaccard) with jaccard ≥ 0.5.
+    */
+  private[graft] def deltaNearDupsFromSketch(
+      bsh: DataFrame, bbands: DataFrame,
+      corpusSh: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val cands = bbands.as("n").join(corpusBands.as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
+        col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+      .localCheckpoint(true)  // probed 2× (candDocs, normalized pair key)
+    val candDocs = cands.select(col("new_id").as("doc_id"))
+      .union(cands.select(col("old_id").as("doc_id"))).distinct()
+    val shC = corpusSh.unionByName(bsh).join(broadcast(candDocs), Seq("doc_id"))
+      .localCheckpoint(true)  // referenced 2× (intersections, sizes)
+    val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candsNorm = cands.select(
+      least(col("new_id"), col("old_id")).as("ia"),
+      greatest(col("new_id"), col("old_id")).as("ib"))
+    // any near-dup's batch-side doc has shingles by construction, so the
+    // batch ids seen in bsh suffice for orientation recovery
+    val deltaIds = bsh.select(col("doc_id").as("did")).distinct()
+    shC.as("ca").join(shC.as("cb"),
+        col("ca.shingle") === col("cb.shingle") &&
+        col("ca.doc_id") < col("cb.doc_id"))
+      .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
+      .join(candsNorm.hint("broadcast"), Seq("ia", "ib"), "left_semi")
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .join(broadcast(deltaIds), col("ia") === col("did"), "left")
+      .select(
+        when(col("did").isNotNull, col("ia")).otherwise(col("ib")).as("new_id"),
+        when(col("did").isNotNull, col("ib")).otherwise(col("ia")).as("old_id"),
+        col("inter"))
+      .join(sz.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("old_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** [[deltaNearDupsFromSketch]] over raw (doc_id, text) arrival rows. */
+  private[graft] def deltaNearDups(
+      deltaDocs: DataFrame, corpusSh: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val (bsh, bbands) = deltaSketch(deltaDocs)
+    deltaNearDupsFromSketch(bsh, bbands, corpusSh, corpusBands)
+  }
+
   /** 32-bit frequency-weighted SimHash; near-dup pairs = Hamming ≤ 3,
     * found exactly via the 4×8-bit chunk pigeonhole (≤3 differing bits ⇒
     * at least one of 4 chunks identical), so candidate generation is an
@@ -782,6 +926,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, minhashLsh,
-      minhashEstimateQuality, minhashIncrementalDelta, simhash,
-      embeddingCosine, clusterComponents)
+      minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
+      simhash, embeddingCosine, clusterComponents)
 }

@@ -52,10 +52,6 @@ object DeltaDedupBench {
     // ---- the persisted corpus sketch index (built once, off the clock) --
     val corpusSh = Dedup.shingles(docs.filter(!isNew)).localCheckpoint(true)
     val corpusBands = Dedup.bandsOf(Dedup.minhashOf(corpusSh)).localCheckpoint(true)
-    // per-doc shingle counts for exact Jaccard denominators; grows with
-    // the index (appends only, like the band/shingle frames)
-    def sizesOf(sh: DataFrame): DataFrame =
-      sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     // index = growing sequences of CHECKPOINTED frames; union is lazy and
     // recompute-free, append is O(|batch|)
@@ -69,40 +65,12 @@ object DeltaDedupBench {
     def runBatch(b: Int): (Long, Long, Double) = {
       val t0 = System.nanoTime()
       val bd = delta.filter(col("batch") === b).select("doc_id", "text")
-      // (a) sketch ONLY the batch
-      val bsh = Dedup.shingles(bd).localCheckpoint(true)
-      val bbands = Dedup.bandsOf(Dedup.minhashOf(bsh)).localCheckpoint(true)
-      val idxBands = indexBands.reduce(_ unionByName _)
-      val idxSh = indexSh.reduce(_ unionByName _)
-      // (b) one-sided candidate generation: batch bands ⋈ index bands
-      val cands = bbands.as("n").join(idxBands.as("o"),
-          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
-          col("n.doc_id") =!= col("o.doc_id"))
-        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-        .distinct()
-        .localCheckpoint(true)
-      val candDocs = cands.select(col("new_id").as("doc_id"))
-        .union(cands.select(col("old_id").as("doc_id"))).distinct()
-      // (c) exact verify, estimate_quality shape: prune the shingle
-      // surface to candidate docs via broadcast semi-join, co-shingle
-      // self-join, semi-join back on the normalized pair key
-      val shC = idxSh.unionByName(bsh).join(broadcast(candDocs), Seq("doc_id"))
-        .localCheckpoint(true)
-      val sz = sizesOf(shC)
-      val candsNorm = cands.select(
-        least(col("new_id"), col("old_id")).as("ia"),
-        greatest(col("new_id"), col("old_id")).as("ib"))
-      val nearDups = shC.as("ca").join(shC.as("cb"),
-          col("ca.shingle") === col("cb.shingle") &&
-          col("ca.doc_id") < col("cb.doc_id"))
-        .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
-        .join(candsNorm.hint("broadcast"), Seq("ia", "ib"), "left_semi")
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
-        .filter(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
-        .count()
+      // (a) sketch ONLY the batch, (b) one-sided band-join candidates,
+      // (c) candidate-scoped exact verification — the shared core, same
+      // code the streaming wrapper runs per micro-batch
+      val (bsh, bbands) = Dedup.deltaSketch(bd)
+      val nearDups = Dedup.deltaNearDupsFromSketch(bsh, bbands,
+        indexSh.reduce(_ unionByName _), indexBands.reduce(_ unionByName _)).count()
       // (d) the batch joins the index: later deltas dedup against it too
       indexSh = bsh :: indexSh
       indexBands = bbands :: indexBands
