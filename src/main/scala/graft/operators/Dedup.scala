@@ -837,7 +837,7 @@ object Dedup {
     * canonicalization query (PipelineCompositions).
     */
   private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
-    componentLabelsOf(s, dir, jaccardPairs(s, dir))
+    componentLabelsOf(s, dir, pairsSurface(s, dir))
 
   private[operators] def componentLabelsOf(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame = {
       val pairs = pairsIn.select("ia", "ib")
@@ -907,18 +907,31 @@ object Dedup {
     * NpmReplayOps.replayCache); the dedup_* gate queries keep building
     * their own surfaces so their bench entries stay honest build costs.
     */
+  private val pairsCache = new graft.SessionCache[DataFrame]
   private val surfaceCache = new graft.SessionCache[(DataFrame, DataFrame)]
+
+  /** The near-dup PAIR layer alone, pinned per (session, corpus) — r7
+    * layering, mirroring [[shingleSurface]]/[[sketchSurface]]: the
+    * component step consumes exactly the pair table the curation surface
+    * is built on, so it probes this pin and keeps only its own
+    * propagation loop as per-query work. `dedup_ngram_jaccard` stays the
+    * honest carrier of the pair-generation join (it never reads this
+    * cache), exactly as `dedup_minhash_lsh` carries the sketch build.
+    */
+  private[operators] def pairsSurface(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(s, dir) {
+      // Pin ONLY the frames the queries keep probing. The builders'
+      // internal eager checkpoints (shingle table, edge table, per-round
+      // label frames) materialize OUTSIDE the pin blocks, so the
+      // between-query sweep can still reclaim them — pinning them too
+      // would reintroduce exactly the storage accumulation PinnedStorage
+      // exists to prevent.
+      graft.PinnedStorage.pin(s) { jaccardPairs(s, dir).localCheckpoint(true) }
+    }
 
   private[operators] def pairSurface(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     surfaceCache.getOrElseUpdate(s, dir) {
-      // Pin ONLY the two frames the curation queries keep probing. The
-      // builders' internal eager checkpoints (shingle table, edge table,
-      // per-round label frames) materialize OUTSIDE the pin blocks, so
-      // the between-query sweep can still reclaim them — pinning them
-      // too would reintroduce exactly the storage accumulation
-      // PinnedStorage exists to prevent.
-      val pairsPlan = jaccardPairs(s, dir)
-      val pairs = graft.PinnedStorage.pin(s) { pairsPlan.localCheckpoint(true) }
+      val pairs = pairsSurface(s, dir)
       val labelsPlan = componentLabelsOf(s, dir, pairs)
       val labels = graft.PinnedStorage.pin(s) { labelsPlan.localCheckpoint(true) }
       (pairs, labels)
