@@ -555,6 +555,120 @@ object TpchAdapted {
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY c_nationkey
         ORDER BY nationkey
+      """.stripMargin.trim)),
+
+    // ---- q2: minimum-cost supplier (correlated min → window) -------------
+    // The schema has no partsupp table, so the part-supplier association is
+    // derived from shipped lineitems: ps_supplycost := MIN(l_extendedprice)
+    // per (l_partkey, l_suppkey) — a pure DECIMAL(12,2) MIN, exact on both
+    // engines. The original's correlated "cost = (SELECT MIN(...))" becomes
+    // a window MIN over the part after the regional filter, so the derived
+    // partsupp aggregate is computed once (one shuffle on the pair key) and
+    // the region/nation/part dimensions all broadcast.
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice").cast(D)).as("ps_supplycost"))
+        val regionalSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val targetParts = Tables.part(s, dir)
+          .filter(col("p_size") === 25 && col("p_type") === "LARGE")
+          .select("p_partkey")
+        ps
+          .join(broadcast(regionalSupp), col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(targetParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+          .withColumn("min_cost",
+            min(col("ps_supplycost")).over(Window.partitionBy(col("ps_partkey"))))
+          .filter(col("ps_supplycost") === col("min_cost"))
+          .select(
+            col("s_acctbal"), col("s_name"), col("n_name"),
+            col("ps_partkey").as("p_partkey"), col("s_suppkey"),
+            col("ps_supplycost").cast("double").as("supplycost"))
+          .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+            asc("p_partkey"), asc("s_suppkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+          FROM lineitem GROUP BY 1, 2),
+        rs AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, s_suppkey,
+               CAST(ps_supplycost AS DOUBLE) AS supplycost
+        FROM ps
+        JOIN rs ON ps_suppkey = s_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_size = 25 AND p_type = 'LARGE')
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2 JOIN rs rs2 ON ps2.ps_suppkey = rs2.s_suppkey
+            WHERE ps2.ps_partkey = ps.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC, s_suppkey ASC
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // ---- q11: important stock identification -----------------------------
+    // Derived partsupp again: ps_supplycost := MIN(l_extendedprice),
+    // ps_availqty := SUM(l_quantity) per (partkey, suppkey), both pinned to
+    // DECIMAL(12,2) so the product DECIMAL(12,2)×DECIMAL(12,2) is exact on
+    // both engines. The global-threshold HAVING keeps the original's scalar
+    // subquery shape: per-part value vs 0.01% of the nation-wide total —
+    // threshold compared in DOUBLE via one identical IEEE multiply per the
+    // file-wide exactness recipe (decimal sums stay exact; only the final
+    // fraction comparison is float). The one-row total broadcasts.
+    QueryDef(
+      "q11_important_stock",
+      (s, dir) => {
+        val natSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val ps = Tables.lineitem(s, dir)
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg(
+            min(col("l_extendedprice").cast(D)).as("ps_supplycost"),
+            sum(col("l_quantity").cast(D)).cast(D).as("ps_availqty"))
+          .withColumn("pair_value", col("ps_supplycost") * col("ps_availqty"))
+        val byPart = ps.groupBy(col("ps_partkey"))
+          .agg(sum(col("pair_value")).as("value_dec"))
+        val total = byPart
+          .agg(sum(col("value_dec")).cast("double").as("total_value"))
+        byPart
+          .crossJoin(broadcast(total))
+          .filter(col("value_dec").cast("double") > col("total_value") * lit(0.0001))
+          .select(col("ps_partkey"), col("value_dec").cast("double").as("part_value"))
+          .orderBy(desc("part_value"), asc("ps_partkey"))
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(12,2))) *
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS pair_value
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+          GROUP BY l_partkey, l_suppkey),
+        byPart AS (
+          SELECT ps_partkey, SUM(pair_value) AS value_dec FROM ps GROUP BY 1)
+        SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM byPart
+        WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM byPart) * 0.0001
+        ORDER BY part_value DESC, ps_partkey ASC
       """.stripMargin.trim))
   )
 }

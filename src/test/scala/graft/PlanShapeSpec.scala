@@ -36,7 +36,8 @@ class PlanShapeSpec extends SparkSpec {
     "ts_gapfill_daily_orders",        // day grid × 5-row dimension set
     "join_theta_price_brackets",      // 4-row broadcast range dimension
     "q15_top_supplier",               // 1-row max-revenue crossJoin
-    "q22_idle_balance_by_nation")     // 1-row avg-balance crossJoin
+    "q22_idle_balance_by_nation",     // 1-row avg-balance crossJoin
+    "q11_important_stock")            // 1-row total-value crossJoin
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
