@@ -820,6 +820,60 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * restrict the pairwise cosine check to each coarse k-means cluster
+    * (the `label` column — the same coarse quantizer the IVF index probes)
+    * and greedily drop any vector with an EARLIER same-cluster neighbor
+    * above the similarity threshold. `dup_of` is the smallest such
+    * neighbor id, NULL for kept representatives, so the output is both
+    * the keep-set and the dup→representative mapping.
+    *
+    * Scale shape: the candidate join is an equi-join on the cluster label
+    * — O(Σ cluster²) work instead of the corpus² of
+    * [[embeddingCosine]], and exactly the SemDeDup recipe for running
+    * semantic dedup at pretraining-corpus scale. Probes the pinned
+    * [[AnnSearch.index]] signature table (the production amortization;
+    * the honest build cost stays on the ann_cosine_topk_* carriers).
+    * Threshold 0.30 sits at ~p99 of the within-cluster cosine mass of
+    * the synthetic embeddings — the same "only near-twins" regime the
+    * paper's 0.9+ occupies on real embeddings.
+    */
+  val semanticSemdedup: QueryDef = QueryDef(
+    "dedup_semantic_semdedup",
+    (s, dir) => {
+      val e = AnnSearch.index(s, dir)
+      val a = e.select(col("vec_id").as("ua"), col("label").as("la"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ub"), col("label").as("lb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dups = a.join(b, col("la") === col("lb") && col("ua") < col("ub"))
+        .filter(expr("float_dot(ea, eb)") / (col("na") * col("nb")) >= 0.30)
+        .groupBy(col("ub").as("vec_id"))
+        .agg(min(col("ua")).as("dup_of"))
+      e.select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      d AS (
+        SELECT c.vec_id AS vec_id, MIN(q.vec_id) AS dup_of
+        FROM n q JOIN n c ON q.label = c.label AND q.vec_id < c.vec_id
+        WHERE list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                (x, y) -> x + y) / (q.nrm * c.nrm) >= 0.30
+        GROUP BY c.vec_id)
+      SELECT n.vec_id, CAST(n.label AS BIGINT) AS label, d.dup_of,
+             d.dup_of IS NULL AS kept
+      FROM n LEFT JOIN d ON n.vec_id = d.vec_id
+      ORDER BY n.vec_id
+    """.stripMargin.trim))
+
   /** Connected components over the near-dup pair graph (Jaccard ≥ 0.5):
     * every document labeled with the min doc_id of its component — the
     * step that turns pairwise near-dup hits into keep-one-per-cluster
@@ -940,5 +994,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
-      simhash, embeddingCosine, clusterComponents)
+      simhash, embeddingCosine, semanticSemdedup, clusterComponents)
 }
