@@ -242,6 +242,68 @@ object TextAnalysis {
       ORDER BY s.doc_id
     """.stripMargin.trim))
 
+  /** Token-budget corpus packing — the greedy per-source fill every
+    * mixture-weighted pretraining run executes: rank each source's
+    * documents by quality (ties by doc_id), take documents in rank order
+    * until the source's token budget is spent. Emits the packed picks
+    * with their running token total so the budget accounting is
+    * auditable row-by-row.
+    *
+    * Scale shape: ONE shuffle keyed by source, then a per-source sort +
+    * running sum inside the window — the greedy fill is inherently
+    * order-dependent within a source, and the source is the natural
+    * partition unit (a 100 TB corpus has many sources, not giant ones;
+    * a pathologically hot source would be range-partitioned by the same
+    * (quality, doc_id) rank key AQE already uses for skewed sorts).
+    * Exactness: quality is the shared identical-IEEE expression of
+    * [[qualityScore]]; the running sum is pure BIGINT; both engines pin
+    * the frame to ROWS so peer semantics can't differ.
+    */
+  val tokenBudgetPack: QueryDef = QueryDef(
+    "pipeline_token_budget_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pat = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("quality"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .withColumn("ts", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ts")))
+        .withColumn("stop_hits",
+          size(expr(s"filter(ts, t -> t IN ${sqlList(enStops)})")))
+        .withColumn("quality",
+          (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)) +
+            ((size(array_distinct(col("ts"))).cast("double") / col("n_tokens")) * lit(0.3)) +
+            ((col("stop_hits").cast("double") / col("n_tokens")) * lit(0.2)))
+        .withColumn("n_bpe_tokens",
+          size(expr(s"regexp_extract_all(text, \"$pat\", 0)")).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800L)
+        .select(col("source"), col("doc_id"), col("quality"),
+          col("n_bpe_tokens"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT source, doc_id,
+               (least(len(ts) / 100.0, 1.0) * 0.5)
+               + ((CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.3)
+               + ((CAST(len(list_filter(ts, t -> t IN ${sqlList(enStops)})) AS DOUBLE) / len(ts)) * 0.2) AS quality,
+               CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT source, doc_id, text, string_split(text, ' ') AS ts FROM documents) t),
+      packed AS (
+        SELECT source, doc_id, quality, n_bpe_tokens,
+               CAST(SUM(n_bpe_tokens) OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT source, doc_id, quality, n_bpe_tokens, cum_tokens
+      FROM packed
+      WHERE cum_tokens <= 800
+      ORDER BY source, doc_id
+    """.stripMargin.trim))
+
   /** Winnowing fingerprints (the MOSS scheme): hash every char 5-gram
     * (rolling-hash semantics — md5 as the portable stand-in), take the
     * min hash in each sliding window of 4 positions, keep the distinct
@@ -371,5 +433,5 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
-      levenshteinNeighbors, winnowFingerprint, repetitionRatios)
+      tokenBudgetPack, levenshteinNeighbors, winnowFingerprint, repetitionRatios)
 }
