@@ -37,11 +37,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * refined: rows are routed into 16 bucket files by the next nibble
   * of the key's hash and each bucket re-runs the same bounded heap
   * pass one nibble deeper, so each level divides distinct keys ~16×
-  * until a bucket fits (8 nibble levels; a bucket still over
-  * threshold at max depth — only possible when ~all keys share a
-  * 32-bit hash — degrades to unbounded in-memory, the pre-r6
-  * behavior). Spill I/O is sequential UnsafeRow bytes, amortized by
-  * the ≤k-per-key compaction already applied to every spilled run.
+  * until a bucket fits (8 nibble levels). A bucket still over
+  * threshold past the last nibble — only possible when ~all its keys
+  * share a full 32-bit hash — switches to an external sort-merge
+  * (r7; previously this degraded to unbounded in-memory): rows are
+  * sorted by (key bytes, order) in budget-bounded chunks, each chunk
+  * written as a sorted run, and the k-way merge streams out the first
+  * k rows of every key group. Memory is then ≤ budget rows per chunk
+  * plus one row per run during the merge — bounded under ANY key/hash
+  * distribution. Spill I/O is sequential UnsafeRow bytes, amortized
+  * by the ≤k-per-key compaction already applied to every spilled run.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -80,8 +85,13 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val maxKept = conf.getConfString(
       "spark.graft.topk.maxKeptRowsPerPartition", "4194304").toLong
+    // test seam: lowering the refine depth forces the sort-merge fallback
+    // without crafting full 32-bit hash collisions (-1 = sort immediately
+    // on the first over-budget pass)
+    val maxDepth = conf.getConfString(
+      "spark.graft.topk.maxRefineDepth", "7").toInt
     child.execute().mapPartitions({ iter =>
-      new TopKPartitionProcessor(kLocal, keyExprs, orderExprs, childOutput, maxKept)
+      new TopKPartitionProcessor(kLocal, keyExprs, orderExprs, childOutput, maxKept, maxDepth)
         .process(iter)
     }, preservesPartitioning = true)
   }
@@ -96,6 +106,11 @@ object TopKPerKeyExec {
     * hitting the fallback; not a correctness input.
     */
   val spillEvents = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Times the depth-exhausted external sort-merge fallback engaged —
+    * the bounded last-resort path for total hash collision.
+    */
+  val sortFallbackEvents = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** One input partition's bounded-memory top-k pass (see the operator
@@ -106,14 +121,10 @@ private[plans] class TopKPartitionProcessor(
     keyExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     childOutput: Seq[Attribute],
-    maxKeptRows: Long) {
+    maxKeptRows: Long,
+    maxDepth: Int = 7) {
 
   import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
-
-  /** Deepest bucket-refinement level: 8 nibbles exhaust the 32-bit key
-    * hash; beyond it splitting cannot make progress.
-    */
-  private val MaxDepth = 7
 
   private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
   private val ordering = GenerateOrdering.generate(orderExprs, childOutput)
@@ -153,7 +164,8 @@ private[plans] class TopKPartitionProcessor(
       TopKPerKeyExec.spillEvents.incrementAndGet()
     }
 
-    iter.foreach { row =>
+    while (iter.hasNext) {
+      val row = iter.next()
       val key = keyProj(row) // reused buffer; copy only on first sight
       val heap = heaps.get(key) match {
         case Some(h) => h
@@ -169,7 +181,20 @@ private[plans] class TopKPartitionProcessor(
       else if (ordering.compare(row, heap.peek()) < 0) {
         heap.poll(); heap.add(copyUnsafe(row))
       }
-      if (kept > maxKeptRows && depth <= MaxDepth) spillAll()
+      if (kept > maxKeptRows) {
+        if (depth <= maxDepth) spillAll()
+        else {
+          // nibble refinement is exhausted (the bucket's keys share a
+          // full 32-bit hash): hand the per-key partial top-k kept so
+          // far, plus the unread remainder, to the bounded sort-merge —
+          // valid because topk(topk(A) ∪ B) = topk(A ∪ B)
+          val partial = heaps.valuesIterator.flatMap { h =>
+            Iterator.continually(h.poll()).takeWhile(_ != null)
+          }.toArray.iterator
+          heaps.clear()
+          return sortedTopK(partial ++ iter)
+        }
+      }
     }
 
     if (spills.isEmpty) {
@@ -204,6 +229,91 @@ private[plans] class TopKPartitionProcessor(
       val it = run(readRows(bf), depth + 1)
       bf.delete(); liveFiles -= bf
       it
+    }
+  }
+
+  // ---- depth-exhausted bounded fallback: external sort-merge ------------
+
+  /** Total order on (key bytes, sort order): any order in which equal
+    * keys are adjacent works for grouping, and UnsafeRow byte equality
+    * IS key equality for a fixed projection (the same invariant the
+    * heap map's hash lookups rely on). Two projection instances so
+    * comparing two rows doesn't clobber one shared buffer.
+    */
+  private lazy val keyProjL = UnsafeProjection.create(keyExprs, childOutput)
+  private lazy val keyProjR = UnsafeProjection.create(keyExprs, childOutput)
+  private def compareKeyBytes(a: UnsafeRow, b: UnsafeRow): Int = {
+    val la = a.getSizeInBytes; val lb = b.getSizeInBytes
+    if (la != lb) return java.lang.Integer.compare(la, lb)
+    val ba = a.getBytes; val bb = b.getBytes
+    var i = 0
+    while (i < la) {
+      val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+  private lazy val keyThenOrderCmp = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      val c = compareKeyBytes(keyProjL(a), keyProjR(b))
+      if (c != 0) c else ordering.compare(a, b)
+    }
+  }
+
+  /** Bounded top-k for a bucket whose keys can no longer be split by
+    * hash: sort budget-sized chunks in memory, write each as a sorted
+    * run, k-way-merge the runs, and emit only the first k rows of every
+    * key group (runs are sorted by (key, order), so a group's merged
+    * prefix IS its top-k). Memory: ≤ budget rows per chunk while
+    * building runs, then one head row per run while merging.
+    */
+  private def sortedTopK(input: Iterator[InternalRow]): Iterator[InternalRow] = {
+    TopKPerKeyExec.sortFallbackEvents.incrementAndGet()
+    val runs = scala.collection.mutable.ArrayBuffer.empty[File]
+    val chunk = new java.util.ArrayList[InternalRow]()
+    def flushRun(): Unit = if (!chunk.isEmpty) {
+      chunk.sort(keyThenOrderCmp)
+      val f = newSpillFile()
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      try { chunk.forEach(r => writeRow(out, r)) } finally out.close()
+      runs += f
+      chunk.clear()
+    }
+    input.foreach { r =>
+      chunk.add(copyUnsafe(r))
+      if (chunk.size >= math.max(1L, maxKeptRows)) flushRun()
+    }
+    flushRun()
+
+    final class Head(var row: InternalRow, val it: Iterator[InternalRow])
+    val pq = new java.util.PriorityQueue[Head](math.max(1, runs.size),
+      (x: Head, y: Head) => keyThenOrderCmp.compare(x.row, y.row))
+    runs.foreach { f =>
+      val it = readRows(f)
+      if (it.hasNext) pq.add(new Head(it.next(), it))
+    }
+
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = _
+      private var emitted = 0
+      private var nextRow: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (!pq.isEmpty) {
+          val h = pq.poll()
+          val row = h.row
+          if (h.it.hasNext) { h.row = h.it.next(); pq.add(h) }
+          val key = keyProjL(row)
+          if (curKey == null || !(key == curKey)) { curKey = key.copy(); emitted = 0 }
+          if (emitted < k) { emitted += 1; return row }
+        }
+        runs.foreach { f => f.delete(); liveFiles -= f }
+        null
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; nextRow = advance(); r
+      }
     }
   }
 

@@ -54,6 +54,34 @@ class TopKPerKeyPropertySpec extends SparkSpec {
       "memory cap of 64 rows never triggered a spill — fallback untested")
   }
 
+  test("depth-exhausted sort-merge fallback is bounded and row-identical") {
+    // maxRefineDepth = -1 simulates total 32-bit hash collision: the very
+    // first over-budget pass must go straight to the external sort-merge
+    // (nibble refinement "exhausted"), never to unbounded in-memory heaps.
+    // 64-row cap over 3000 distinct keys forces multiple sorted runs, so
+    // the k-way merge and per-key-group prefix emission are both
+    // exercised; duplicate order values within a key check the group
+    // boundary logic.
+    val iso = spark.newSession()
+    iso.conf.set("spark.graft.topk.maxKeptRowsPerPartition", "64")
+    iso.conf.set("spark.graft.topk.maxRefineDepth", "-1")
+    val before = TopKPerKeyExec.sortFallbackEvents.get()
+    val df = iso.range(0, 12000).select(
+      (col("id") % 3000).as("key"),
+      (col("id") * 13 % 7).as("v"), // heavy duplicates
+      col("id").as("id2"))
+    val native = TopK.perKey(df, Seq("key"), Seq(("v", false), ("id2", true)), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id2"))
+    val window = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == window)
+    assert(native.size == 9000) // 3000 keys × min(k=3, 4 rows/key) = 3
+    assert(TopKPerKeyExec.sortFallbackEvents.get() > before,
+      "maxRefineDepth=-1 never engaged the sort-merge fallback — path untested")
+  }
+
   test("row-identical to the window form on random skewed data") {
     samples(12).zipWithIndex.foreach { case (rows, i) =>
       val df = rows.toDF("key", "v", "id")
