@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, SemverClean, SemverExpressions, VectorExpressions}
+import graft.functions.{BloomExpressions, FloatDotProduct, SemverClean, SemverExpressions, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions at session build time, so SQL users get them without any
@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("semver_clean"),
       new ExpressionInfo(classOf[SemverClean].getName, "semver_clean"),
       SemverExpressions.builder))
+    // Spark's own runtime-filter predicate, surfaced for hand-placed
+    // semi-join reductions (ScalePatterns.bloomPruneJoin)
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      BloomExpressions.builder))
     // whole-operator extension: the sort-free per-key top-k physical
     // operator (graft.plans.TopKPerKey); already-built sessions get it
     // lazily via TopK.ensureRegistered / TopK.enableRewrite
