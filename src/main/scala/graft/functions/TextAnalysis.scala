@@ -431,7 +431,52 @@ object TextAnalysis {
       ORDER BY m.doc_id
     """.stripMargin.trim))
 
+  /** Sliding-window document chunking — the splitting step every
+    * context-bounded consumer of a corpus needs (training-sample
+    * packing feeds on fixed windows; retrieval indexes embed chunks,
+    * not documents). Window W=32 tokens, stride S=16: consecutive
+    * chunks overlap by W−S tokens so no boundary context is lost, and
+    * the start grid stops at the last window that adds new tokens
+    * (greatest(n−(W−S), 1) — no trailing chunk fully contained in its
+    * predecessor). Pure narrow work — split, per-row explode over the
+    * start grid, slice — no shuffle until the gate's ORDER BY; at
+    * 100 TB this is a map-only pass whose output feeds the embedding /
+    * packing stages partition-local.
+    */
+  val chunkSliding: QueryDef = QueryDef(
+    "text_chunk_sliding",
+    (s, dir) => {
+      val W = 32
+      val S = 16
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("upper", greatest(size(col("toks")) - (W - S), lit(1)))
+        .withColumn("start", explode(sequence(lit(0), col("upper") - 1, lit(S))))
+        .select(col("doc_id"),
+          (col("start") / lit(S)).cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start") + 1, lit(W))).cast("long")
+            .as("chunk_tokens"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (
+        SELECT doc_id, toks,
+               UNNEST(range(0, greatest(len(toks) - 16, 1), 16)) AS start
+        FROM toks)
+      SELECT doc_id,
+             CAST(start // 16 AS BIGINT) AS chunk_id,
+             CAST(len(toks[start+1 : start+32]) AS BIGINT) AS chunk_tokens,
+             array_to_string(toks[start+1 : start+32], ' ') AS chunk_text
+      FROM st
+      ORDER BY doc_id, chunk_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
-      tokenBudgetPack, levenshteinNeighbors, winnowFingerprint, repetitionRatios)
+      tokenBudgetPack, levenshteinNeighbors, winnowFingerprint, repetitionRatios,
+      chunkSliding)
 }
