@@ -19,6 +19,7 @@ object SparkEntry {
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
     operators.StreamAnalogs.defs ++
+    operators.StreamLive.defs ++
     operators.RelationalExtra.defs ++
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++

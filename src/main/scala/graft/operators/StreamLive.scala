@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** LIVE Structured Streaming forms of the two stateful stream operators
+  * the batch analogs (EventOps / StreamAnalogs) cannot exercise: the
+  * watermarked stream-stream interval join and streaming key dedup
+  * (`dropDuplicatesWithinWatermark`). Each query replays the events
+  * table as real file-source micro-batches (two drops, executor-side
+  * writes, `maxFilesPerTrigger=1`), runs the unbounded query under
+  * `Trigger.AvailableNow` with checkpointing, and returns a batch read
+  * of the append sink — so the DuckDB oracle checks the STREAMING
+  * engine's output, state management included.
+  *
+  * Both queries set a full-horizon watermark (35 days > the 30-day
+  * feed): every row joins/dedups exactly as in batch, making the result
+  * deterministic under ANY micro-batch partitioning of the input — the
+  * determinism the hash-comparing gate requires. Production deployments
+  * shrink the delay (e.g. 2 h) to bound state: the join state store then
+  * holds only rows inside the interval+delay horizon per key, and the
+  * dedup store only recent keys — O(arrival rate × horizon), not O(∞).
+  */
+object StreamLive {
+
+  private val D = DecimalType(12, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- watermarked stream-stream interval join -------------------------
+    // Ad-attribution shape: each purchase joins the views by the same
+    // user in the preceding hour. Both sides are unbounded; Spark keys
+    // the join state by user_id and the interval condition + watermark
+    // let it evict state as event time advances.
+    QueryDef(
+      "stream_stream_join_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // watermark columns must be TIMESTAMP (not NTZ); session TZ is
+        // pinned to UTC in every entry point, so the cast is value-exact
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"),
+            col("ts").cast("timestamp").as("view_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_event_id"),
+            col("ts").cast("timestamp").as("purchase_ts"))
+        val base = java.nio.file.Files.createTempDirectory("graft-ss-join").toString
+        val mid = lit("2024-01-16").cast("timestamp")
+        // two crawl drops per side, executor-side writes; one file per
+        // drop = one micro-batch per drop under maxFilesPerTrigger=1
+        views.filter(col("view_ts") < mid).coalesce(1).write.parquet(s"$base/v/d0")
+        views.filter(col("view_ts") >= mid).coalesce(1).write.parquet(s"$base/v/d1")
+        purchases.filter(col("purchase_ts") < mid).coalesce(1).write.parquet(s"$base/p/d0")
+        purchases.filter(col("purchase_ts") >= mid).coalesce(1).write.parquet(s"$base/p/d1")
+        val vStream = s.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/v/*")
+          .withWatermark("view_ts", "35 days")
+        val pStream = s.readStream.schema(purchases.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/p/*")
+          .withWatermark("purchase_ts", "35 days")
+        vStream.join(pStream,
+            col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+          .select("user_id", "view_event_id", "purchase_event_id")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$base/out")
+          .orderBy("user_id", "view_event_id", "purchase_event_id")
+      },
+      Some("""
+        SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id
+        FROM events v
+        JOIN events p ON v.user_id = p.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        ORDER BY v.user_id, view_event_id, purchase_event_id
+      """.stripMargin.trim)),
+
+    // ---- streaming key dedup (dropDuplicatesWithinWatermark) -------------
+    // The at-least-once feed replayed IN FULL (every event delivered
+    // twice, in two separate micro-batches); the streaming dedup state
+    // admits each event_id once, so the sink holds exactly-once data.
+    // The batch analog (stream_replay_exactly_once) proves the algebra;
+    // this runs the real state-store path.
+    QueryDef(
+      "stream_dedup_within_watermark",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          col("ts").cast("timestamp").as("ts"), // watermark needs TIMESTAMP; UTC session → value-exact
+          col("event_type"), col("value"))
+        val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+        ev.coalesce(1).write.parquet(s"$base/in/d0") // first delivery
+        ev.coalesce(1).write.parquet(s"$base/in/d1") // full redelivery
+        val arrivals = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        arrivals
+          .withWatermark("ts", "35 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$base/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_after_dedup"),
+            sum(col("value").cast(D)).cast("double").as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_after_dedup,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim))
+  )
+}
