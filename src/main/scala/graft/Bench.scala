@@ -16,6 +16,7 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_minhash_estimate_quality",
     "dedup_minhash_incremental_delta", "stream_delta_dedup_minhash",
+    "stream_stream_join_attribution", "stream_dedup_within_watermark",
     "dedup_embedding_cosine", "dedup_cluster_components",
     "pipeline_source_quota_topk", "pipeline_benchmark_decontaminate",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",
@@ -24,6 +25,7 @@ object Bench {
     "stream_sessionization_30m", "stream_hourly_windowed_agg",
     "npm_pipeline_replay_catalog", "npm_catalog_compaction_latest",
     "mm_feature_extract", "ts_gapfill_daily_orders",
+    "scale_bloom_prune_join", "text_chunk_sliding",
     "agg_salted_two_stage", "pipeline_training_corpus_select")
 
   def main(args: Array[String]): Unit = {

@@ -37,7 +37,15 @@ object StreamLive {
     // let it evict state as event time advances.
     QueryDef(
       "stream_stream_join_attribution",
-      (s, dir) => {
+      (s0, dir) => {
+        // the stateful stage's partition count is a per-query deployment
+        // knob (baked into the checkpoint at start): 32 shuffle
+        // partitions would mean 32×4 join state stores per micro-batch,
+        // almost all holding a handful of rows locally — size it to the
+        // state volume instead (production: size to the cluster). An
+        // isolated child session scopes the conf to this query.
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val ev = Tables.events(s, dir)
         // watermark columns must be TIMESTAMP (not NTZ); session TZ is
         // pinned to UTC in every entry point, so the cast is value-exact
@@ -95,7 +103,10 @@ object StreamLive {
     // this runs the real state-store path.
     QueryDef(
       "stream_dedup_within_watermark",
-      (s, dir) => {
+      (s0, dir) => {
+        // same per-query state-partition sizing as the join above
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val ev = Tables.events(s, dir).select(col("event_id"),
           col("ts").cast("timestamp").as("ts"), // watermark needs TIMESTAMP; UTC session → value-exact
           col("event_type"), col("value"))
