@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -244,6 +245,76 @@ object Dedup {
       JOIN sz sb ON sb.doc_id = ib
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  /** Prefix-filter candidate pairs (SSJoin/PPJoin family: Chaudhuri et
+    * al., ICDE'06; Xiao et al., WWW'08 — public algorithms): order each
+    * doc's shingles by GLOBAL rarity (df asc, shingle asc — a total
+    * order), keep only the first n − ⌈t·n⌉ + 1 ("the prefix"), and join
+    * docs sharing a PREFIX shingle. Guarantee: J(x,y) ≥ t ⇒ overlap ≥
+    * ⌈t·|x|⌉ (since |x∪y| ≥ |x|), so if all common shingles sat in x's
+    * suffix (size ⌈t·n⌉ − 1) the overlap bound is violated; the least
+    * common shingle in the global order is therefore in BOTH prefixes.
+    * Every true pair survives; only the candidate set shrinks.
+    *
+    * Scale contrast with the other two arms (selfjoin/postinglist join
+    * on ALL shingles): candidate generation joins only prefix rows —
+    * rare shingles by construction, so bucket sizes are small WITHOUT
+    * the lossy df cap; the frequent-shingle mass that dominates
+    * co-occurrence joins never enters the exchange. The t=0.5 prefix is
+    * ~half the shingle surface, and the join output is pairs sharing a
+    * RARE shingle rather than all co-occurring pairs.
+    */
+  private[operators] def prefixCandidatePairs(sh: DataFrame, t: Double): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "shingle")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+  }
+
+  /** Exact Jaccard ≥ 0.5 via prefix filtering + candidate-scoped verify:
+    * same result (and oracle) as `dedup_ngram_jaccard`, third physical
+    * strategy. Verification reuses the estimate_quality shape — prune
+    * the shingle table to candidate docs with one broadcast semi-join,
+    * co-shingle-join the pruned table, semi-join back to the candidate
+    * set — so the exact pass never touches non-candidate documents.
+    */
+  val prefixFilterJaccard: QueryDef = QueryDef(
+    "dedup_prefix_filter_jaccard",
+    (s, dir) => {
+      val sh = shingleSurface(s, dir)
+      val cands = prefixCandidatePairs(sh, 0.5)
+        .localCheckpoint(true) // tiny; probed twice below
+      val candDocs = cands.select(col("ia").as("doc_id"))
+        .union(cands.select(col("ib").as("doc_id"))).distinct()
+      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+        .localCheckpoint(true) // referenced 2× (intersections, sizes)
+      val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shC.as("ca").join(shC.as("cb"),
+          col("ca.shingle") === col("cb.shingle") &&
+          col("ca.doc_id") < col("cb.doc_id"))
+        .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
+        .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          (col("inter").cast("double") /
+            (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH $jaccardPairsSql
+      SELECT ia, ib, jaccard FROM jp ORDER BY ia, ib
     """.stripMargin.trim))
 
   /** All 16 minhashes in ONE aggregation (16 min buffers, map-side
@@ -992,7 +1063,7 @@ object Dedup {
     }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, ngramJaccardCapped, minhashLsh,
+    Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents)
 }
