@@ -317,6 +317,47 @@ object Dedup {
       SELECT ia, ib, jaccard FROM jp ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** Containment dedup: overlap / min(|x|,|y|) ≥ 0.8 — the asymmetric
+    * twin of Jaccard. A short document quoted inside a long one has low
+    * Jaccard (the union is large) but containment ≈ 1; pipelines use it
+    * to drop subset duplicates (boilerplate-wrapped reposts, quoted
+    * articles) that symmetric dedup misses. Reuses the conf-selected
+    * candidate machinery ([[candidatePairsOf]]); `contained_doc_id`
+    * names the smaller side — the one a keep-best policy would drop.
+    */
+  val containment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, dir) => {
+      val sh = shingleSurface(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      candidatePairsOf(sh, Int.MaxValue)
+        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"),
+          (col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
+            .as("containment"),
+          when(col("sa.n") <= col("sb.n"), col("ia")).otherwise(col("ib"))
+            .as("contained_doc_id"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pair AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia, ib,
+             CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+             CASE WHEN sa.n <= sb.n THEN ia ELSE ib END AS contained_doc_id
+      FROM pair
+      JOIN sz sa ON sa.doc_id = ia
+      JOIN sz sb ON sb.doc_id = ib
+      WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
   /** All 16 minhashes in ONE aggregation (16 min buffers, map-side
     * combine, single shuffle of the shingle set) instead of a ×16
     * row-exploding crossJoin through two shuffles. Lexicographic min of
@@ -1063,7 +1104,7 @@ object Dedup {
     }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, minhashLsh,
+    Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents)
 }
