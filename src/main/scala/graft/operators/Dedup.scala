@@ -264,17 +264,29 @@ object Dedup {
     * co-occurrence joins never enters the exchange. The t=0.5 prefix is
     * ~half the shingle surface, and the join output is pairs sharing a
     * RARE shingle rather than all co-occurring pairs.
+    *
+    * Physical shape: ONE shuffle keyed by doc_id (hash agg collecting
+    * each doc's (df, shingle) pairs), with the global-rarity sort done
+    * in memory per doc — docs hold hundreds of shingles, so the array
+    * sort is trivially cheap, where the previous window form paid a
+    * full shuffle-and-SORT of the entire shingle table plus two Window
+    * passes. Candidates also carry the PPJoin LENGTH filter: J ≥ t ⇒
+    * inter ≥ t·union ≥ t·max(|x|,|y|), and inter ≤ min(|x|,|y|), so
+    * min ≥ t·max — pairs failing it cannot reach the threshold and are
+    * dropped before the verification join ever sees them.
     */
   private[operators] def prefixCandidatePairs(sh: DataFrame, t: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
     val prefix = sh.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ss"))
+      .select(col("doc_id"), size(col("ss")).as("n"),
+        explode(expr(
+          s"slice(ss, 1, cast(size(ss) - ceil(size(ss) * $t) + 1 as int))")).as("s"))
+      .select(col("doc_id"), col("n"), col("s.shingle").as("shingle"))
     prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
   }
