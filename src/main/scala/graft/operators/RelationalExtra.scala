@@ -134,8 +134,9 @@ object RelationalExtra {
           .groupBy("l_returnflag", "l_extendedprice").agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val totals = Tables.lineitem(s, dir)
-          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        // group totals re-aggregate the (already tiny) histogram — one
+        // lineitem scan total, not two
+        val totals = hist.groupBy("l_returnflag").agg(sum("cnt").as("n"))
         hist.withColumn("cum", sum("cnt").over(w))
           .join(totals, "l_returnflag")
           .withColumn("k", ((col("n") + 1) / 2).cast("long"))
