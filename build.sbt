@@ -39,3 +39,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 1×→90× slowdown through the alphabetical run order at 8g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// ad-hoc diagnostics for forked runs (e.g. GRAFT_JVM_EXTRA="-Xlog:gc")
+javaOptions ++= sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -25,15 +25,18 @@ object Dedup {
     * character-trigram vocabulary (~380), which would make an inverted
     * index useless; word shingles give ~27k distinct keys.
     */
-  private[operators] def shingles(docs: DataFrame): DataFrame =
-    docs
+  private[operators] def shingles(docs: DataFrame, spread: Boolean = true): DataFrame =
+    (if (spread)
       // The driver's testdata is one row group per table, so the scan is
       // one task; the shingle explode + hashing is the CPU-heavy stage and
       // must not run single-threaded behind it. A production 100 TB table
       // has thousands of splits and needs no such spread — this buys back
       // exactly the parallelism the real layout would give (measured 1.1 s
-      // → 0.1 s for the shingle stage at sf0.1).
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // → 0.1 s for the shingle stage at sf0.1). Micro-batch callers pass
+      // spread = false: a few-hundred-doc arrival batch costs more to
+      // redistribute than to explode in place.
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    else docs)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -744,13 +747,25 @@ object Dedup {
     """.stripMargin.trim))
 
   /** Delta-batch sketch: the (shingles, LSH bands) pair for ONE arrival
-    * batch, eagerly checkpointed — O(|batch|) work, reused by the probe
-    * and (in the growth loop) appended to the corpus index.
+    * batch. `materialize = true` (the growth loop) eagerly checkpoints
+    * both frames — they are appended to the corpus index and re-read by
+    * every LATER batch, so the O(|batch|) build must run exactly once.
+    * `materialize = false` (the streaming probe) returns lazy frames:
+    * the sketch lives only inside the ONE foreachBatch action, where
+    * ReuseExchange already dedupes its repeated subtrees — each eager
+    * checkpoint would add a full extra job + block write per micro-batch
+    * for data measured in hundreds of rows.
     */
-  private[graft] def deltaSketch(deltaDocs: DataFrame): (DataFrame, DataFrame) = {
-    val bsh = shingles(deltaDocs).localCheckpoint(true)
-    val bbands = bandsOf(minhashOf(bsh)).localCheckpoint(true)
-    (bsh, bbands)
+  private[graft] def deltaSketch(
+      deltaDocs: DataFrame, materialize: Boolean = true): (DataFrame, DataFrame) = {
+    if (materialize) {
+      val bsh = shingles(deltaDocs).localCheckpoint(true)
+      val bbands = bandsOf(minhashOf(bsh)).localCheckpoint(true)
+      (bsh, bbands)
+    } else {
+      val bsh = shingles(deltaDocs, spread = false)
+      (bsh, bandsOf(minhashOf(bsh)))
+    }
   }
 
   /** Core of the incremental near-dup probe — the reusable form of
@@ -770,17 +785,26 @@ object Dedup {
     */
   private[graft] def deltaNearDupsFromSketch(
       bsh: DataFrame, bbands: DataFrame,
-      corpusSh: DataFrame, corpusBands: DataFrame): DataFrame = {
-    val cands = bbands.as("n").join(corpusBands.as("o"),
+      corpusSh: DataFrame, corpusBands: DataFrame,
+      eager: Boolean = true): DataFrame = {
+    // `eager = false` (the streaming per-batch path): skip the
+    // intermediate checkpoints and leave the repeated subtrees to
+    // ReuseExchange inside the batch's single write action — at
+    // micro-batch volume each eager materialization is a whole extra
+    // job that costs more than recomputing the tiny frame it saves.
+    def maybeCheckpoint(df: DataFrame): DataFrame =
+      if (eager) df.localCheckpoint(true) else df
+    val cands = maybeCheckpoint(
+      bbands.as("n").join(corpusBands.as("o"),
         col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
         col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-      .distinct()
-      .localCheckpoint(true)  // probed 2× (candDocs, normalized pair key)
+      .distinct())  // probed 2× (candDocs, normalized pair key)
     val candDocs = cands.select(col("new_id").as("doc_id"))
       .union(cands.select(col("old_id").as("doc_id"))).distinct()
-    val shC = corpusSh.unionByName(bsh).join(broadcast(candDocs), Seq("doc_id"))
-      .localCheckpoint(true)  // referenced 2× (intersections, sizes)
+    val shC = maybeCheckpoint(
+      corpusSh.unionByName(bsh).join(broadcast(candDocs), Seq("doc_id")))
+      // referenced 2× (intersections, sizes)
     val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val candsNorm = cands.select(
       least(col("new_id"), col("old_id")).as("ia"),
@@ -807,11 +831,15 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** [[deltaNearDupsFromSketch]] over raw (doc_id, text) arrival rows. */
+  /** [[deltaNearDupsFromSketch]] over raw (doc_id, text) arrival rows.
+    * `eager = false` is the streaming micro-batch shape (lazy sketch, no
+    * intermediate checkpoints — one job per batch).
+    */
   private[graft] def deltaNearDups(
-      deltaDocs: DataFrame, corpusSh: DataFrame, corpusBands: DataFrame): DataFrame = {
-    val (bsh, bbands) = deltaSketch(deltaDocs)
-    deltaNearDupsFromSketch(bsh, bbands, corpusSh, corpusBands)
+      deltaDocs: DataFrame, corpusSh: DataFrame, corpusBands: DataFrame,
+      eager: Boolean = true): DataFrame = {
+    val (bsh, bbands) = deltaSketch(deltaDocs, materialize = eager)
+    deltaNearDupsFromSketch(bsh, bbands, corpusSh, corpusBands, eager)
   }
 
   /** 32-bit frequency-weighted SimHash; near-dup pairs = Hamming ≤ 3,

@@ -46,7 +46,10 @@ object DeltaDedupStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.operators.Dedup.deltaNearDups(batch, corpusSh, corpusBands)
+        // eager = false: the whole probe is ONE write action per batch;
+        // ReuseExchange dedupes the sketch subtrees, so the per-batch
+        // eager checkpoints (4 extra jobs for hundreds of rows) vanish
+        graft.operators.Dedup.deltaNearDups(batch, corpusSh, corpusBands, eager = false)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
       }
