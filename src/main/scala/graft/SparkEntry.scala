@@ -16,6 +16,7 @@ object SparkEntry {
     functions.FunctionBatteries.defs ++
     operators.Dedup.defs ++
     operators.PipelineCompositions.defs ++
+    operators.CorpusOps.defs ++
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
     operators.StreamAnalogs.defs ++

@@ -138,7 +138,9 @@ object NpmReplayOps {
       implicit val spark = s
       replayFor(s, dir).skipped
         .select(col("seq"), col("package_name"), col("reason"), col("stage"))
-        .orderBy("seq")
+        // seq alone is not total: the synthetic oversized-produce row
+        // shares seq=0 with part 0's no_doc row — stage breaks the tie
+        .orderBy("seq", "stage")
     },
     Some("""
       SELECT seq, package_name, reason, stage FROM (
@@ -151,7 +153,7 @@ object NpmReplayOps {
         WHERE p_partkey % 11 = 0 OR p_partkey % 13 = 0
         UNION ALL
         SELECT CAST(0 AS BIGINT), 'pkg-oversized', 'msg_too_large', 'produce')
-      ORDER BY seq
+      ORDER BY seq, stage
     """.stripMargin.trim))
 
   /** §7.4 dependency-graph analytics over the replayed catalog: explode

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-layout operators: the steps between "curated documents" and
+  * "bytes a trainer reads" — shard assignment, epoch mixture weights,
+  * and the deterministic global training order. All three are
+  * hash/integer-exact (no RNG, no float aggregation), so a re-run — or
+  * a different engine — reproduces the same layout bit-for-bit; that
+  * determinism is what makes 100 TB training-data builds auditable and
+  * resumable (a lost shard is recomputed from the formula, not from a
+  * stored shuffle).
+  */
+object CorpusOps {
+
+  /** Documents with a portable token count. Token count = size of the
+    * whitespace split — the same count text_token_stats oracles, kept
+    * integer so every downstream stat is exact.
+    */
+  private def docTokens(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("source"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+
+  /** Shard assignment + balance audit: every document lands in one of 16
+    * shards by a pure content-free hash (first hex nibble of
+    * md5(doc_id)), and the query reports per-shard doc/token/byte totals
+    * plus the extremes a packing audit checks before a training run. At
+    * 100 TB this is the layout step itself: `write.partitionBy("shard")`
+    * with the same expression, no shuffle beyond the final write, and
+    * the audit is the cheap agg that catches a skewed shard BEFORE 1000
+    * trainer workers hot-spot on it.
+    */
+  val shardPack: QueryDef = QueryDef(
+    "pipeline_shard_pack",
+    (s, dir) => {
+      docTokens(Tables.documents(s, dir))
+        .withColumn("shard",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          sum(col("n_chars")).as("bytes"),
+          min(col("tokens")).as("min_doc_tokens"),
+          max(col("tokens")).as("max_doc_tokens"))
+        .orderBy("shard")
+    },
+    Some("""
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_doc_tokens,
+             CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens
+      FROM documents
+      GROUP BY 1
+      ORDER BY shard
+    """.stripMargin.trim))
+
+  /** Epoch mixture table: per-source token share (ppm) and the integer
+    * oversampling factor that upweights low-resource sources toward the
+    * dominant one — the whole computation in exact integer arithmetic
+    * (shares as `tokens*1e6 div total`), so the mixture a trainer
+    * consumes is reproducible across engines with no float-summation
+    * order hazard. The window aggregates run over the per-source rollup
+    * (20 rows here; mixtures are per-source/domain, never per-doc), so
+    * the unpartitioned window is a driver-trivial final step at any
+    * corpus scale.
+    */
+  val epochMixture: QueryDef = QueryDef(
+    "pipeline_epoch_mixture",
+    (s, dir) => {
+      val perSource = docTokens(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+      perSource
+        .withColumn("share_ppm",
+          expr("tokens * 1000000 div sum(tokens) over ()"))
+        .withColumn("oversample_factor",
+          greatest(lit(1L), expr("max(tokens) over () div tokens")))
+        .select("source", "n_docs", "tokens", "share_ppm", "oversample_factor")
+        .orderBy("source")
+    },
+    Some("""
+      WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, tokens,
+             CAST((tokens * 1000000) // SUM(tokens) OVER () AS BIGINT) AS share_ppm,
+             CAST(GREATEST(1, MAX(tokens) OVER () // tokens) AS BIGINT) AS oversample_factor
+      FROM per_source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** Deterministic global training order: position of every document in
+    * its shard, ordered by a salted content-free hash — the "global
+    * shuffle" a training run needs, as a FORMULA instead of a stored
+    * permutation. Shard = one hash (salt "s:"), within-shard order = an
+    * independent hash (salt "o:"), so shard assignment and intra-shard
+    * order are uncorrelated; the row_number window runs per shard —
+    * 1/16th of the corpus per partition, never a global sort — which is
+    * the property that keeps the shuffle scalable (and why the
+    * SCALE-path form is `sortWithinPartitions` after
+    * `repartition($"shard")`, the exact plan this query produces).
+    */
+  val trainingOrder: QueryDef = QueryDef(
+    "pipeline_training_order",
+    (s, dir) => {
+      val w = Window.partitionBy("shard").orderBy(col("ord_key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(md5(concat(lit("s:"), col("doc_id").cast("string")).cast("binary")), 1, 1)
+            .as("shard"),
+          md5(concat(lit("o:"), col("doc_id").cast("string")).cast("binary"))
+            .as("ord_key"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+               substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               md5('o:' || CAST(doc_id AS VARCHAR)) AS ord_key
+        FROM documents)
+      SELECT shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+             doc_id
+      FROM keyed
+      ORDER BY shard, pos
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder)
+}

@@ -250,6 +250,90 @@ object PipelineCompositions {
       ORDER BY e.qid
     """.stripMargin.trim))
 
+  /** Recall@5 of the multiprobe IVF (nprobe = 2) against exact brute
+    * force — the measurement that justifies the extra probe: single-probe
+    * IVF loses every neighbor outside the query's own cluster, and this
+    * gate shows how much of that loss two probes buy back, per query.
+    * Read next to `ann_recall_ivf_vs_exact`: the pair quantifies the
+    * recall/cost dial an operator turns at 100 TB (probe count scales
+    * candidate volume linearly; the index itself is untouched).
+    */
+  val annRecallIvfMultiprobe: QueryDef = QueryDef(
+    "ann_recall_ivf_multiprobe_vs_exact",
+    (s, dir) => {
+      val exact = AnnSearch.bruteForce.run(s, dir)
+        .select(col("qid"), col("cand_id"))
+      val approx = AnnSearch.ivfMultiprobe.run(s, dir)
+        .select(col("qid").as("aqid"), col("cand_id").as("acand"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("cand_id") === col("acand"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("acand")).as("n_hits"),
+          (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      exact AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM scored) t
+        WHERE rank <= 5),
+      comp AS (
+        SELECT label, CAST(i.range AS INT) + 1 AS pos,
+               CAST(SUM(CAST(embedding[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM embeddings CROSS JOIN range(0, 64) i
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+      centn AS (
+        SELECT label, centroid,
+               sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS cnrm
+        FROM cent),
+      probes AS (
+        SELECT qid, label FROM (
+          SELECT q.vec_id AS qid, ct.label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * ct.centroid[CAST(i AS INT)]),
+                     (x, y) -> x + y) / (q.nrm * ct.cnrm) DESC, ct.label ASC) AS cr
+          FROM e q CROSS JOIN centn ct
+          WHERE q.vec_id < 10) t
+        WHERE cr <= 2),
+      mscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q
+        JOIN probes p ON p.qid = q.vec_id
+        JOIN e c ON c.label = p.label AND c.vec_id != q.vec_id),
+      approx AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM mscored) t
+        WHERE rank <= 5)
+      SELECT e.qid,
+             COUNT(a.cand_id) AS n_hits,
+             CAST(COUNT(a.cand_id) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM exact e
+      LEFT JOIN approx a ON e.qid = a.qid AND e.cand_id = a.cand_id
+      GROUP BY e.qid
+      ORDER BY e.qid
+    """.stripMargin.trim))
+
   /** Per-source document quota: keep the top-N documents per source
     * (longest first, doc_id tie-break) — the frequency-capping step that
     * stops one crawl domain from dominating a training mix. Runs through
@@ -417,5 +501,5 @@ object PipelineCompositions {
 
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
-      annRecallInt8, sourceQuota, decontaminate)
+      annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate)
 }
