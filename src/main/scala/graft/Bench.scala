@@ -26,7 +26,9 @@ object Bench {
     "npm_pipeline_replay_catalog", "npm_catalog_compaction_latest",
     "mm_feature_extract", "ts_gapfill_daily_orders",
     "scale_bloom_prune_join", "text_chunk_sliding",
-    "agg_salted_two_stage", "pipeline_training_corpus_select")
+    "agg_salted_two_stage", "pipeline_training_corpus_select",
+    "ann_cosine_topk_ivf_multiprobe", "pipeline_shard_pack",
+    "pipeline_training_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -134,5 +134,43 @@ object CorpusOps {
       ORDER BY shard, pos
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder)
+  /** Deterministic train/val/test split manifest: the split is a pure
+    * hash threshold on doc_id (first two md5 nibbles: 00-f9 → train,
+    * fa-fc → val, fd-ff → test ≈ 97.7/1.2/1.2), so membership is
+    * recomputable forever — no stored assignment, no RNG seed to lose —
+    * and adding documents never reshuffles existing ones between splits
+    * (the property that keeps eval sets stable as the corpus grows).
+    * The manifest audits size and token mass per (split, source): the
+    * table a release ships next to the data.
+    */
+  val splitManifest: QueryDef = QueryDef(
+    "pipeline_split_manifest",
+    (s, dir) => {
+      docTokens(Tables.documents(s, dir))
+        .withColumn("h2",
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2))
+        .withColumn("split",
+          when(col("h2") < "fa", "train")
+            .when(col("h2") < "fd", "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+        .orderBy("split", "source")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT source, len(string_split(text, ' ')) AS tokens,
+               substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        FROM documents)
+      SELECT CASE WHEN h2 < 'fa' THEN 'train'
+                  WHEN h2 < 'fd' THEN 'val'
+                  ELSE 'test' END AS split,
+             source, COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS tokens
+      FROM keyed
+      GROUP BY 1, 2
+      ORDER BY split, source
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder, splitManifest)
 }

@@ -37,7 +37,9 @@ class PlanShapeSpec extends SparkSpec {
     "join_theta_price_brackets",      // 4-row broadcast range dimension
     "q15_top_supplier",               // 1-row max-revenue crossJoin
     "q22_idle_balance_by_nation",     // 1-row avg-balance crossJoin
-    "q11_important_stock")            // 1-row total-value crossJoin
+    "q11_important_stock",            // 1-row total-value crossJoin
+    "ann_cosine_topk_ivf_multiprobe", // 10 queries × k centroids: the centroid-ranking join
+    "ann_recall_ivf_multiprobe_vs_exact") // composes brute force + the centroid ranking
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

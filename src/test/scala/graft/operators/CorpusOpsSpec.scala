@@ -34,6 +34,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("split manifest: splits partition the corpus; train dominates") {
+    val m = CorpusOps.splitManifest.run(spark, dir).collect()
+    val total = m.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables.documents(spark, dir).count())
+    val bySplit = m.groupBy(_.getAs[String]("split")).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(bySplit.getOrElse("train", 0L) > total * 9 / 10)
+  }
+
   test("epoch mixture: integer shares sum to 1e6 minus div truncation; factors >= 1") {
     val m = CorpusOps.epochMixture.run(spark, dir).collect()
     val totalShare = m.map(_.getAs[Long]("share_ppm")).sum

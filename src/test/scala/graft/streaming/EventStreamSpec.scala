@@ -92,6 +92,24 @@ class EventStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  /** File-stream over a staged events parquet with ts normalized to a
+    * watermarkable TIMESTAMP (session tz = UTC), mirroring
+    * Tables.loadEvents' ADAPTIVE handling: the driver's testdata has
+    * shipped ts both as nanos-as-long and as a µs timestamp across
+    * rounds, and a hardcoded `ts LONG, div 1000` read turns µs files
+    * into 1970-era garbage. A one-file batch read picks the variant.
+    */
+  private def eventsFileStream(stage: String): org.apache.spark.sql.DataFrame = {
+    val tsIsLong = spark.read.parquet(stage).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val raw = spark.readStream.schema(schema).parquet(stage)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   test("streaming hourly agg over the real events table matches the batch analog") {
     val dir = "/root/testdata/sf0.001"
     // the file-stream source wants a directory: stage the single parquet
@@ -99,12 +117,7 @@ class EventStreamSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema)
-      .parquet(stage.toString)
-      // watermarks require TIMESTAMP (session tz = UTC), not NTZ
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsFileStream(stage.toString)
     val q = EventStream.hourlyAgg(stream)
       .writeStream.format("memory").queryName("hourly_real")
       .outputMode("complete")
@@ -129,11 +142,7 @@ class EventStreamSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema)
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsFileStream(stage.toString)
     val q = EventStream.sessionize(stream)
       .writeStream.format("memory").queryName("sess_real")
       .outputMode("complete")
