@@ -273,23 +273,50 @@ object AnnSearch {
     * broadcast the per-query cluster choices, and candidate generation
     * stays an equi-join on label against the pinned index.
     */
+  /** Data-derived per-label centroids: per-dimension means accumulated
+    * as DECIMAL(20,10) (exact, order-independent addition — Spark and
+    * DuckDB agree bit-for-bit), one IEEE division at the end. Shared by
+    * the multiprobe ranking and the incremental assignment query so the
+    * two can never drift onto different centroid definitions. Returns
+    * (label, centroid: array<double>, cnrm).
+    */
+  private def centroidsOf(em: DataFrame): DataFrame = {
+    val comp = em
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("x").cast("decimal(20,10)")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sx").cast("double") / col("n")).as("c"))
+    comp.groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+      .withColumn("cnrm", expr(
+        "sqrt(aggregate(transform(centroid, x -> x * x), 0.0D, (a, b) -> a + b))"))
+  }
+
+  /** The centroid CTE chain (comp → cent → centn) for the oracles;
+    * `pred` scopes which embeddings contribute (e.g. the corpus side of
+    * the incremental split). */
+  private def centroidSql(pred: String): String = s"""
+      comp AS (
+        SELECT label, CAST(i.range AS INT) + 1 AS pos,
+               CAST(SUM(CAST(embedding[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        FROM embeddings CROSS JOIN range(0, $Dim) i
+        $pred
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+      centn AS (
+        SELECT label, centroid,
+               sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS cnrm
+        FROM cent)"""
+
   val ivfMultiprobe: QueryDef = QueryDef(
     "ann_cosine_topk_ivf_multiprobe",
     (s, dir) => {
       graft.functions.VectorExpressions.register(s)
       val e = index(s, dir)
-      // per-dimension mean per cluster, decimal-exact accumulation
-      val comp = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(sum(col("x").cast("decimal(20,10)")).as("sx"), count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          (col("sx").cast("double") / col("n")).as("c"))
-      val cent = comp.groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-          .as("centroid"))
-        .withColumn("cnrm", expr(
-          "sqrt(aggregate(transform(centroid, x -> x * x), 0.0D, (a, b) -> a + b))"))
+      val cent = centroidsOf(Tables.embeddings(s, dir))
       // top-2 clusters per query by centroid cosine
       val wq = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
       val probes = broadcast(e.filter(col("vec_id") < 10).as("q"))
@@ -319,17 +346,7 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      comp AS (
-        SELECT label, CAST(i.range AS INT) + 1 AS pos,
-               CAST(SUM(CAST(embedding[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
-        FROM embeddings CROSS JOIN range(0, $Dim) i
-        GROUP BY 1, 2),
-      cent AS (
-        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
-      centn AS (
-        SELECT label, centroid,
-               sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS cnrm
-        FROM cent),
+      ${centroidSql("")},
       probes AS (
         SELECT qid, label FROM (
           SELECT q.vec_id AS qid, ct.label,
@@ -357,7 +374,65 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim))
 
+  /** INCREMENTAL IVF growth: newly arrived vectors (vec_id % 7 == 3
+    * stands in for the arrival batch) are assigned to the nearest
+    * EXISTING centroid — computed from the corpus side only, exactly
+    * the persisted quantizer a deployment keeps. This is the ANN twin
+    * of the incremental dedup path: O(|delta| × k) work per batch
+    * (delta broadcast against k centroids), the inverted lists grow by
+    * append, and the index is NEVER rebuilt for arrivals. `agree`
+    * reports whether the cold assignment reproduces the vector's given
+    * label — the drift metric that tells an operator when enough
+    * arrivals landed off-centroid that retraining the quantizer is due.
+    */
+  val ivfAssignDelta: QueryDef = QueryDef(
+    "ann_ivf_assign_delta",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val em = Tables.embeddings(s, dir)
+      val isNew = col("vec_id") % 7 === 3
+      val cent = centroidsOf(em.filter(!isNew))
+      val delta = withNorm(em.filter(isNew))
+      val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("assigned_label"))
+      broadcast(delta).as("q").join(broadcast(cent).as("ct"))
+        .select(col("q.vec_id").as("vec_id"), col("q.label").as("given_label"),
+          col("ct.label").as("assigned_label"),
+          (expr("""aggregate(zip_with(q.embedding, ct.centroid,
+                   (a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)""")
+            / (col("q.nrm") * col("ct.cnrm"))).as("ccos"))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") === 1)
+        // ccos stays internal (ranking only): the last ~1e-9 of the
+        // centroid mean is NOT bit-identical across engines (float->
+        // decimal rounding differs), which is invisible to the argmax
+        // but would fail the exact-value gate if emitted
+        .select(col("vec_id"), col("given_label"), col("assigned_label"),
+          (col("given_label") === col("assigned_label")).as("agree"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      ${centroidSql("WHERE vec_id % 7 <> 3")},
+      assigned AS (
+        SELECT vec_id, given_label, assigned_label, ccos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, assigned_label ASC) AS cr
+        FROM (
+          SELECT q.vec_id, q.label AS given_label, ct.label AS assigned_label,
+                 list_reduce(list_transform(generate_series(1, $Dim),
+                   i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * ct.centroid[CAST(i AS INT)]),
+                   (x, y) -> x + y) / (q.nrm * ct.cnrm) AS ccos
+          FROM e q CROSS JOIN centn ct
+          WHERE q.vec_id % 7 = 3) t)
+      SELECT vec_id, given_label, assigned_label,
+             given_label = assigned_label AS agree
+      FROM assigned WHERE cr = 1
+      ORDER BY vec_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
-      int8QuantError, ivfMultiprobe)
+      int8QuantError, ivfMultiprobe, ivfAssignDelta)
 }

@@ -46,7 +46,10 @@ object StreamLive {
         // isolated child session scopes the conf to this query.
         val s = s0.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val ev = Tables.events(s, dir)
+        // one scan feeds all four drop-writes below (localCheckpoint, not
+        // cache: GC-freed after the query, and the four writes are the
+        // only consumers)
+        val ev = Tables.events(s, dir).localCheckpoint(true)
         // watermark columns must be TIMESTAMP (not NTZ); session TZ is
         // pinned to UTC in every entry point, so the cast is value-exact
         val views = ev.filter(col("event_type") === "view")

@@ -39,7 +39,8 @@ class PlanShapeSpec extends SparkSpec {
     "q22_idle_balance_by_nation",     // 1-row avg-balance crossJoin
     "q11_important_stock",            // 1-row total-value crossJoin
     "ann_cosine_topk_ivf_multiprobe", // 10 queries × k centroids: the centroid-ranking join
-    "ann_recall_ivf_multiprobe_vs_exact") // composes brute force + the centroid ranking
+    "ann_recall_ivf_multiprobe_vs_exact", // composes brute force + the centroid ranking
+    "ann_ivf_assign_delta")           // |delta| × k centroids: the assignment join
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -74,6 +75,18 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"),
       "range join lost its equi-join key")
     assert(!p.contains("NestedLoop"), "range join degenerated to a nested loop")
+  }
+
+  test("training order: the shuffle window stays per-shard (no single-partition stage)") {
+    // the global training shuffle must never collapse to one partition —
+    // row_number runs per shard; only the gate's final ORDER BY may
+    // range-partition. A SinglePartition exchange here would mean the
+    // formula degraded to a global sort, the exact shape the operator
+    // exists to avoid at 100 TB.
+    val p = plan("pipeline_training_order")
+    assert(!p.contains("SinglePartition"),
+      "pipeline_training_order plans a single-partition stage")
+    assert(p.contains("Window"), "expected the per-shard row_number window")
   }
 
   test("dedup joins are keyed (shuffled on content keys, not all-pairs)") {
