@@ -475,8 +475,79 @@ object TextAnalysis {
       ORDER BY doc_id, chunk_id
     """.stripMargin.trim))
 
+  /** Filter-cascade audit: every document routed to its FIRST failing
+    * quality gate (too_short → low_diversity → repetitive → keep), with
+    * doc and token mass per reason — the reference's cascade-reject
+    * pattern (SURVEY F3: pre-filters short-circuit in a fixed order, one
+    * reason per record, mirroring the DLQ's `skipped_changes` shape)
+    * applied to training-data curation. The audit table is what a
+    * curation run publishes next to the corpus: it prices each gate
+    * (how much token mass a threshold costs) BEFORE anyone commits to a
+    * filtered build. Cascade order is a single CASE in both engines, so
+    * the routing is deterministic and identical; thresholds sit at
+    * measured corpus percentiles (p10-p15 of tokens/diversity, ~p95 of
+    * bigram repetition), so every bucket is populated.
+    */
+  val filterAudit: QueryDef = QueryDef(
+    "pipeline_filter_audit",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val feats = base.select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("diversity"))
+      val rep = base.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), (size(col("ts")) - 1).as("n_bigrams"),
+          explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"))
+            .as("bg"))
+        .groupBy("doc_id", "n_bigrams", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_bigrams").agg(max("c").as("top_bg"))
+        .select(col("doc_id"),
+          (col("top_bg").cast("double") / col("n_bigrams")).as("bg_frac"))
+      feats.join(rep, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(col("n_tokens") < 24, "too_short")
+            .when(col("diversity") < 0.35, "low_diversity")
+            .when(col("bg_frac") > 0.10, "repetitive")
+            .otherwise("keep"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("tokens"))
+        .orderBy("reason")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      feats AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS diversity
+        FROM t),
+      bg AS (
+        SELECT doc_id, len(ts) - 1 AS n_bigrams,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                 i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS b
+        FROM t WHERE len(ts) >= 2),
+      bgc AS (
+        SELECT doc_id, n_bigrams, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      rep AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bigrams) AS bg_frac
+        FROM bgc GROUP BY doc_id),
+      routed AS (
+        SELECT f.n_tokens,
+               CASE WHEN f.n_tokens < 24 THEN 'too_short'
+                    WHEN f.diversity < 0.35 THEN 'low_diversity'
+                    WHEN r.bg_frac > 0.10 THEN 'repetitive'
+                    ELSE 'keep' END AS reason
+        FROM feats f LEFT JOIN rep r ON f.doc_id = r.doc_id)
+      SELECT reason, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM routed
+      GROUP BY reason
+      ORDER BY reason
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
       tokenBudgetPack, levenshteinNeighbors, winnowFingerprint, repetitionRatios,
-      chunkSliding)
+      chunkSliding, filterAudit)
 }

@@ -46,6 +46,11 @@ object DeltaDedupStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+        // AQE re-plans (and re-compiles) every stage per micro-batch; at
+        // a few hundred rows per batch it only adds planning latency and
+        // defeats codegen reuse across batches — the static plan is the
+        // same one AQE would pick anyway at this volume
+        batch.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
         // eager = false: the whole probe is ONE write action per batch;
         // ReuseExchange dedupes the sketch subtrees, so the per-batch
         // eager checkpoints (4 extra jobs for hundreds of rows) vanish
