@@ -28,7 +28,8 @@ object Bench {
     "scale_bloom_prune_join", "text_chunk_sliding",
     "agg_salted_two_stage", "pipeline_training_corpus_select",
     "ann_cosine_topk_ivf_multiprobe", "pipeline_shard_pack",
-    "pipeline_training_order")
+    "pipeline_training_order", "ann_ivf_assign_delta",
+    "pipeline_filter_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
