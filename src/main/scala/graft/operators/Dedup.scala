@@ -319,8 +319,11 @@ object Dedup {
         .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       inter
-        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        // sz covers CANDIDATE docs only (shC is candidate-pruned), so it
+        // is small by construction at any corpus scale - broadcast both
+        // sides instead of two shuffled sort-merge joins
+        .join(broadcast(sz.as("sa")), col("ia") === col("sa.doc_id"))
+        .join(broadcast(sz.as("sb")), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
           (col("inter").cast("double") /
             (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
@@ -527,8 +530,9 @@ object Dedup {
       val exactJac = (coalesce(col("inter"), lit(0L)).cast("double") /
         (col("sa.n") + col("sb.n") - coalesce(col("inter"), lit(0L))))
       est.join(inter, Seq("ia", "ib"), "left")
-        .join(sz.as("sa"), col("ia") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("ib") === col("sb.doc_id"))
+        // candidate-scoped sz: broadcast (see prefixFilterJaccard note)
+        .join(broadcast(sz.as("sa")), col("ia") === col("sa.doc_id"))
+        .join(broadcast(sz.as("sb")), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"), col("est_jaccard"),
           exactJac.as("jaccard"),
           abs(col("est_jaccard") - exactJac).as("abs_err"))
@@ -630,8 +634,9 @@ object Dedup {
           when(col("ia") % 10 === 0, col("ib")).otherwise(col("ia")).as("old_id"),
           col("inter"))
       inter
-        .join(sz.as("sa"), col("new_id") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("old_id") === col("sb.doc_id"))
+        // candidate-scoped sz: broadcast (see prefixFilterJaccard note)
+        .join(broadcast(sz.as("sa")), col("new_id") === col("sa.doc_id"))
+        .join(broadcast(sz.as("sb")), col("old_id") === col("sb.doc_id"))
         .select(col("new_id"), col("old_id"),
           (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
             .as("jaccard"))
@@ -823,8 +828,9 @@ object Dedup {
         when(col("did").isNotNull, col("ia")).otherwise(col("ib")).as("new_id"),
         when(col("did").isNotNull, col("ib")).otherwise(col("ia")).as("old_id"),
         col("inter"))
-      .join(sz.as("sa"), col("new_id") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("old_id") === col("sb.doc_id"))
+      // candidate-scoped sz: broadcast (see prefixFilterJaccard note)
+      .join(broadcast(sz.as("sa")), col("new_id") === col("sa.doc_id"))
+      .join(broadcast(sz.as("sb")), col("old_id") === col("sb.doc_id"))
       .select(col("new_id"), col("old_id"),
         (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
           .as("jaccard"))
