@@ -29,7 +29,27 @@ object Bench {
     "agg_salted_two_stage", "pipeline_training_corpus_select",
     "ann_cosine_topk_ivf_multiprobe", "pipeline_shard_pack",
     "pipeline_training_order", "ann_ivf_assign_delta",
-    "pipeline_filter_audit")
+    "pipeline_filter_audit", "dedup_prefix_filter_jaccard",
+    "dedup_containment")
+
+  /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
+    * constant), timed like a query. Its seconds depend only on host speed,
+    * never on any query plan, so cross-round totals can be normalized for
+    * host drift (r7's driver host ran ~1.8× slower than r6's on unchanged
+    * code; adjudicating that took a round of prose). Emitted as
+    * `calibration` in both the printed line and BENCH_DETAIL.json.
+    */
+  private def calibrationProbe(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0
+    var i = 0
+    while (i < 10000000) {
+      acc ^= scala.util.hashing.MurmurHash3.productHash((i, acc))
+      i += 1
+    }
+    if (acc == 42) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,6 +102,8 @@ object Bench {
     val pass1 = timedPass()
     val pass2 = timedPass()
     val results = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap
+    // host-speed calibration: min-of-2 like the queries (see scaladoc)
+    val calib = math.min(calibrationProbe(), calibrationProbe())
     // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON
     def f(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     def obj(entries: Seq[(String, Double)]): String =
@@ -91,17 +113,24 @@ object Bench {
     // the tracked artifact records FULL-suite runs only; a SPARK_GRAFT_ONLY
     // subset A/B run must not overwrite the committed full-run record
     if (only.isEmpty) {
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"queries":${obj(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
-    // Printed line: headline subset only, hard-capped at 1600 chars so the
-    // line + sbt's trailing "[success]" line always fit the 2000-char tail.
-    var hl = headline.filter(results.contains).map(n => n -> results(n))
-    var line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
+    // Printed line: headline subset, ALWAYS including the run's own top-5
+    // most expensive queries (merged in ahead of the static list) — a slow
+    // query can never be invisible in the printed line (r6/r8 finding: the
+    // curated list twice omitted the most expensive new entry). Hard-capped
+    // at 1600 chars so the line + sbt's trailing "[success]" always fit the
+    // driver's 2000-char tail; the cap trims the static tail, never the
+    // top-5 head.
+    val top5 = results.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val hlNames = (top5 ++ headline.filter(results.contains).filterNot(top5.contains))
+    var hl = hlNames.map(n => n -> results(n))
+    var line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
     while (line.length > 1600 && hl.nonEmpty) {
       hl = hl.dropRight(1)
-      line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
+      line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"queries":${obj(hl)},"detail":"$detailPath","sf":"$sfDir"}"""
     }
     println(line)
     spark.stop()
