@@ -130,7 +130,7 @@ object AnnSearch {
     * DuckDB oracle regenerates them bit-for-bit; each sign projection is
     * a codegen `float_dot` against a literal array.
     */
-  private val Dim = 64
+  private[operators] val Dim = 64
   private def planeSql(j: Int): String =
     (0 until Dim).map(i => if ((i * (j + 1)) % 3 == 0) "1.0F" else "-1.0F")
       .mkString("array(", ", ", ")")
@@ -297,7 +297,7 @@ object AnnSearch {
   /** The centroid CTE chain (comp → cent → centn) for the oracles;
     * `pred` scopes which embeddings contribute (e.g. the corpus side of
     * the incremental split). */
-  private def centroidSql(pred: String): String = s"""
+  private[operators] def centroidSql(pred: String): String = s"""
       comp AS (
         SELECT label, CAST(i.range AS INT) + 1 AS pos,
                CAST(SUM(CAST(embedding[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
@@ -393,13 +393,21 @@ object AnnSearch {
       val isNew = col("vec_id") % 7 === 3
       val cent = centroidsOf(em.filter(!isNew))
       val delta = withNorm(em.filter(isNew))
-      val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("assigned_label"))
+      // rank on ccos ROUNDED to 1e-6 (both engines): the raw cosines
+      // differ ~1e-9 across engines (float->decimal rounding of the
+      // centroid mean), so a near-tied pair of clusters could argmax
+      // differently per engine; after rounding, a cross-engine flip
+      // needs two centroids inside the same 1e-6 bucket, where the
+      // label tie-break then decides identically on both sides
+      val w = Window.partitionBy("vec_id")
+        .orderBy(desc("ccos_r"), asc("assigned_label"))
       broadcast(delta).as("q").join(broadcast(cent).as("ct"))
         .select(col("q.vec_id").as("vec_id"), col("q.label").as("given_label"),
           col("ct.label").as("assigned_label"),
           (expr("""aggregate(zip_with(q.embedding, ct.centroid,
                    (a, b) -> cast(a as double) * b), 0.0D, (acc, x) -> acc + x)""")
             / (col("q.nrm") * col("ct.cnrm"))).as("ccos"))
+        .withColumn("ccos_r", round(col("ccos"), 6))
         .withColumn("cr", row_number().over(w))
         .filter(col("cr") === 1)
         // ccos stays internal (ranking only): the last ~1e-9 of the
@@ -418,7 +426,7 @@ object AnnSearch {
       ${centroidSql("WHERE vec_id % 7 <> 3")},
       assigned AS (
         SELECT vec_id, given_label, assigned_label, ccos,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, assigned_label ASC) AS cr
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, assigned_label ASC) AS cr
         FROM (
           SELECT q.vec_id, q.label AS given_label, ct.label AS assigned_label,
                  list_reduce(list_transform(generate_series(1, $Dim),

@@ -26,7 +26,7 @@ object CorpusOps {
 
   /** Shard assignment + balance audit: every document lands in one of 16
     * shards by a pure content-free hash (first hex nibble of
-    * md5(doc_id)), and the query reports per-shard doc/token/byte totals
+    * md5(doc_id)), and the query reports per-shard doc/token/char totals
     * plus the extremes a packing audit checks before a training run. At
     * 100 TB this is the layout step itself: `write.partitionBy("shard")`
     * with the same expression, no shuffle beyond the final write, and
@@ -43,7 +43,7 @@ object CorpusOps {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("tokens")).as("tokens"),
-          sum(col("n_chars")).as("bytes"),
+          sum(col("n_chars")).as("chars"),
           min(col("tokens")).as("min_doc_tokens"),
           max(col("tokens")).as("max_doc_tokens"))
         .orderBy("shard")
@@ -52,7 +52,7 @@ object CorpusOps {
       SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
              COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-             CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
              CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_doc_tokens,
              CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens
       FROM documents

@@ -307,23 +307,24 @@ object Dedup {
       val sh = shingleSurface(s, dir)
       val cands = prefixCandidatePairs(sh, 0.5)
         .localCheckpoint(true) // tiny; probed twice below
+      val bc = candBroadcaster(cands) // size-guarded broadcast (r8 advice)
       val candDocs = cands.select(col("ia").as("doc_id"))
         .union(cands.select(col("ib").as("doc_id"))).distinct()
-      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+      val shC = sh.join(bc(candDocs), Seq("doc_id"))
         .localCheckpoint(true) // referenced 2× (intersections, sizes)
       val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = shC.as("ca").join(shC.as("cb"),
           col("ca.shingle") === col("cb.shingle") &&
           col("ca.doc_id") < col("cb.doc_id"))
         .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
-        .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
+        .join(bc(cands), Seq("ia", "ib"), "left_semi")
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       inter
         // sz covers CANDIDATE docs only (shC is candidate-pruned), so it
         // is small by construction at any corpus scale - broadcast both
         // sides instead of two shuffled sort-merge joins
-        .join(broadcast(sz.as("sa")), col("ia") === col("sa.doc_id"))
-        .join(broadcast(sz.as("sb")), col("ib") === col("sb.doc_id"))
+        .join(bc(sz.as("sa")), col("ia") === col("sa.doc_id"))
+        .join(bc(sz.as("sb")), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"),
           (col("inter").cast("double") /
             (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
@@ -395,6 +396,26 @@ object Dedup {
       md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).cast("binary")))
     mh.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
+
+  /** Broadcast gate for the candidate-scoped verification tails: the
+    * candidate pair/doc/size tables are one narrow row per candidate, so
+    * broadcasting them beats shuffled sort-merge joins — but only while
+    * the candidate set is genuinely small. On an adversarially
+    * duplicate-heavy corpus the LSH/prefix candidate set is unbounded,
+    * and an unconditional broadcast hint risks a driver OOM where a
+    * shuffle join degrades gracefully. The pair frame is already
+    * materialized (eager localCheckpoint) when this runs, so counting it
+    * is a cached-partition scan, not a recompute; past the cap every
+    * verification-tail hint is dropped and Spark's cost-based planner
+    * picks the strategy. (The streaming per-batch path keeps
+    * unconditional hints instead: its candidate set is O(batch × bucket)
+    * by construction and a per-micro-batch count action would cost more
+    * than the insurance buys — see [[deltaNearDupsFromSketch]].)
+    */
+  private val BroadcastPairCap = 1000000L
+  private def candBroadcaster(materializedCands: DataFrame): DataFrame => DataFrame =
+    if (materializedCands.count() <= BroadcastPairCap) broadcast _
+    else identity[DataFrame] _
 
   /** Session-pinned sketch surface: the (shingle table, 16-hash minhash
     * signature table) pair memoized per (session, corpus) — the persisted
@@ -504,14 +525,15 @@ object Dedup {
       // the output is bit-identical — but the 3 full-shingle-table
       // shuffles the unpruned form paid (inter ×2, sz) become shuffles of
       // the pruned table (r5: 11.0 s → this is the round-6 hotspot fix).
+      val bc = candBroadcaster(cands) // size-guarded broadcast (r8 advice)
       val candDocs = cands.select(col("ia").as("doc_id"))
         .union(cands.select(col("ib").as("doc_id"))).distinct()
-      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+      val shC = sh.join(bc(candDocs), Seq("doc_id"))
         .localCheckpoint(true)  // referenced 2× (intersections, sizes)
       val matchCount = (0 until 16)
         .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
         .reduce(_ + _)
-      val est = cands.hint("broadcast")
+      val est = bc(cands)
         .join(mh.as("ma"), col("ia") === col("ma.doc_id"))
         .join(mh.as("mb"), col("ib") === col("mb.doc_id"))
         .select(col("ia"), col("ib"),
@@ -525,14 +547,14 @@ object Dedup {
           col("ca.shingle") === col("cb.shingle") &&
           col("ca.doc_id") < col("cb.doc_id"))
         .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
-        .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
+        .join(bc(cands), Seq("ia", "ib"), "left_semi")
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       val exactJac = (coalesce(col("inter"), lit(0L)).cast("double") /
         (col("sa.n") + col("sb.n") - coalesce(col("inter"), lit(0L))))
       est.join(inter, Seq("ia", "ib"), "left")
         // candidate-scoped sz: broadcast (see prefixFilterJaccard note)
-        .join(broadcast(sz.as("sa")), col("ia") === col("sa.doc_id"))
-        .join(broadcast(sz.as("sb")), col("ib") === col("sb.doc_id"))
+        .join(bc(sz.as("sa")), col("ia") === col("sa.doc_id"))
+        .join(bc(sz.as("sb")), col("ib") === col("sb.doc_id"))
         .select(col("ia"), col("ib"), col("est_jaccard"),
           exactJac.as("jaccard"),
           abs(col("est_jaccard") - exactJac).as("abs_err"))
@@ -606,9 +628,10 @@ object Dedup {
         .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
         .distinct()
         .localCheckpoint(true)  // probed 2× (candDocs, normalized pair key)
+      val bc = candBroadcaster(cands) // size-guarded broadcast (r8 advice)
       val candDocs = cands.select(col("new_id").as("doc_id"))
         .union(cands.select(col("old_id").as("doc_id"))).distinct()
-      val shC = sh.join(broadcast(candDocs), Seq("doc_id"))
+      val shC = sh.join(bc(candDocs), Seq("doc_id"))
         .localCheckpoint(true)  // referenced 2× (intersections, sizes)
       val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Exact intersections via the estimate_quality pattern: a co-shingle
@@ -627,7 +650,7 @@ object Dedup {
           col("ca.shingle") === col("cb.shingle") &&
           col("ca.doc_id") < col("cb.doc_id"))
         .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
-        .join(candsNorm.hint("broadcast"), Seq("ia", "ib"), "left_semi")
+        .join(bc(candsNorm), Seq("ia", "ib"), "left_semi")
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
         .select(
           when(col("ia") % 10 === 0, col("ia")).otherwise(col("ib")).as("new_id"),
@@ -635,8 +658,8 @@ object Dedup {
           col("inter"))
       inter
         // candidate-scoped sz: broadcast (see prefixFilterJaccard note)
-        .join(broadcast(sz.as("sa")), col("new_id") === col("sa.doc_id"))
-        .join(broadcast(sz.as("sb")), col("old_id") === col("sb.doc_id"))
+        .join(bc(sz.as("sa")), col("new_id") === col("sa.doc_id"))
+        .join(bc(sz.as("sb")), col("old_id") === col("sb.doc_id"))
         .select(col("new_id"), col("old_id"),
           (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
             .as("jaccard"))
@@ -701,11 +724,13 @@ object Dedup {
       val deltaDocs = Tables.documents(s, dir).filter(isNew).select("doc_id", "text")
       val base = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
       // two crawl drops, written executor-side (no driver collect);
-      // coalesce(1) gives one file per drop = one micro-batch per drop
-      deltaDocs.filter(expr("(doc_id div 10) % 2 = 0"))
-        .coalesce(1).write.parquet(s"$base/in/drop0")
-      deltaDocs.filter(expr("(doc_id div 10) % 2 = 1"))
-        .coalesce(1).write.parquet(s"$base/in/drop1")
+      // coalesce(1) gives one file per drop = one micro-batch per drop;
+      // the two single-task writes run concurrently (r9)
+      graft.ParallelStage(
+        () => deltaDocs.filter(expr("(doc_id div 10) % 2 = 0"))
+          .coalesce(1).write.parquet(s"$base/in/drop0"),
+        () => deltaDocs.filter(expr("(doc_id div 10) % 2 = 1"))
+          .coalesce(1).write.parquet(s"$base/in/drop1"))
       val arrivals = s.readStream
         .schema(deltaDocs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -815,7 +840,11 @@ object Dedup {
       least(col("new_id"), col("old_id")).as("ia"),
       greatest(col("new_id"), col("old_id")).as("ib"))
     // any near-dup's batch-side doc has shingles by construction, so the
-    // batch ids seen in bsh suffice for orientation recovery
+    // batch ids seen in bsh suffice for orientation recovery.
+    // Broadcasts here stay UNCONDITIONAL (unlike the batch tails'
+    // candBroadcaster guard): the candidate set is O(batch x bucket) by
+    // construction, and a per-micro-batch count action would cost more
+    // than the insurance buys.
     val deltaIds = bsh.select(col("doc_id").as("did")).distinct()
     shC.as("ca").join(shC.as("cb"),
         col("ca.shingle") === col("cb.shingle") &&

@@ -144,7 +144,7 @@ object PipelineCompositions {
           (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
         .orderBy("qid")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
@@ -163,7 +163,7 @@ object PipelineCompositions {
         WHERE rank <= 5),
       bits AS (
         SELECT e.vec_id, CAST(j.range AS INT) AS j,
-               CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+               CASE WHEN list_reduce(list_transform(generate_series(1, ${AnnSearch.Dim}),
                       i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
                            (CASE WHEN ((i - 1) * (CAST(j.range AS INT) + 1)) % 3 = 0
                                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
@@ -273,7 +273,7 @@ object PipelineCompositions {
           (count(col("acand")).cast("double") / lit(5.0)).as("recall_at_5"))
         .orderBy("qid")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
@@ -290,22 +290,12 @@ object PipelineCompositions {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
           FROM scored) t
         WHERE rank <= 5),
-      comp AS (
-        SELECT label, CAST(i.range AS INT) + 1 AS pos,
-               CAST(SUM(CAST(embedding[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
-        FROM embeddings CROSS JOIN range(0, 64) i
-        GROUP BY 1, 2),
-      cent AS (
-        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
-      centn AS (
-        SELECT label, centroid,
-               sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS cnrm
-        FROM cent),
+${AnnSearch.centroidSql("")},
       probes AS (
         SELECT qid, label FROM (
           SELECT q.vec_id AS qid, ct.label,
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_reduce(list_transform(generate_series(1, 64),
+                   list_reduce(list_transform(generate_series(1, ${AnnSearch.Dim}),
                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * ct.centroid[CAST(i AS INT)]),
                      (x, y) -> x + y) / (q.nrm * ct.cnrm) DESC, ct.label ASC) AS cr
           FROM e q CROSS JOIN centn ct

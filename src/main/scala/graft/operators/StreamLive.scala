@@ -62,11 +62,14 @@ object StreamLive {
         val base = java.nio.file.Files.createTempDirectory("graft-ss-join").toString
         val mid = lit("2024-01-16").cast("timestamp")
         // two crawl drops per side, executor-side writes; one file per
-        // drop = one micro-batch per drop under maxFilesPerTrigger=1
-        views.filter(col("view_ts") < mid).coalesce(1).write.parquet(s"$base/v/d0")
-        views.filter(col("view_ts") >= mid).coalesce(1).write.parquet(s"$base/v/d1")
-        purchases.filter(col("purchase_ts") < mid).coalesce(1).write.parquet(s"$base/p/d0")
-        purchases.filter(col("purchase_ts") >= mid).coalesce(1).write.parquet(s"$base/p/d1")
+        // drop = one micro-batch per drop under maxFilesPerTrigger=1.
+        // The four single-task writes run CONCURRENTLY (r9): serially
+        // they were ~1/4 of this query's wall time, each using one core.
+        graft.ParallelStage(
+          () => views.filter(col("view_ts") < mid).coalesce(1).write.parquet(s"$base/v/d0"),
+          () => views.filter(col("view_ts") >= mid).coalesce(1).write.parquet(s"$base/v/d1"),
+          () => purchases.filter(col("purchase_ts") < mid).coalesce(1).write.parquet(s"$base/p/d0"),
+          () => purchases.filter(col("purchase_ts") >= mid).coalesce(1).write.parquet(s"$base/p/d1"))
         val vStream = s.readStream.schema(views.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/v/*")
           .withWatermark("view_ts", "35 days")
@@ -114,8 +117,12 @@ object StreamLive {
           col("ts").cast("timestamp").as("ts"), // watermark needs TIMESTAMP; UTC session → value-exact
           col("event_type"), col("value"))
         val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
-        ev.coalesce(1).write.parquet(s"$base/in/d0") // first delivery
-        ev.coalesce(1).write.parquet(s"$base/in/d1") // full redelivery
+        // first delivery + full redelivery, staged concurrently (r9);
+        // ev is NOT checkpointed here, so each write runs its own scan —
+        // all the more reason to overlap them
+        graft.ParallelStage(
+          () => ev.coalesce(1).write.parquet(s"$base/in/d0"),
+          () => ev.coalesce(1).write.parquet(s"$base/in/d1"))
         val arrivals = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         arrivals
