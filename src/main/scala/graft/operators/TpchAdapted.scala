@@ -357,15 +357,23 @@ object TpchAdapted {
       """.stripMargin.trim)),
 
     // ---- q17: small-quantity-order revenue (correlated avg per part) -----
+    // r9 single-scan shape: the per-part average is only consumed for
+    // Brand#2 parts, and after the broadcast part join each l_partkey
+    // window partition holds exactly that part's complete lineitem rows
+    // (the brand filter selects parts, never lineitem rows). A window AVG
+    // over the filtered join therefore equals the full-table groupBy
+    // average, while aggregating ~1/|brands| of the fact table — one scan
+    // and one brand-sized shuffle instead of a whole-lineitem agg + join.
     QueryDef(
       "q17_small_quantity_revenue",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val avgQ = li.groupBy(col("l_partkey").as("pk"))
-          .agg((sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"))
-        li.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#2")),
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#2")),
             col("l_partkey") === col("p_partkey"))
-          .join(avgQ, col("l_partkey") === col("pk"))
+          .withColumn("avg_qty",
+            sum(col("l_quantity").cast(D)).over(w).cast("double") /
+              count(lit(1)).over(w))
           .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
           .agg((sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0)).as("avg_yearly"))
       },
@@ -383,19 +391,26 @@ object TpchAdapted {
       """.stripMargin.trim)),
 
     // ---- q18: large-volume customers (HAVING subquery → semi join) -------
+    // r9 single-agg shape: the output grain is the order, so the SUM that
+    // the HAVING filter already computed IS total_qty — the former second
+    // lineitem scan + semi join + re-aggregation collapse into one
+    // groupBy. The >300 filter is extremely selective, so the surviving
+    // orders side is tiny and AQE broadcast-joins it through customer
+    // (deliberately not hinted: the aggregate's size is data-dependent).
     QueryDef(
       "q18_large_volume_customers",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val bigOrders = li.groupBy(col("l_orderkey").as("bok"))
+        val bigOrders = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("bok"))
           .agg(sum(col("l_quantity").cast(D)).as("sq"))
-          .filter(col("sq") > 300).select("bok")
+          .filter(col("sq") > 300)
+        val big = Tables.orders(s, dir)
+          .join(bigOrders, col("o_orderkey") === col("bok"))
         Tables.customer(s, dir)
-          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-          .join(bigOrders, col("o_orderkey") === col("bok"), "left_semi")
-          .join(li, col("o_orderkey") === col("l_orderkey"))
-          .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-          .agg(sum(col("l_quantity").cast(D)).cast("double").as("total_qty"))
+          .join(big, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            col("sq").cast("double").as("total_qty"))
           .orderBy(desc("o_totalprice"), asc("o_orderkey"))
           .limit(100)
       },
@@ -474,31 +489,37 @@ object TpchAdapted {
     // "Late" = shipped > 90 days after order date (commit/receipt analog).
     // EXISTS(other supplier) → non-equi left_semi; NOT EXISTS(other late
     // supplier) → non-equi left_anti.
+    // r9 aggregate shape: both correlated quantifiers are order-grain
+    // facts, so they become one pass of per-order aggregates instead of a
+    // non-equi semi + anti join over row pairs. NOT EXISTS(other late
+    // supplier) ⇔ the order's distinct LATE suppliers == 1 (every late row
+    // then shares that one suppkey and qualifies); EXISTS(other shipped
+    // supplier) ⇔ the order's distinct suppliers ≥ 2. numwait counts
+    // qualifying late ROWS, i.e. SUM of the per-order late-row count. The
+    // late subplan now appears exactly once (the localCheckpoint reuse is
+    // gone), and the per-pair join state collapses to two order-keyed
+    // partial aggregates — O(orders), never O(late × lineitem-per-order).
     QueryDef(
       "q21_waiting_supplier",
       (s, dir) => {
         val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
         val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val late = li
+        val soloLate = li
           .join(fOrders, col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-          .select("l_orderkey", "l_suppkey")
-          .localCheckpoint(true) // reused as probe and as the anti side
-        val othersShipped = li.select(
-          col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-        val othersLate = late.select(
-          col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-        late.as("l1")
-          .join(othersShipped,
-            col("l1.l_orderkey") === col("ok2") && col("l1.l_suppkey") =!= col("sk2"),
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("nlate"),
+            count(lit(1)).as("nrows"),
+            min(col("l_suppkey")).as("sk"))
+          .filter(col("nlate") === 1)
+        val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        soloLate
+          .join(others, col("l_orderkey") === col("ok2") && col("sk") =!= col("sk2"),
             "left_semi")
-          .join(othersLate,
-            col("l1.l_orderkey") === col("ok3") && col("l1.l_suppkey") =!= col("sk3"),
-            "left_anti")
-          .join(broadcast(Tables.supplier(s, dir)), col("l1.l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("nrows")).as("numwait"))
           .orderBy(desc("numwait"), asc("s_name"))
           .limit(20)
       },
