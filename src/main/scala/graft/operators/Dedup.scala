@@ -1178,8 +1178,121 @@ object Dedup {
       (pairs, labels)
     }
 
+  /** The LSH candidate-pair CTE chain shared by the two cross-source
+    * governance oracles below — textually the same sketch definition as
+    * the `dedup_minhash_lsh` oracle so the three cannot drift.
+    */
+  private val lshCandsSql: String =
+    s"""sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+  /** LSH candidate pairs against the session-pinned sketch (the probe
+    * path shared with [[minhashEstimateQuality]]; [[minhashLsh]] remains
+    * the family's honest-build gate).
+    */
+  private def lshCandsFromSketch(s: SparkSession, dir: String): DataFrame = {
+    val (_, mh) = sketchSurface(s, dir)
+    val bands = bandsOf(mh)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+      .localCheckpoint(true) // tiny LSH output; joined twice below
+  }
+
+  /** WHO duplicates WHOM: near-dup pair mass per unordered source pair.
+    * The governance artifact behind every "drop source X, it is 80%
+    * scraped from source Y" decision — the first corpus-level question
+    * after any dedup run. Scale shape: the candidate pairs are
+    * LSH-bounded (O(Σ bucket²), never corpus²) and the two source
+    * lookups are doc_id-keyed joins of that small pair set against the
+    * corpus (broadcast while small, size-guarded like every candidate
+    * tail) — the full documents table is scanned once per side for two
+    * columns and never shuffled against itself.
+    */
+  val crossSourceAttribution: QueryDef = QueryDef(
+    "dedup_cross_source_attribution",
+    (s, dir) => {
+      val cands = lshCandsFromSketch(s, dir)
+      val bc = candBroadcaster(cands)
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      bc(cands)
+        .join(src.as("da"), col("ia") === col("da.doc_id"))
+        .join(src.as("db"), col("ib") === col("db.doc_id"))
+        .select(least(col("da.source"), col("db.source")).as("src_a"),
+          greatest(col("da.source"), col("db.source")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), asc("src_a"), asc("src_b"))
+    },
+    Some(s"""
+      WITH $lshCandsSql
+      SELECT LEAST(da.source, db.source) AS src_a,
+             GREATEST(da.source, db.source) AS src_b,
+             COUNT(*) AS n_pairs
+      FROM cand
+      JOIN documents da ON ia = da.doc_id
+      JOIN documents db ON ib = db.doc_id
+      GROUP BY 1, 2
+      ORDER BY n_pairs DESC, src_a ASC, src_b ASC
+    """.stripMargin.trim))
+
+  /** Duplication rate per source: how much of each source's volume sits
+    * inside at least one near-dup pair — the per-source quality dial
+    * that prices a source's marginal contribution before it is admitted
+    * to a mixture. Sources with zero near-dups surface with rate 0.0
+    * (left join), so the report always covers the full source roster.
+    * The division is one BIGINT/BIGINT → DOUBLE op on both engines.
+    */
+  val dupRateBySource: QueryDef = QueryDef(
+    "pipeline_dedup_rate_by_source",
+    (s, dir) => {
+      val cands = lshCandsFromSketch(s, dir)
+      val bc = candBroadcaster(cands)
+      val dupDocs = cands.select(col("ia").as("doc_id"))
+        .union(cands.select(col("ib").as("doc_id"))).distinct()
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val perSrcTotal = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val perSrcDup = src.join(bc(dupDocs), Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dup"))
+      perSrcTotal.join(perSrcDup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"))
+            .as("dup_rate"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $lshCandsSql,
+      dup AS (SELECT ia AS doc_id FROM cand UNION SELECT ib AS doc_id FROM cand),
+      tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      dps AS (SELECT source, COUNT(*) AS n_dup FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM dup) GROUP BY 1)
+      SELECT t.source, n_docs, COALESCE(n_dup, 0) AS n_dup,
+             CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_docs AS dup_rate
+      FROM tot t LEFT JOIN dps USING (source)
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
-      simhash, embeddingCosine, semanticSemdedup, clusterComponents)
+      simhash, embeddingCosine, semanticSemdedup, clusterComponents,
+      crossSourceAttribution, dupRateBySource)
 }
