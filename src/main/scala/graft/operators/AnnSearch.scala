@@ -440,7 +440,54 @@ object AnnSearch {
       ORDER BY vec_id
     """.stripMargin.trim))
 
+  /** Full k-NN graph construction: top-3 cosine neighbors for EVERY
+    * vector, candidates scoped to the vector's own IVF cell — the batch
+    * artifact that semantic dedup, cluster refinement, and
+    * diversity-aware selection all consume (one graph build amortized
+    * across every downstream pass, vs re-probing per query). Scale
+    * shape: a self-join of the pinned index CO-PARTITIONED BY LABEL — at
+    * 100 TB the signature table is bucketed by label, so the join is
+    * shuffle-free cell-local work of O(Σ cell²), never corpus², and the
+    * per-vector window ranks inside the same partitioning. Ties are
+    * broken by cand_id in both engines, so the graph is deterministic
+    * even under equal cosines; vectors alone in their cell simply have
+    * no edges (inner join, consistent in both engines).
+    */
+  val knnGraph: QueryDef = QueryDef(
+    "ann_knn_graph_ivf",
+    (s, dir) => {
+      val e = index(s, dir)
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+      e.as("q").join(e.as("c"),
+          col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "cand_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id),
+      ranked AS (
+        SELECT qid, cand_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qid, rank, cand_id, cos FROM ranked
+      WHERE rank <= 3
+      ORDER BY qid, rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
-      int8QuantError, ivfMultiprobe, ivfAssignDelta)
+      int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph)
 }
