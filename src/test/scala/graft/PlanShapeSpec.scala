@@ -89,6 +89,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the per-shard row_number window")
   }
 
+  test("q17/q18: exactly one lineitem scan (r9 single-scan rewrites)") {
+    // both queries used to carry a second full-lineitem pass (groupBy-avg
+    // join in q17, semi + re-aggregation in q18); the rewrites fold it
+    // into one scan, and a second Location line on the fact table would
+    // mean the fold regressed.
+    Seq("q17_small_quantity_revenue", "q18_large_volume_customers").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.contains("lineitem.parquet"))
+      assert(scans == 1, s"$n scans lineitem $scans times, expected 1")
+    }
+  }
+
   test("dedup joins are keyed (shuffled on content keys, not all-pairs)") {
     Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
         "dedup_minhash_lsh", "dedup_simhash").foreach { n =>
