@@ -123,26 +123,40 @@ object RelationalExtra {
     // exact median without interpolation ambiguity: lower-median by rank
     // (position ceil(n/2) in price order) — pure integer selection, no
     // float math, so it is portable where percentile() interpolation
-    // isn't. Scale shape: a cumulative histogram over DISTINCT prices
-    // (groupBy shuffle is fully parallel; the window walks the compressed
-    // histogram), not row_number over whole group partitions — ranking
-    // every row caps parallelism at #groups and sorts the full table.
+    // isn't. Scale shape (r9): two-pass bucket refinement. The r8 form
+    // built a per-DISTINCT-price histogram, but prices are ~99% unique,
+    // so the "compressed" histogram was the full table and its
+    // cumulative window sorted ~600k rows across #groups=3 partitions —
+    // exactly the parallelism collapse the operator claims to avoid.
+    // Now pass 1 aggregates coarse fixed-width buckets (fully parallel,
+    // a few thousand rows out), the tiny cumulative walk locates each
+    // group's median bucket and the residual rank within it, and pass 2
+    // ranks ONLY the rows of that one bucket per group (~1/1000 of the
+    // table after a broadcast prune). No step sorts a whole group.
     QueryDef(
       "agg_exact_median_by_rank",
       (s, dir) => {
-        val hist = Tables.lineitem(s, dir)
-          .groupBy("l_returnflag", "l_extendedprice").agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
+        val bucketed = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("b", floor(col("l_extendedprice") / 64.0))
+        val hist = bucketed.groupBy("l_returnflag", "b").agg(count(lit(1)).as("cnt"))
+        val wb = Window.partitionBy("l_returnflag").orderBy(asc("b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // group totals re-aggregate the (already tiny) histogram — one
-        // lineitem scan total, not two
+        // group totals re-aggregate the (tiny) bucket histogram
         val totals = hist.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-        hist.withColumn("cum", sum("cnt").over(w))
+        val target = hist.withColumn("cum", sum("cnt").over(wb))
           .join(totals, "l_returnflag")
           .withColumn("k", ((col("n") + 1) / 2).cast("long"))
-          // the k-th value lies in the first histogram bucket whose
-          // cumulative count crosses k
+          // the k-th value lies in the first bucket whose cumulative
+          // count crosses k; kin is the residual rank inside it
           .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+          .select(col("l_returnflag"), col("b").as("tb"),
+            (col("k") - (col("cum") - col("cnt"))).as("kin"))
+        val wr = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
+        bucketed.join(broadcast(target), Seq("l_returnflag"))
+          .filter(col("b") === col("tb"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .filter(col("rn") === col("kin"))
           .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
           .orderBy("l_returnflag")
       },
