@@ -491,21 +491,30 @@ object TextAnalysis {
   val filterAudit: QueryDef = QueryDef(
     "pipeline_filter_audit",
     (s, dir) => {
-      val base = Tables.documents(s, dir)
+      // r9 shuffle-free repetition feature: the max count of any
+      // repeated bigram equals the longest equal-run in the SORTED
+      // per-doc bigram array, so the former explode → corpus-sized
+      // string shuffle → two-level groupBy collapses into one per-row
+      // array_sort + aggregate fold. Every per-doc feature is computed
+      // inside the scan's own task; the audit is ONE pass over the
+      // corpus with only the final 4-row reason-groupBy on the wire —
+      // at 100 TB, per-doc work never leaves its partition.
+      val maxRun =
+        """aggregate(array_sort(transform(sequence(1, size(ts) - 1),
+          |    i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))),
+          |  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+          |  acc -> acc.best)""".stripMargin
+      Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val feats = base.select(col("doc_id"),
-        size(col("ts")).as("n_tokens"),
-        (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("diversity"))
-      val rep = base.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), (size(col("ts")) - 1).as("n_bigrams"),
-          explode(expr(
-            "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"))
-            .as("bg"))
-        .groupBy("doc_id", "n_bigrams", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_bigrams").agg(max("c").as("top_bg"))
         .select(col("doc_id"),
-          (col("top_bg").cast("double") / col("n_bigrams")).as("bg_frac"))
-      feats.join(rep, Seq("doc_id"), "left")
+          size(col("ts")).as("n_tokens"),
+          (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("diversity"),
+          when(size(col("ts")) >= 2,
+            expr(maxRun).cast("double") / (size(col("ts")) - 1)).as("bg_frac"))
         .withColumn("reason",
           when(col("n_tokens") < 24, "too_short")
             .when(col("diversity") < 0.35, "low_diversity")
