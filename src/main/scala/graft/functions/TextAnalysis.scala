@@ -107,34 +107,32 @@ object TextAnalysis {
       ORDER BY doc_id
     """.stripMargin.trim))
 
-  /** n-gram/stopword-hit language ID heuristic with a fixed-priority
-    * tiebreak (en > de > es > fr > unknown). CJK presence short-circuits
-    * to 'zh'.
+  /** Stopword-hit counts + predicted language for every document — the
+    * ONE definition of the classifier, shared by `text_langid` and the
+    * confusion audit below so the two can never drift.
     */
-  val langId: QueryDef = QueryDef(
-    "text_langid",
-    (s, dir) => {
-      def hits(ws: Seq[String]) = size(expr(s"filter(ts, t -> t IN ${sqlList(ws)})")).cast("long")
-      Tables.documents(s, dir)
-        .withColumn("ts", split(col("text"), " "))
-        .withColumn("c_en", hits(enStops))
-        .withColumn("c_de", hits(deStops))
-        .withColumn("c_es", hits(esStops))
-        .withColumn("c_fr", hits(frStops))
-        .withColumn("lang_pred",
-          when(col("text").rlike("[一-鿿]"), "zh")
-            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
-                  col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
-            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
-                  col("c_de") > 0, "de")
-            .when(col("c_es") >= col("c_fr") && col("c_es") > 0, "es")
-            .when(col("c_fr") > 0, "fr")
-            .otherwise("unknown"))
-        .select("doc_id", "lang", "lang_pred", "c_en", "c_de", "c_es", "c_fr")
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      SELECT doc_id, lang,
+  private def withLangPred(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def hits(ws: Seq[String]) = size(expr(s"filter(ts, t -> t IN ${sqlList(ws)})")).cast("long")
+    df.withColumn("ts", split(col("text"), " "))
+      .withColumn("c_en", hits(enStops))
+      .withColumn("c_de", hits(deStops))
+      .withColumn("c_es", hits(esStops))
+      .withColumn("c_fr", hits(frStops))
+      .withColumn("lang_pred",
+        when(col("text").rlike("[一-鿿]"), "zh")
+          .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+                col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+                col("c_de") > 0, "de")
+          .when(col("c_es") >= col("c_fr") && col("c_es") > 0, "es")
+          .when(col("c_fr") > 0, "fr")
+          .otherwise("unknown"))
+  }
+
+  /** The classifier's DuckDB twin as a subquery over `documents`:
+    * (doc_id, lang, n_chars, lang_pred, c_en..c_fr). */
+  private val langPredSql: String = s"""
+      SELECT doc_id, lang, n_chars,
              CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
                   WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
                   WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
@@ -143,13 +141,58 @@ object TextAnalysis {
                   ELSE 'unknown' END AS lang_pred,
              c_en, c_de, c_es, c_fr
       FROM (
-        SELECT doc_id, lang, text,
+        SELECT doc_id, lang, n_chars, text,
                CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(enStops)})) AS BIGINT) AS c_en,
                CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(deStops)})) AS BIGINT) AS c_de,
                CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(esStops)})) AS BIGINT) AS c_es,
                CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(frStops)})) AS BIGINT) AS c_fr
-        FROM documents) t
+        FROM documents) t"""
+
+  /** n-gram/stopword-hit language ID heuristic with a fixed-priority
+    * tiebreak (en > de > es > fr > unknown). CJK presence short-circuits
+    * to 'zh'.
+    */
+  val langId: QueryDef = QueryDef(
+    "text_langid",
+    (s, dir) => {
+      withLangPred(Tables.documents(s, dir))
+        .select("doc_id", "lang", "lang_pred", "c_en", "c_de", "c_es", "c_fr")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, lang_pred, c_en, c_de, c_es, c_fr
+      FROM ($langPredSql) p
       ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * doc counts and the share of each labeled language's docs — the
+    * calibration audit every heuristic classifier needs before its
+    * output is allowed to route corpus volume (a 2% en→unknown leak at
+    * 100 TB is a 2 TB mislabeled shard). Shares are per-label window
+    * fractions, one BIGINT/BIGINT → DOUBLE division on both engines.
+    * Scale shape: per-doc classification never leaves the scan task;
+    * only the |langs|² matrix is shuffled.
+    */
+  val langIdConfusion: QueryDef = QueryDef(
+    "text_langid_confusion",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+      withLangPred(Tables.documents(s, dir))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum("n_docs").over(w))
+        .orderBy("lang", "lang_pred")
+    },
+    Some(s"""
+      SELECT lang, lang_pred, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(COUNT(*) AS DOUBLE) /
+               SUM(COUNT(*)) OVER (PARTITION BY lang) AS share
+      FROM ($langPredSql) p
+      GROUP BY lang, lang_pred
+      ORDER BY lang, lang_pred
     """.stripMargin.trim))
 
   /** Canonicalizing content fingerprint: lowercase → strip non-alnum →
@@ -556,7 +599,7 @@ object TextAnalysis {
     """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(tokenStats, bpeTokens, qualityScore, langId, fingerprint, termStats, corpusSelect,
-      tokenBudgetPack, levenshteinNeighbors, winnowFingerprint, repetitionRatios,
-      chunkSliding, filterAudit)
+    Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
+      termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
+      winnowFingerprint, repetitionRatios, chunkSliding, filterAudit)
 }
