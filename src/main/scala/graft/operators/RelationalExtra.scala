@@ -14,6 +14,41 @@ object RelationalExtra {
 
   private val D = DecimalType(12, 2)
 
+  /** Lower median (the ceil(n/2)-th smallest value) per group via
+    * two-pass bucket refinement — the distributed selection shape that
+    * never sorts a whole group (see `agg_exact_median_by_rank`'s
+    * comment). Exposed as a function so MedianPropertySpec can fuzz the
+    * bucket-boundary edge cases (duplicates spanning buckets, k landing
+    * exactly on a bucket edge, single-row and all-equal groups) against
+    * a direct sort on arbitrary data, not just the corpus.
+    */
+  private[operators] def lowerMedianByBucket(
+      df: org.apache.spark.sql.DataFrame, groupCol: String, valCol: String,
+      width: Double): org.apache.spark.sql.DataFrame = {
+    val bucketed = df.select(col(groupCol), col(valCol))
+      .withColumn("b", floor(col(valCol) / width))
+    val hist = bucketed.groupBy(groupCol, "b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(groupCol).orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals re-aggregate the (tiny) bucket histogram
+    val totals = hist.groupBy(groupCol).agg(sum("cnt").as("n"))
+    val target = hist.withColumn("cum", sum("cnt").over(wb))
+      .join(totals, groupCol)
+      .withColumn("k", ((col("n") + 1) / 2).cast("long"))
+      // the k-th value lies in the first bucket whose cumulative count
+      // crosses k; kin is the residual rank inside it
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col(groupCol), col("b").as("tb"),
+        (col("k") - (col("cum") - col("cnt"))).as("kin"))
+    val wr = Window.partitionBy(groupCol).orderBy(asc(valCol))
+    bucketed.join(broadcast(target), Seq(groupCol))
+      .filter(col("b") === col("tb"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") === col("kin"))
+      .select(col(groupCol), col(valCol).as("median"))
+      .orderBy(groupCol)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -136,29 +171,9 @@ object RelationalExtra {
     QueryDef(
       "agg_exact_median_by_rank",
       (s, dir) => {
-        val bucketed = Tables.lineitem(s, dir)
-          .select(col("l_returnflag"), col("l_extendedprice"))
-          .withColumn("b", floor(col("l_extendedprice") / 64.0))
-        val hist = bucketed.groupBy("l_returnflag", "b").agg(count(lit(1)).as("cnt"))
-        val wb = Window.partitionBy("l_returnflag").orderBy(asc("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // group totals re-aggregate the (tiny) bucket histogram
-        val totals = hist.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-        val target = hist.withColumn("cum", sum("cnt").over(wb))
-          .join(totals, "l_returnflag")
-          .withColumn("k", ((col("n") + 1) / 2).cast("long"))
-          // the k-th value lies in the first bucket whose cumulative
-          // count crosses k; kin is the residual rank inside it
-          .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
-          .select(col("l_returnflag"), col("b").as("tb"),
-            (col("k") - (col("cum") - col("cnt"))).as("kin"))
-        val wr = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
-        bucketed.join(broadcast(target), Seq("l_returnflag"))
-          .filter(col("b") === col("tb"))
-          .withColumn("rn", row_number().over(wr).cast("long"))
-          .filter(col("rn") === col("kin"))
-          .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
-          .orderBy("l_returnflag")
+        lowerMedianByBucket(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", 64.0)
+          .withColumnRenamed("median", "median_price")
       },
       Some("""
         WITH ranked AS (
