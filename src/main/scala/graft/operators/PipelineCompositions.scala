@@ -454,18 +454,24 @@ ${AnnSearch.centroidSql("")},
   val decontaminate: QueryDef = QueryDef(
     "pipeline_benchmark_decontaminate",
     (s, dir) => {
-      val ng = Tables.documents(s, dir)
+      // r9: per-doc n-gram dedup is array_distinct INSIDE the row —
+      // doc_id is unique per row, so DISTINCT(doc_id, source, ng) equals
+      // the per-row array dedup, and the former corpus-wide .distinct()
+      // (a shuffle of every 8-gram string — the exact thing this query's
+      // scale note promises never happens to the training side) is gone.
+      // The training corpus now flows scan → explode → broadcast-probe
+      // with ZERO shuffles before the overlap-only aggregation; the
+      // bench side is a second, source-pruned scan (filter pushed down)
+      // instead of a checkpointed corpus materialization.
+      def ngOf(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= 8)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))")).as("ng"))
-        .distinct()
-        .localCheckpoint(true) // referenced 2× (bench + train sides): the
-                               // explode + corpus-wide distinct must not
-                               // be computed twice
-      val bench = ng.filter(col("source") === "src0")
+        .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))"))).as("ng"))
+      val docs = Tables.documents(s, dir)
+      val bench = ngOf(docs.filter(col("source") === "src0"))
         .select(col("ng"), col("doc_id").as("bench_doc"))
-      val train = ng.filter(col("source") =!= "src0").select("doc_id", "ng")
+      val train = ngOf(docs.filter(col("source") =!= "src0")).select("doc_id", "ng")
       train.join(broadcast(bench), "ng")
         .groupBy("doc_id")
         .agg(
