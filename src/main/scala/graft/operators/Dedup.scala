@@ -1220,7 +1220,12 @@ object Dedup {
   /** WHO duplicates WHOM: near-dup pair mass per unordered source pair.
     * The governance artifact behind every "drop source X, it is 80%
     * scraped from source Y" decision — the first corpus-level question
-    * after any dedup run. Scale shape: the candidate pairs are
+    * after any dedup run. Complementary to
+    * `pipeline_cross_source_contamination` (exact-Jaccard-verified pairs,
+    * cross-source only): THIS is the candidate-level screening view —
+    * LSH sketch pairs, no verification pass, INTRA-source mass included —
+    * i.e. the cheap matrix a 100 TB run consults to decide where
+    * verification money goes. Scale shape: the candidate pairs are
     * LSH-bounded (O(Σ bucket²), never corpus²) and the two source
     * lookups are doc_id-keyed joins of that small pair set against the
     * corpus (broadcast while small, size-guarded like every candidate
