@@ -173,8 +173,11 @@ object AnalyticsExtra {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = terms.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // df FROM tf: tf already holds exactly one row per (doc, term),
+        // so document frequency is a re-aggregation of it — the separate
+        // distinct() re-shuffled the raw term instances a second time
+        // over the same (doc_id, term) key (r9)
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         // argmax by (score desc, term asc) as a min_by hash aggregation
         // with map-side combine — replaces the r5 row_number window,
         // whose full shuffle+sort of the scored tf table cost ~0.4 s of
