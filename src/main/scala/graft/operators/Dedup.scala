@@ -52,6 +52,34 @@ object Dedup {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t0
       |      WHERE len(ts) >= 3) t""".stripMargin
 
+  /** The ONE DuckDB definition of the sketch → LSH candidate chain
+    * (sh → mh → bands → cand), interpolated into every oracle that
+    * consumes LSH candidates (`dedup_minhash_lsh`,
+    * `dedup_minhash_estimate_quality`, the two cross-source governance
+    * queries) so the sketch definition structurally cannot drift
+    * between them. Defined before its first consumer: object vals
+    * initialize in declaration order.
+    */
+  private val lshCandsSql: String =
+    s"""sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST(i // 4 AS INT) AS band,
+               md5(concat_ws(',',
+                 max(CASE WHEN i % 4 = 0 THEN h END),
+                 max(CASE WHEN i % 4 = 1 THEN h END),
+                 max(CASE WHEN i % 4 = 2 THEN h END),
+                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
   /** Exact dedup: canonical doc per identical text (hash-groupBy). */
   val exact: QueryDef = QueryDef(
     "dedup_exact",
@@ -475,23 +503,8 @@ object Dedup {
         .orderBy("ia", "ib")
     },
     Some(s"""
-      WITH sh AS ($shinglesSql),
-      mh AS (
-        SELECT doc_id, CAST(i.range AS INT) AS i,
-               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
-        FROM sh CROSS JOIN range(0, 16) i
-        GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, CAST(i // 4 AS INT) AS band,
-               md5(concat_ws(',',
-                 max(CASE WHEN i % 4 = 0 THEN h END),
-                 max(CASE WHEN i % 4 = 1 THEN h END),
-                 max(CASE WHEN i % 4 = 2 THEN h END),
-                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
-        FROM mh GROUP BY 1, 2)
-      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WITH $lshCandsSql
+      SELECT ia, ib FROM cand
       ORDER BY ia, ib
     """.stripMargin.trim))
 
@@ -510,13 +523,7 @@ object Dedup {
       // probes the session-pinned sketch index (see sketchSurface);
       // minhashLsh carries the family's honest build cost in the bench
       val (sh, mh) = sketchSurface(s, dir)
-      val bands = bandsOf(mh)
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .distinct()
-        .localCheckpoint(true)  // tiny LSH output; probed 3× below
+      val cands = lshCandsFromSketch(s, dir) // checkpointed; probed 3× below
       // The whole exact side is scoped to CANDIDATE DOCUMENTS before any
       // further work: one broadcast semi-join prunes the shingle table to
       // the docs the LSH stage surfaced (at scale: orders of magnitude
@@ -561,24 +568,7 @@ object Dedup {
         .orderBy("ia", "ib")
     },
     Some(s"""
-      WITH sh AS ($shinglesSql),
-      mh AS (
-        SELECT doc_id, CAST(i.range AS INT) AS i,
-               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
-        FROM sh CROSS JOIN range(0, 16) i
-        GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, CAST(i // 4 AS INT) AS band,
-               md5(concat_ws(',',
-                 max(CASE WHEN i % 4 = 0 THEN h END),
-                 max(CASE WHEN i % 4 = 1 THEN h END),
-                 max(CASE WHEN i % 4 = 2 THEN h END),
-                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
-        FROM mh GROUP BY 1, 2),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      WITH $lshCandsSql,
       e AS (
         SELECT c.ia, c.ib,
                SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS k
@@ -1178,35 +1168,11 @@ object Dedup {
       (pairs, labels)
     }
 
-  /** The LSH candidate-pair CTE chain shared by the two cross-source
-    * governance oracles below — textually the same sketch definition as
-    * the `dedup_minhash_lsh` oracle so the three cannot drift.
-    */
-  private val lshCandsSql: String =
-    s"""sh AS ($shinglesSql),
-      mh AS (
-        SELECT doc_id, CAST(i.range AS INT) AS i,
-               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
-        FROM sh CROSS JOIN range(0, 16) i
-        GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, CAST(i // 4 AS INT) AS band,
-               md5(concat_ws(',',
-                 max(CASE WHEN i % 4 = 0 THEN h END),
-                 max(CASE WHEN i % 4 = 1 THEN h END),
-                 max(CASE WHEN i % 4 = 2 THEN h END),
-                 max(CASE WHEN i % 4 = 3 THEN h END))) AS bkey
-        FROM mh GROUP BY 1, 2),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
-
   /** LSH candidate pairs against the session-pinned sketch (the probe
-    * path shared with [[minhashEstimateQuality]]; [[minhashLsh]] remains
-    * the family's honest-build gate).
+    * path shared with [[minhashEstimateQuality]] and CrossSourceSpec;
+    * [[minhashLsh]] remains the family's honest-build gate).
     */
-  private def lshCandsFromSketch(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def lshCandsFromSketch(s: SparkSession, dir: String): DataFrame = {
     val (_, mh) = sketchSurface(s, dir)
     val bands = bandsOf(mh)
     bands.as("a").join(bands.as("b"),

@@ -13,15 +13,10 @@ class CrossSourceSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def lshPairs = {
-    val (_, mh) = Dedup.sketchSurface(spark, dir)
-    val bands = Dedup.bandsOf(mh)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
-  }
+  // the production candidate derivation (checkpointed once): the spec
+  // verifies the AGGREGATIONS against the pair set, so sharing the
+  // derivation is intentional — a lazy val executes the join one time
+  private lazy val lshPairs = Dedup.lshCandsFromSketch(spark, dir)
 
   test("attribution conserves the candidate-pair mass, src_a <= src_b") {
     val attr = Dedup.crossSourceAttribution.run(spark, dir).collect()

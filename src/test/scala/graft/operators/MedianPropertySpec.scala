@@ -15,13 +15,18 @@ class MedianPropertySpec extends SparkSpec {
 
   private def check(data: Seq[(String, Double)], width: Double): Unit = {
     import spark.implicits._
-    val got = RelationalExtra
+    val rows = RelationalExtra
       .lowerMedianByBucket(data.toDF("g", "v"), "g", "v", width)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val want = data.groupBy(_._1).map { case (g, rows) =>
-      val vs = rows.map(_._2).sorted
+      .collect()
+    val want = data.groupBy(_._1).map { case (g, grp) =>
+      val vs = grp.map(_._2).sorted
       g -> vs((vs.size + 1) / 2 - 1)
     }
+    // exactly ONE row per group — a Map compare alone would mask a
+    // regression that emits a duplicate row (e.g. two buckets passing
+    // the cum-crossing filter) as long as the last one is right
+    assert(rows.length == want.size, s"width=$width data=$data rows=${rows.toSeq}")
+    val got = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == want, s"width=$width data=$data")
   }
 
