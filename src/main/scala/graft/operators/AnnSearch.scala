@@ -487,7 +487,56 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim))
 
+  /** INCREMENTAL k-NN graph growth: newly arrived vectors (vec_id % 7
+    * == 3, the same arrival convention as [[ivfAssignDelta]]) get their
+    * top-3 neighbors by probing the EXISTING corpus members of their
+    * cell only — O(|delta| × cell) per batch, the graph grows by
+    * append, and corpus rows are never re-scored against each other.
+    * Completes the incremental triple (minhash delta dedup, IVF delta
+    * assignment, k-NN delta edges): every index this engine builds has
+    * a full-build gate AND an arrival path. The symmetric maintenance a
+    * production graph also wants — corpus vectors whose own top-3 now
+    * includes an arrival — reads the SAME delta⋈corpus join output
+    * partitioned by cand_id instead of qid; it is the identical plan
+    * shape, so only the forward direction is declared as a query.
+    */
+  val knnGraphDelta: QueryDef = QueryDef(
+    "ann_knn_graph_delta",
+    (s, dir) => {
+      val e = index(s, dir)
+      val isNew = col("vec_id") % 7 === 3
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+      broadcast(e.filter(isNew)).as("q")
+        .join(e.filter(!isNew).as("c"), col("q.label") === col("c.label"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "cand_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.label = c.label
+        WHERE q.vec_id % 7 = 3 AND c.vec_id % 7 <> 3),
+      ranked AS (
+        SELECT qid, cand_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qid, rank, cand_id, cos FROM ranked
+      WHERE rank <= 3
+      ORDER BY qid, rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
-      int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph)
+      int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta)
 }
