@@ -536,7 +536,116 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim))
 
+  /** Cell-capped k-NN graph: cells larger than Cap=16 are split into
+    * ceil(cellN/16) deterministic sub-cells (vec_id mod nsplits) and
+    * neighbors are ranked within the SUB-cell — the hot-cell defense
+    * the graph build needs at 100 TB, where one over-dense IVF cell
+    * would otherwise cost O(cell²) alone (the ANN twin of the dedup
+    * family's df cap). Approximate by construction; the recall gate
+    * below prices the approximation the way int8/multiprobe are priced.
+    */
+  private val CellCap = 16
+
+  val knnGraphCapped: QueryDef = QueryDef(
+    "ann_knn_graph_capped",
+    (s, dir) => {
+      val e = index(s, dir)
+      val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
+      val sub = e.join(broadcast(sizes), "label")
+        .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
+        .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+      sub.as("q").join(sub.as("c"),
+          col("q.label") === col("c.label") && col("q.sub") === col("c.sub") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "cand_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
+      sub AS (
+        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
+        FROM e JOIN sizes USING (label)),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub AND q.vec_id != c.vec_id),
+      ranked AS (
+        SELECT qid, cand_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qid, rank, cand_id, cos FROM ranked
+      WHERE rank <= 3
+      ORDER BY qid, rank
+    """.stripMargin.trim))
+
+  /** Edge recall of the cell-capped graph vs the exact cell-scoped
+    * graph — the dial that says what the hot-cell defense costs, next
+    * to the ones already priced (int8 recall, multiprobe recall).
+    */
+  val recallKnnCapped: QueryDef = QueryDef(
+    "ann_recall_knn_capped_vs_exact",
+    (s, dir) => {
+      val ex = knnGraph.run(s, dir).select("qid", "cand_id")
+      val cp = knnGraphCapped.run(s, dir)
+        .select(col("qid").as("cq"), col("cand_id").as("cc"))
+        .withColumn("hit", lit(1L))
+      ex.join(cp, col("qid") === col("cq") && col("cand_id") === col("cc"), "left")
+        .agg(count(lit(1)).as("n_exact_edges"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_retained"))
+        .select(col("n_exact_edges"), col("n_retained"),
+          (col("n_retained").cast("double") / col("n_exact_edges")).as("recall"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      exact_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id),
+      exact_edges AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM exact_scored) WHERE rank <= 3),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
+      sub AS (
+        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
+        FROM e JOIN sizes USING (label)),
+      capped_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub AND q.vec_id != c.vec_id),
+      capped_edges AS (
+        SELECT qid, cand_id FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM capped_scored) WHERE rank <= 3)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_edges,
+             CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+      FROM exact_edges x
+      LEFT JOIN capped_edges c ON x.qid = c.qid AND x.cand_id = c.cand_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
-      int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta)
+      int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
+      knnGraphCapped, recallKnnCapped)
 }
