@@ -1261,9 +1261,129 @@ object Dedup {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Maximal shared verbatim word spans — the exact-substring layer of
+    * the dedup family (the operation suffix-array dedup performs in
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2021, re-expressed for a distributed engine): every
+    * run of >= 10 consecutive words appearing verbatim in two documents
+    * yields ONE row per maximal span, with both start positions and the
+    * span length. Near-dup scoring (Jaccard/MinHash) says THAT two docs
+    * overlap; this says WHERE, which is what span-level cut-and-dedup
+    * needs.
+    *
+    * Shape: word-5-gram inverted index with positions → content-keyed
+    * occurrence equi-join (the family's standard candidate pattern —
+    * never all-pairs) → gaps-and-islands fold: matched positions with a
+    * constant alignment offset (pa − pb) and consecutive pa form one
+    * island (pa − row_number() is constant exactly on such runs), and
+    * each island is a maximal span of length count + 4 words. Cost is
+    * O(Σ df_gram²) join work plus one window over matched positions,
+    * both keyed and partition-parallel; 5-gram df is naturally tiny
+    * (max 3 on this corpus), and at 100 TB hot boilerplate grams take
+    * the same df-cap treatment the skew spec measures for shingles.
+    */
+  val duplicateSpans: QueryDef = QueryDef(
+    "dedup_duplicate_spans",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        // same single-row-group spread as shingles(): the explode is the
+        // CPU stage and must not run behind a one-task scan
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, size(ts) - 4),
+            |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+            |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))""".stripMargin))
+          .as(Seq("off", "gram")))
+        .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("gram"))
+      val m = grams.as("a").join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+      val w = Window.partitionBy(col("ia"), col("ib"), col("pa") - col("pb"))
+        .orderBy("pa")
+      m.withColumn("island", col("pa") - row_number().over(w))
+        .groupBy(col("ia"), col("ib"), (col("pa") - col("pb")).as("d"), col("island"))
+        .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+          (count(lit(1)) + 4).as("span_words"))
+        .filter(col("span_words") >= 10)
+        .select("ia", "ib", "a_start", "b_start", "span_words")
+        .orderBy("ia", "ib", "a_start", "b_start")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      ),
+      grams AS (
+        SELECT doc_id, CAST(p AS INT) AS pos,
+               ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT)+1] || ' ' ||
+               ts[CAST(p AS INT)+2] || ' ' || ts[CAST(p AS INT)+3] || ' ' ||
+               ts[CAST(p AS INT)+4] AS gram
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+              FROM toks WHERE len(ts) >= 5) t
+      ),
+      m AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      ),
+      isl AS (
+        SELECT ia, ib, pa, pb,
+               pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS island
+        FROM m
+      )
+      SELECT ia, ib, MIN(pa) AS a_start, MIN(pb) AS b_start,
+             COUNT(*) + 4 AS span_words
+      FROM isl
+      GROUP BY ia, ib, pa - pb, island
+      HAVING COUNT(*) + 4 >= 10
+      ORDER BY ia, ib, a_start, b_start
+    """.stripMargin.trim))
+
+  /** MinHash sketch mergeability, proven through the oracle gate: the
+    * Spark side splits every document's shingle set into 4 arbitrary
+    * hash shards, builds an independent partial 16-slot sketch PER
+    * SHARD, and merges the partials by element-wise min; the oracle
+    * computes the sketch directly over the unsplit shingle set. The
+    * hash compare passing IS the algebraic property (min is
+    * associative + commutative + idempotent) that makes the sketch
+    * index maintainable at 100 TB: each data shard keeps its own
+    * partial sketch next to its rows, corpus-level signatures are a
+    * cheap merge — never a corpus-wide re-shingle — and Spark's own
+    * map-side partial aggregation is this same two-level tree, applied
+    * implicitly. Output is one md5 over the 16 merged slots per doc.
+    */
+  val minhashSketchMerge: QueryDef = QueryDef(
+    "dedup_minhash_sketch_merge",
+    (s, dir) => {
+      val sh = shingleSurface(s, dir)
+      val slotMins = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
+      val partial = sh
+        .withColumn("shard", pmod(hash(col("shingle")), lit(4)))
+        .groupBy(col("doc_id"), col("shard"))
+        .agg(slotMins.head, slotMins.tail: _*)
+      val remerge = (0 until 16).map(i => min(col(s"h$i")).as(s"h$i"))
+      partial.groupBy(col("doc_id"))
+        .agg(remerge.head, remerge.tail: _*)
+        .select(col("doc_id"),
+          md5(concat_ws(",", (0 until 16).map(i => col(s"h$i")): _*).cast("binary")).as("sig"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, CAST(i.range AS INT) AS i,
+               min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN range(0, 16) i
+        GROUP BY 1, 2)
+      SELECT doc_id, md5(string_agg(h, ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents,
-      crossSourceAttribution, dupRateBySource)
+      crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge)
 }
