@@ -1281,63 +1281,141 @@ object Dedup {
     * both keyed and partition-parallel; 5-gram df is naturally tiny
     * (max 3 on this corpus), and at 100 TB hot boilerplate grams take
     * the same df-cap treatment the skew spec measures for shingles.
+    *
+    * This helper is the shared core of [[duplicateSpans]] (the report)
+    * and [[spanDedupCut]] (the corpus cut); [[gramSpansSql]] is its
+    * DuckDB twin, interpolated into both oracles.
     */
+  private[operators] def gramSpans(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      // same single-row-group spread as shingles(): the explode is the
+      // CPU stage and must not run behind a one-task scan
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(ts) - 4),
+          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+          |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))""".stripMargin))
+        .as(Seq("off", "gram")))
+      .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("gram"))
+    val m = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = Window.partitionBy(col("ia"), col("ib"), col("pa") - col("pb"))
+      .orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("ia"), col("ib"), (col("pa") - col("pb")).as("d"), col("island"))
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + 4).as("span_words"))
+      .filter(col("span_words") >= 10)
+      .select("ia", "ib", "a_start", "b_start", "span_words")
+  }
+
+  /** The SQL twin of [[gramSpans]], interpolated into both span oracles
+    * so the span definition structurally cannot drift between them.
+    */
+  private val gramSpansSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id, CAST(p AS INT) AS pos,
+      |         ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT)+1] || ' ' ||
+      |         ts[CAST(p AS INT)+2] || ' ' || ts[CAST(p AS INT)+3] || ' ' ||
+      |         ts[CAST(p AS INT)+4] AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+      |        FROM toks WHERE len(ts) >= 5) t
+      |),
+      |m AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |),
+      |isl AS (
+      |  SELECT ia, ib, pa, pb,
+      |         pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS island
+      |  FROM m
+      |),
+      |spans AS (
+      |  SELECT ia, ib, MIN(pa) AS a_start, MIN(pb) AS b_start,
+      |         COUNT(*) + 4 AS span_words
+      |  FROM isl
+      |  GROUP BY ia, ib, pa - pb, island
+      |  HAVING COUNT(*) + 4 >= 10
+      |)""".stripMargin
+
   val duplicateSpans: QueryDef = QueryDef(
     "dedup_duplicate_spans",
+    (s, dir) => gramSpans(s, dir).orderBy("ia", "ib", "a_start", "b_start"),
+    Some(s"""
+      WITH $gramSpansSql
+      SELECT ia, ib, a_start, b_start, span_words
+      FROM spans
+      ORDER BY ia, ib, a_start, b_start
+    """.stripMargin.trim))
+
+  /** Span-level dedup CUT — the consumption step of [[duplicateSpans]]
+    * (what suffix-array dedup actually does to the corpus): every word
+    * position covered by a shared span in the LATER document (the pair's
+    * `ib` side; the earlier doc keeps its copy) is removed, and the
+    * output audits the cut per document — original word count, words
+    * removed, and an md5 over the surviving text so the exact post-cut
+    * content is hash-gated without dumping full documents. Verbatim
+    * duplicate docs come out fully emptied (md5 of "").
+    *
+    * Shape: spans are O(near-dup pairs) — a tiny frame — so coverage is
+    * a broadcast range anti-join against the exploded word table (doc
+    * equi-key + position-in-interval residual); overlapping spans need
+    * no interval union because anti-join semantics already remove a
+    * position matched by ANY span. Reconstruction is a per-doc sorted
+    * fold (collect_list + array_sort per doc_id, bounded by doc length —
+    * never a corpus-wide sort).
+    */
+  val spanDedupCut: QueryDef = QueryDef(
+    "pipeline_span_dedup_cut",
     (s, dir) => {
-      val grams = Tables.documents(s, dir)
-        // same single-row-group spread as shingles(): the explode is the
-        // CPU stage and must not run behind a one-task scan
+      val spans = gramSpans(s, dir)
+      val words = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(1, size(ts) - 4),
-            |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-            |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))""".stripMargin))
-          .as(Seq("off", "gram")))
-        .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("gram"))
-      val m = grams.as("a").join(grams.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-          col("a.pos").as("pa"), col("b.pos").as("pb"))
-      val w = Window.partitionBy(col("ia"), col("ib"), col("pa") - col("pb"))
-        .orderBy("pa")
-      m.withColumn("island", col("pa") - row_number().over(w))
-        .groupBy(col("ia"), col("ib"), (col("pa") - col("pb")).as("d"), col("island"))
-        .agg(min("pa").as("a_start"), min("pb").as("b_start"),
-          (count(lit(1)) + 4).as("span_words"))
-        .filter(col("span_words") >= 10)
-        .select("ia", "ib", "a_start", "b_start", "span_words")
-        .orderBy("ia", "ib", "a_start", "b_start")
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("off", "w")))
+        .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("w"))
+      val kept = words.join(broadcast(spans),
+          words("doc_id") === spans("ib") && col("pos") >= col("b_start") &&
+          col("pos") < col("b_start") + col("span_words"),
+          "left_anti")
+      val keptAgg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"))
+          .cast("binary")).as("kept_md5"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_words"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+        .orderBy("doc_id")
     },
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    Some(s"""
+      WITH $gramSpansSql,
+      words AS (
+        SELECT doc_id, CAST(p AS INT) AS pos, ts[CAST(p AS INT)] AS w
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p FROM toks) t
       ),
-      grams AS (
-        SELECT doc_id, CAST(p AS INT) AS pos,
-               ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT)+1] || ' ' ||
-               ts[CAST(p AS INT)+2] || ' ' || ts[CAST(p AS INT)+3] || ' ' ||
-               ts[CAST(p AS INT)+4] AS gram
-        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
-              FROM toks WHERE len(ts) >= 5) t
-      ),
-      m AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
-        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      ),
-      isl AS (
-        SELECT ia, ib, pa, pb,
-               pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS island
-        FROM m
+      kept AS (
+        SELECT w.doc_id, w.pos, w.w
+        FROM words w ANTI JOIN spans s
+          ON w.doc_id = s.ib AND w.pos >= s.b_start
+         AND w.pos < s.b_start + s.span_words
       )
-      SELECT ia, ib, MIN(pa) AS a_start, MIN(pb) AS b_start,
-             COUNT(*) + 4 AS span_words
-      FROM isl
-      GROUP BY ia, ib, pa - pb, island
-      HAVING COUNT(*) + 4 >= 10
-      ORDER BY ia, ib, a_start, b_start
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS n_words,
+             len(string_split(d.text, ' ')) - COUNT(k.pos) AS n_removed,
+             md5(COALESCE(string_agg(k.w, ' ' ORDER BY k.pos), '')) AS kept_md5
+      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      GROUP BY d.doc_id, d.text
+      ORDER BY d.doc_id
     """.stripMargin.trim))
 
   /** MinHash sketch mergeability, proven through the oracle gate: the
@@ -1385,5 +1463,6 @@ object Dedup {
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents,
-      crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge)
+      crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge,
+      spanDedupCut)
 }

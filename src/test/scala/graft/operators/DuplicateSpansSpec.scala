@@ -58,6 +58,34 @@ class DuplicateSpansSpec extends SparkSpec {
   }
 }
 
+/** pipeline_span_dedup_cut: the cut must empty verbatim duplicates,
+  * remove exactly the covered positions from the later doc, and leave
+  * the earlier doc untouched.
+  */
+class SpanDedupCutSpec extends SparkSpec {
+
+  private def md5Of(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("later doc loses exactly the shared span; earlier doc keeps everything") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = "a1 a2 a3 " + shared                 // doc 1 keeps its copy
+    val d2 = "b1 b2 " + shared + " b3"            // doc 2 loses the span
+    val d3 = d1                                   // verbatim dup of doc 1 → emptied
+    val dir = java.nio.file.Files.createTempDirectory("spancut").toString
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.spanDedupCut.run(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(rows == List(
+      (1L, 15L, 0L, md5Of(d1)),
+      (2L, 15L, 12L, md5Of("b1 b2 b3")),
+      (3L, 15L, 15L, md5Of(""))), s"got $rows")
+  }
+}
+
 /** dedup_minhash_sketch_merge: merging per-shard partial sketches by
   * element-wise min must reproduce the direct unsharded sketch exactly,
   * for any shard split.
