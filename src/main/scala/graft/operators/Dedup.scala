@@ -1286,11 +1286,12 @@ object Dedup {
     * and [[spanDedupCut]] (the corpus cut); [[gramSpansSql]] is its
     * DuckDB twin, interpolated into both oracles.
     */
-  private[operators] def gramSpans(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+  /** Positional word-5-gram table: (doc_id, pos, gram), pos 1-based. */
+  private[operators] def gramTable(docs: DataFrame): DataFrame =
+    docs
       // same single-row-group spread as shingles(): the explode is the
       // CPU stage and must not run behind a one-task scan
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"), posexplode(expr(
@@ -1299,10 +1300,31 @@ object Dedup {
           |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))""".stripMargin))
         .as(Seq("off", "gram")))
       .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("gram"))
-    val m = grams.as("a").join(grams.as("b"),
+
+  /** Cross-document gram occurrence matches (ia < ib, both positions).
+    * `maxGramDf` is the hot-gram defense for boilerplate-heavy corpora:
+    * grams occurring more than the cap are dropped BEFORE the join
+    * (their posting lists never shuffle), bounding join work at
+    * O(Σ min(df, cap)²) — the positional twin of the shingle df cap
+    * (DedupSkewSpec). Recall tradeoff: a span may split (or fall below
+    * threshold) where a dropped gram interrupts it; exact detection
+    * keeps the default uncapped.
+    */
+  private[operators] def gramMatches(grams: DataFrame, maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxGramDf == Int.MaxValue) grams
+      else grams.join(
+        grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") <= maxGramDf).select("gram"),
+        Seq("gram"), "left_semi")
+    pruned.as("a").join(pruned.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
+  }
+
+  /** Gaps-and-islands fold: matches → maximal spans (see scaladoc above). */
+  private[operators] def spansFromMatches(m: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ia"), col("ib"), col("pa") - col("pb"))
       .orderBy("pa")
     m.withColumn("island", col("pa") - row_number().over(w))
@@ -1312,6 +1334,9 @@ object Dedup {
       .filter(col("span_words") >= 10)
       .select("ia", "ib", "a_start", "b_start", "span_words")
   }
+
+  private[operators] def gramSpans(s: SparkSession, dir: String): DataFrame =
+    spansFromMatches(gramMatches(gramTable(Tables.documents(s, dir))))
 
   /** The SQL twin of [[gramSpans]], interpolated into both span oracles
     * so the span definition structurally cannot drift between them.

@@ -81,4 +81,27 @@ class DedupSkewSpec extends SparkSpec {
     assert(all.size < blowUp / 1000,
       s"LSH candidates ${all.size} not bounded vs blow-up $blowUp")
   }
+
+  test("gram df cap bounds the positional span join on a hot boilerplate gram") {
+    // a 5-word boilerplate header shared by 1000 docs: one hot 5-gram
+    // with df 1000, plus a true 12-word verbatim dup pair
+    val dup = (0 until 12).map(j => s"d$j").mkString(" ")
+    val spanDocs = ((0 until nBoiler).map(i =>
+        (i.toLong, s"H0 H1 H2 H3 H4 u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((90000L, dup), (90001L, dup))).toDF("doc_id", "text")
+    val grams = Dedup.gramTable(spanDocs).localCheckpoint(true)
+
+    val uncapped = Dedup.gramMatches(grams).count()
+    assert(uncapped >= blowUp, s"expected ≥ $blowUp hot-gram matches, got $uncapped")
+
+    val cappedMatches = Dedup.gramMatches(grams, maxGramDf = 100).localCheckpoint(true)
+    val capped = cappedMatches.count()
+    info(s"span occurrence matches: uncapped $uncapped, capped $capped")
+    // only the true pair's 8 gram matches survive the cap
+    assert(capped == 8, s"capped matches should be the true pair's 8 grams, got $capped")
+    val spans = Dedup.spansFromMatches(cappedMatches).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toList
+    assert(spans == List((90000L, 90001L, 1, 1, 12L)),
+      s"capped spans should still report the full true dup span, got $spans")
+  }
 }
