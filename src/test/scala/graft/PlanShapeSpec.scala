@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkSpec {
     "q11_important_stock",            // 1-row total-value crossJoin
     "ann_cosine_topk_ivf_multiprobe", // 10 queries × k centroids: the centroid-ranking join
     "ann_recall_ivf_multiprobe_vs_exact", // composes brute force + the centroid ranking
-    "ann_ivf_assign_delta")           // |delta| × k centroids: the assignment join
+    "ann_ivf_assign_delta",           // |delta| × k centroids: the assignment join
+    "scale_zorder_layout")            // 1-row min/max-stats crossJoin feeding the scaled interleave
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -108,6 +109,18 @@ class PlanShapeSpec extends SparkSpec {
         || p.contains("BroadcastHashJoin"), s"$n is not an equi join")
       assert(!p.contains("NestedLoop"), s"$n fell back to a nested loop")
     }
+  }
+
+  test("span family: gram join is keyed; the cut's coverage join is a broadcast anti join") {
+    val spans = plan("dedup_duplicate_spans")
+    assert(spans.contains("SortMergeJoin") || spans.contains("ShuffledHashJoin")
+      || spans.contains("BroadcastHashJoin"), "span gram join is not an equi join")
+    assert(!spans.contains("NestedLoop") && !spans.contains("CartesianProduct"),
+      "span detection fell off the inverted-index join path")
+    val cut = plan("pipeline_span_dedup_cut")
+    assert(cut.contains("LeftAnti"), "span cut lost its anti-join coverage shape")
+    assert(cut.contains("BroadcastHashJoin"),
+      "the tiny span frame should broadcast into the coverage anti join")
   }
 
   test("minhash estimate-quality: exact side is candidate-scoped and broadcast") {
