@@ -100,5 +100,82 @@ object TemporalJoins {
       ORDER BY user_id
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(asof, range)
+  /** Nearest-event as-of join (merge_asof direction='nearest'): for
+    * every error, the click by the same user closest in time — behind
+    * OR ahead — with a deterministic tie-break (the at-or-before side
+    * wins equal distances; a click exactly at the error ts counts as
+    * before). Same union-and-window shape as [[asof]], run in both
+    * directions over ONE sorted partition pass: the backward frame
+    * carries the last preceding click, the forward frame
+    * (CURRENT ROW → UNBOUNDED FOLLOWING) the first following one, and
+    * a microsecond-exact timestampdiff picks the winner — still one
+    * shuffle on user_id, no range explosion, errors with no clicks at
+    * all surface with NULLs (full-roster left semantics).
+    */
+  val asofNearest: QueryDef = QueryDef(
+    "join_asof_nearest_click",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+      val order = Seq(asc("ts"), asc("kind"), asc("event_id"))
+      val wb = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickId = when(col("kind") === 0, col("event_id"))
+      val clickTs = when(col("kind") === 0, col("ts"))
+      ev
+        .withColumn("b_id", last(clickId, ignoreNulls = true).over(wb))
+        .withColumn("b_ts", last(clickTs, ignoreNulls = true).over(wb))
+        .withColumn("f_id", first(clickId, ignoreNulls = true).over(wf))
+        .withColumn("f_ts", first(clickTs, ignoreNulls = true).over(wf))
+        .filter(col("kind") === 1)
+        .withColumn("dt_b", expr("timestampdiff(MICROSECOND, b_ts, ts)"))
+        .withColumn("dt_f", expr("timestampdiff(MICROSECOND, ts, f_ts)"))
+        .withColumn("pick_b",
+          col("b_id").isNotNull && (col("f_id").isNull || col("dt_b") <= col("dt_f")))
+        .select(col("user_id"), col("event_id").as("error_event_id"),
+          col("ts").as("error_ts"),
+          when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("nearest_click_event_id"),
+          when(col("pick_b"), col("dt_b")).otherwise(col("dt_f")).as("dt_us"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("string"))
+            .when(col("pick_b"), lit("before")).otherwise(lit("after")).as("direction"))
+        .orderBy("user_id", "error_event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        FROM events WHERE event_type IN ('click', 'error')),
+      carried AS (
+        SELECT user_id, event_id, ts, kind,
+               last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER wb AS b_id,
+               last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER wb AS b_ts,
+               first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER wf AS f_id,
+               first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER wf AS f_ts
+        FROM ev
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      picked AS (
+        SELECT user_id, event_id, ts, b_id, f_id,
+               date_diff('microsecond', b_ts, ts) AS dt_b,
+               date_diff('microsecond', ts, f_ts) AS dt_f,
+               (b_id IS NOT NULL AND (f_id IS NULL OR
+                  date_diff('microsecond', b_ts, ts) <= date_diff('microsecond', ts, f_ts)))
+                 AS pick_b
+        FROM carried WHERE kind = 1)
+      SELECT user_id, event_id AS error_event_id, ts AS error_ts,
+             CASE WHEN pick_b THEN b_id ELSE f_id END AS nearest_click_event_id,
+             CASE WHEN pick_b THEN dt_b ELSE dt_f END AS dt_us,
+             CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                  WHEN pick_b THEN 'before' ELSE 'after' END AS direction
+      FROM picked
+      ORDER BY user_id, error_event_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(asof, range, asofNearest)
 }
