@@ -1484,10 +1484,80 @@ object Dedup {
       FROM mh GROUP BY doc_id ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Winnowing candidate pairs — the 7th candidate generator, with a
+    * guarantee profile the others lack (Schleimer et al. 2003, MOSS):
+    * each document keeps only its window-minimum gram hashes (word
+    * 5-grams, window 4 → expected density ~2/(w+1)), and ANY verbatim
+    * run of ≥ w+k−1 = 8 words is GUARANTEED to contribute at least one
+    * shared fingerprint — a deterministic recall floor for long spans,
+    * where MinHash/LSH is probabilistic and the df-capped arms are
+    * lossy. Fingerprint selection is per-row HOF work (no explode, no
+    * shuffle — same map-only shape as text_winnow_fingerprint); pair
+    * generation is the family's standard content-keyed equi-join on the
+    * selected hashes, O(Σ df_fp²) with winnowing already thinning each
+    * doc ~2.5× vs its gram count. Word grams, not char grams: on this
+    * corpus's tiny char vocabulary, char-5-gram fingerprints collide
+    * into a near-all-pairs candidate set (measured 124k pairs vs 25).
+    * Every pair sharing ≥ 1 fingerprint is
+    * emitted with its shared count, so the ≥ 8-word guarantee carries
+    * through to the output unconditionally; consumers raise the
+    * n_shared floor as their precision dial.
+    */
+  val winnowCandidates: QueryDef = QueryDef(
+    "dedup_winnow_candidates",
+    (s, dir) => {
+      // The fingerprint expression is ONE inline generator child over the
+      // ts projection — never an intermediate ghs/fps alias column. A
+      // staged `withColumn("ghs", <O(n) md5 transform>)` followed by
+      // explode measured 23 s at sf0.1 (vs 0.7 s here): optimizer alias
+      // substitution under Generate inlines the non-cheap array alias
+      // into the consuming lambda, re-evaluating the whole O(n) build per
+      // element — O(n²) per document. The nested form instead re-hashes
+      // each gram once per covering window (w=4 bounded), alias-free.
+      val fp = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 8) // at least one full 4-window of 5-grams
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(ts) - 7),
+            |  p -> array_min(transform(sequence(p, p + 3),
+            |    q -> md5(CAST(concat_ws(' ', element_at(ts, q), element_at(ts, q + 1),
+            |      element_at(ts, q + 2), element_at(ts, q + 3), element_at(ts, q + 4)) AS BINARY))))))""".stripMargin))
+          .as("wmin"))
+        .localCheckpoint(true) // self-joined below; build the fingerprint set once
+      fp.as("a").join(fp.as("b"),
+          col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("ia", "ib")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(p AS INT) AS pos,
+               md5(ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT)+1] || ' ' ||
+                   ts[CAST(p AS INT)+2] || ' ' || ts[CAST(p AS INT)+3] || ' ' ||
+                   ts[CAST(p AS INT)+4]) AS h,
+               len(ts) - 4 AS ngrams
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+              FROM toks WHERE len(ts) >= 8) t
+      ),
+      winnowed AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, ngrams
+        FROM grams),
+      fp AS (SELECT DISTINCT doc_id, wmin FROM winnowed WHERE pos <= ngrams - 3)
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared
+      FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents,
       crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge,
-      spanDedupCut)
+      spanDedupCut, winnowCandidates)
 }
