@@ -169,6 +169,67 @@ object EventOps {
                source || '_' || CAST(doc_id AS VARCHAR) || '.zip' AS zip_name
         FROM documents
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    /** Ordered funnel conversion (view → click → purchase within 7 days
+      * of the first view): the classic event-sequence operator the
+      * analytics surface lacked. Each stage is "earliest qualifying
+      * event at-or-after the previous stage's timestamp", so
+      * out-of-order events never count and the 7-day horizon anchors at
+      * stage 1. Shape: three per-user min-aggregations chained by
+      * equi-joins on user_id (keyed shuffles; each stage's frame is one
+      * row per surviving user, monotonically shrinking), then three
+      * 1-row count aggregates crossJoined into the single summary row —
+      * the whitelisted broadcast-scalar pattern. No window over the
+      * full event stream, no per-user event sorting: at 100 TB each
+      * stage is a filtered scan + hash agg + shrinking hash join.
+      */
+    QueryDef(
+      "event_funnel_conversion",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "ts", "event_type")
+        val u1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val u2 = ev.filter(col("event_type") === "click")
+          .join(u1, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+        val u3 = ev.filter(col("event_type") === "purchase")
+          .join(u2, "user_id")
+          .filter(col("ts") >= col("t2") &&
+            col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val n1 = u1.agg(count(lit(1)).as("n_view"))
+        val n2 = u2.agg(count(lit(1)).as("n_click_after_view"))
+        val n3 = u3.agg(count(lit(1)).as("n_purchase_within_7d"))
+        n1.crossJoin(n2).crossJoin(n3)
+          .select(col("n_view"), col("n_click_after_view"), col("n_purchase_within_7d"),
+            (col("n_click_after_view").cast("double") / col("n_view"))
+              .as("conv_view_to_click"),
+            (col("n_purchase_within_7d").cast("double") / col("n_click_after_view"))
+              .as("conv_click_to_purchase"))
+      },
+      Some("""
+        WITH u1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        u2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2, MIN(u1.t1) AS t1
+          FROM events e JOIN u1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= u1.t1
+          GROUP BY 1),
+        u3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN u2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= u2.t2
+            AND e.ts <= u2.t1 + INTERVAL 7 DAY
+          GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM u1) AS n_view,
+               (SELECT COUNT(*) FROM u2) AS n_click_after_view,
+               (SELECT COUNT(*) FROM u3) AS n_purchase_within_7d,
+               CAST((SELECT COUNT(*) FROM u2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM u1) AS conv_view_to_click,
+               CAST((SELECT COUNT(*) FROM u3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM u2) AS conv_click_to_purchase
       """.stripMargin.trim))
   )
 }

@@ -41,7 +41,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_cosine_topk_ivf_multiprobe", // 10 queries × k centroids: the centroid-ranking join
     "ann_recall_ivf_multiprobe_vs_exact", // composes brute force + the centroid ranking
     "ann_ivf_assign_delta",           // |delta| × k centroids: the assignment join
-    "scale_zorder_layout")            // 1-row min/max-stats crossJoin feeding the scaled interleave
+    "scale_zorder_layout",            // 1-row min/max-stats crossJoin feeding the scaled interleave
+    "event_funnel_conversion")        // three 1-row stage counts crossJoined into the summary row
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
