@@ -25,6 +25,7 @@ object SparkEntry {
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++
     operators.ScalePatterns.defs ++
+    operators.DataQuality.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs
 

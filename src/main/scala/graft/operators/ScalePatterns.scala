@@ -197,5 +197,49 @@ object ScalePatterns {
       ORDER BY layout, bucket
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(saltedAgg, bloomPruneJoin, zorderLayout)
+  /** Incremental aggregate maintenance, proven through the oracle gate
+    * (the plain-aggregate sibling of `dedup_minhash_sketch_merge`): a
+    * materialized per-key aggregate state (count, decimal sum, min/max
+    * timestamps) is built over the base corpus, a SEPARATE state over a
+    * delta arrival, and the two are merged state⊎state — n adds, sums
+    * add (decimal: associative, bit-exact), min/max take least/greatest.
+    * The oracle aggregates base+delta directly in one pass, so the hash
+    * compare passing IS the monoid property that lets a 100 TB pipeline
+    * maintain dashboards/marts by folding each arrival batch into
+    * persisted state — never re-scanning the corpus. Keys appearing
+    * only in the delta surface through the same merge (full outer union
+    * semantics). This is also exactly Spark's own partial-aggregation
+    * contract, applied across a persistence boundary.
+    */
+  val incrementalAggMerge: QueryDef = QueryDef(
+    "agg_incremental_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(D).as("v"), col("ts"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      val base = state(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = state(ev.filter(col("event_id") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
+        .select(col("event_type"), col("n"),
+          col("sv").cast("double").as("total_value"),
+          col("first_ts"), col("last_ts"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge)
 }

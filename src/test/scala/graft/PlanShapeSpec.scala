@@ -42,7 +42,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_recall_ivf_multiprobe_vs_exact", // composes brute force + the centroid ranking
     "ann_ivf_assign_delta",           // |delta| × k centroids: the assignment join
     "scale_zorder_layout",            // 1-row min/max-stats crossJoin feeding the scaled interleave
-    "event_funnel_conversion")        // three 1-row stage counts crossJoined into the summary row
+    "event_funnel_conversion",        // three 1-row stage counts crossJoined into the summary row
+    "audit_constraints")              // per-check 1-row checked/violation counts crossJoined
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
