@@ -241,5 +241,64 @@ object ScalePatterns {
       ORDER BY event_type
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge)
+  /** First 6 hex chars of md5(key) as a BIGINT in [0, 16^6) — the
+    * deterministic uniform both engines agree on, emitted for each
+    * dialect from one generator (the zSpark/zDuck pattern). */
+  private def hexIntSpark(h: String): String =
+    (1 to 6).map(i =>
+      s"(position(substring($h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, 6 - i).toLong}L")
+      .mkString(" + ")
+  private def hexIntDuck(h: String): String =
+    (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+
+  /** Deterministic PPS (probability-proportional-to-size) Poisson
+    * sampling: each document is included with probability
+    * k·w/W (w = its char count, W = corpus char mass, k = 100 expected
+    * picks), decided by the PURE INTEGER comparison v·W < k·w·16⁶
+    * where v is the doc's md5-derived uniform — no floats, no
+    * transcendentals, so the sample is bit-identical on every engine
+    * and replayable forever (the weighted sibling of
+    * `sample_stratified_hash`, and the deterministic form of
+    * quality/size-weighted corpus subsampling). Audited per source:
+    * doc and char totals, picks, sampled char mass — at 100 TB the
+    * decision is one codegen'd map-side predicate; W is a 1-row
+    * broadcast scalar.
+    */
+  val weightedPps: QueryDef = QueryDef(
+    "sample_weighted_pps",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          expr(hexIntSpark("md5(CAST(CAST(doc_id AS STRING) AS BINARY))")).as("v"))
+      val tot = docs.agg(sum(col("n_chars")).as("w_corpus"))
+      docs.crossJoin(broadcast(tot))
+        .withColumn("picked",
+          col("v") * col("w_corpus") < lit(100L) * col("n_chars") * lit(16777216L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          count(when(col("picked"), 1)).as("n_sampled"),
+          coalesce(sum(when(col("picked"), col("n_chars"))), lit(0L)).as("sampled_chars"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source, n_chars,
+               ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))")} AS v
+        FROM documents
+      ),
+      tot AS (SELECT SUM(n_chars) AS w_corpus FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             COUNT(*) FILTER (WHERE v * w_corpus < 100 * n_chars * 16777216) AS n_sampled,
+             CAST(COALESCE(SUM(n_chars) FILTER (WHERE v * w_corpus < 100 * n_chars * 16777216), 0) AS BIGINT) AS sampled_chars
+      FROM d CROSS JOIN tot
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps)
 }

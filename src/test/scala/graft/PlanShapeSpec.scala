@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivf_assign_delta",           // |delta| × k centroids: the assignment join
     "scale_zorder_layout",            // 1-row min/max-stats crossJoin feeding the scaled interleave
     "event_funnel_conversion",        // three 1-row stage counts crossJoined into the summary row
-    "audit_constraints")              // per-check 1-row checked/violation counts crossJoined
+    "audit_constraints",              // per-check 1-row checked/violation counts crossJoined
+    "sample_weighted_pps")            // 1-row corpus char-mass crossJoin feeding the PPS predicate
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
