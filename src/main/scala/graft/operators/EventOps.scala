@@ -230,6 +230,53 @@ object EventOps {
                  / (SELECT COUNT(*) FROM u1) AS conv_view_to_click,
                CAST((SELECT COUNT(*) FROM u3) AS DOUBLE)
                  / (SELECT COUNT(*) FROM u2) AS conv_click_to_purchase
+      """.stripMargin.trim)),
+
+    /** SCD2-style state history: each user's event stream compacted to
+      * STATE CHANGES (consecutive repeats of the same event_type fold
+      * into the first occurrence), each change valid
+      * [effective_from, effective_to) until the next change, the last
+      * row open-ended (NULL end, is_current) — the
+      * slowly-changing-dimension type-2 build every warehouse derives
+      * from a mutation stream. Two windows over ONE per-user sorted
+      * partition pass (lag to detect the change, lead over the
+      * compacted rows for the interval end); deterministic under the
+      * (ts, event_id) total order. At scale this is one shuffle on
+      * user_id — the same window-carry shape as the as-of family.
+      */
+    QueryDef(
+      "scd2_user_state_history",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+          .withColumn("effective_to",
+            lead(col("ts"), 1).over(Window.partitionBy("user_id")
+              .orderBy(asc("ts"), asc("event_id"))))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts").as("effective_from"), col("effective_to"),
+            col("effective_to").isNull.as("is_current"))
+          .orderBy("user_id", "effective_from", "state")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS prev_state
+          FROM events),
+        changes AS (
+          SELECT user_id, event_id, ts, event_type
+          FROM ordered
+          WHERE prev_state IS NULL OR prev_state <> event_type)
+        SELECT user_id, event_type AS state, ts AS effective_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS effective_to,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+        FROM changes
+        ORDER BY user_id, effective_from, state
       """.stripMargin.trim))
   )
 }
