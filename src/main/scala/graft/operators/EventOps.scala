@@ -277,6 +277,51 @@ object EventOps {
                  ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
         FROM changes
         ORDER BY user_id, effective_from, state
+      """.stripMargin.trim)),
+
+    /** Weekly cohort retention — the second classic product-analytics
+      * operator (funnel's sibling): users are cohorted by their FIRST
+      * active week, and each (cohort, week-offset) cell reports how
+      * many of them were active that week and the retention rate.
+      * Week ids are Monday-truncated timestamps converted to integer
+      * weeks via day-difference ÷ 7 from a Monday epoch — exact in both
+      * engines because both operands are Monday-aligned (a direct
+      * 'week' datediff would count engine-specific boundary crossings).
+      * Shape: distinct (user, week) hash agg → per-user min (cohort) →
+      * two keyed joins + the final (cohort, offset) agg. All shuffles
+      * are keyed; nothing is per-event after the first dedup agg.
+      */
+    QueryDef(
+      "cohort_weekly_retention",
+      (s, dir) => {
+        val wk = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("CAST(datediff(date_trunc('week', ts), DATE'1995-01-02') DIV 7 AS BIGINT)").as("w"))
+          .distinct()
+        val cohort = wk.groupBy("user_id").agg(min(col("w")).as("w0"))
+        val sizes = cohort.groupBy("w0").agg(count(lit(1)).as("nc"))
+        wk.join(cohort, "user_id")
+          .join(sizes, "w0")
+          .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"), min(col("nc")).as("n_cohort"))
+          .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH wk AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1995-01-02',
+                      CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS w
+          FROM events),
+        cohort AS (SELECT user_id, MIN(w) AS w0 FROM wk GROUP BY 1),
+        sizes AS (SELECT w0, COUNT(*) AS nc FROM cohort GROUP BY 1)
+        SELECT c.w0 AS cohort_week, wk.w - c.w0 AS week_offset,
+               COUNT(*) AS n_active, MIN(s.nc) AS n_cohort,
+               CAST(COUNT(*) AS DOUBLE) / MIN(s.nc) AS retention
+        FROM wk JOIN cohort c USING (user_id) JOIN sizes s ON c.w0 = s.w0
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
       """.stripMargin.trim))
   )
 }
