@@ -598,8 +598,65 @@ object TextAnalysis {
       ORDER BY reason
     """.stripMargin.trim))
 
+  /** Top collocations by PMI lift: adjacent word bigrams ranked by
+    * observed/expected co-occurrence (cb·N / (cw₁·cw₂), the exp of PMI
+    * — same ranking, no log, so the score is ONE double division over
+    * exact integer counts, portable across engines). The collocation
+    * miner a tokenizer/phrase pipeline runs over a corpus. Shape: two
+    * keyed count aggregations (unigrams, adjacent bigrams — both
+    * map-side combinable; no pair explosion beyond adjacency), two
+    * vocabulary-sized joins, a 1-row corpus-total broadcast, top-20
+    * with a full tie-break. A min-count floor (5) keeps
+    * one-off-pair noise out of the ranking, the standard PMI guard.
+    */
+  val pmiBigrams: QueryDef = QueryDef(
+    "text_pmi_bigrams",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum(col("cw")).as("n"))
+      val big = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      big
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cw1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cw2"), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cb"),
+          (col("cb").cast("double") * col("n") / (col("cw1") * col("cw2"))).as("lift"))
+        .orderBy(desc("lift"), asc("w1"), asc("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      uni AS (
+        SELECT ts[CAST(p AS INT)] AS w, COUNT(*) AS cw
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p FROM toks) t
+        GROUP BY 1),
+      tot AS (SELECT SUM(cw) AS n FROM uni),
+      big AS (
+        SELECT ts[CAST(p AS INT)] AS w1, ts[CAST(p AS INT) + 1] AS w2, COUNT(*) AS cb
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS p
+              FROM toks WHERE len(ts) >= 2) t
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT w1, w2, cb,
+             CAST(cb AS DOUBLE) * n / (u1.cw * u2.cw) AS lift
+      FROM big JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN tot
+      ORDER BY lift DESC, w1 ASC, w2 ASC
+      LIMIT 20
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
-      winnowFingerprint, repetitionRatios, chunkSliding, filterAudit)
+      winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams)
 }

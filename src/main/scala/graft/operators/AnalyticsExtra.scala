@@ -417,6 +417,77 @@ object AnalyticsExtra {
         SELECT nationkey, nation_exact, TRUE AS nation_ok, global_exact, TRUE AS global_ok
         FROM pn CROSS JOIN g
         ORDER BY nationkey
+      """.stripMargin.trim)),
+
+    // ---- trailing-window anomaly detection over daily revenue ----------
+    // Monitoring operator: days whose revenue deviates > 2σ from the
+    // TRAILING 30-day window (current day excluded — no self-masking).
+    // The window stats are exact-decimal sums (sum, sum of squares) so
+    // both engines derive mean/σ from IDENTICAL exact inputs; σ itself is
+    // one IEEE sqrt (correctly rounded by spec — portable, unlike the
+    // order-dependent float accumulation inside stddev_samp builtins,
+    // same reasoning as stats_corr_qty_price). Shape: one date-grain
+    // aggregation, one ordered window over ~days rows — trivially
+    // scale-safe (the window input is already aggregated to date grain).
+    QueryDef(
+      "ts_anomaly_daily_revenue",
+      (s, dir) => {
+        // integer CENTS end-to-end (the stats_corr idiom): daily revenue,
+        // window sums and sums-of-squares are exact BIGINTs, so every
+        // int→double conversion is the correctly-rounded single step both
+        // engines share. (A decimal-typed draft differed in the last ulp:
+        // DuckDB converts decimal→double as int128→double ÷ 10^scale —
+        // TWO roundings — where Java BigDecimal rounds once.)
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg((sum(col("o_totalprice").cast(D)) * 100).cast("long").as("rc"))
+          .withColumn("day_i", datediff(col("d"), lit("1992-01-01")))
+        val w = Window.orderBy(col("day_i")).rangeBetween(-30, -1)
+        daily
+          .withColumn("nw", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("rc")).over(w))
+          .withColumn("ssq", sum(col("rc") * col("rc")).over(w))
+          .filter(col("nw") >= 10)
+          .withColumn("mu_c", col("s1").cast("double") / col("nw"))
+          .withColumn("variance", greatest(
+            (col("ssq").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("nw"))
+              / (col("nw") - 1), lit(0.0)))
+          .withColumn("sd_c", sqrt(col("variance")))
+          .filter(abs(col("rc").cast("double") - col("mu_c")) > lit(2.0) * col("sd_c"))
+          .select(col("d"),
+            (col("rc").cast("double") / 100.0).as("rev"),
+            (col("mu_c") / 100.0).as("mu"),
+            (col("sd_c") / 100.0).as("sd"),
+            ((col("rc").cast("double") - col("mu_c")) / col("sd_c")).as("z"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
+          FROM orders GROUP BY 1),
+        di AS (
+          SELECT d, rc, date_diff('day', DATE '1992-01-01', d) AS day_i
+          FROM daily),
+        win AS (
+          SELECT d, rc,
+                 COUNT(*) OVER w AS nw,
+                 CAST(SUM(rc) OVER w AS BIGINT) AS s1,
+                 CAST(SUM(rc * rc) OVER w AS BIGINT) AS ssq
+          FROM di
+          WINDOW w AS (ORDER BY day_i RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+        stats AS (
+          SELECT d, rc,
+                 CAST(s1 AS DOUBLE) / nw AS mu_c,
+                 sqrt(greatest((CAST(ssq AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nw)
+                               / (nw - 1), 0.0)) AS sd_c
+          FROM win WHERE nw >= 10)
+        SELECT d, CAST(rc AS DOUBLE) / 100.0 AS rev,
+               mu_c / 100.0 AS mu, sd_c / 100.0 AS sd,
+               (CAST(rc AS DOUBLE) - mu_c) / sd_c AS z
+        FROM stats
+        WHERE abs(CAST(rc AS DOUBLE) - mu_c) > 2.0 * sd_c
+        ORDER BY d
       """.stripMargin.trim))
   )
 }

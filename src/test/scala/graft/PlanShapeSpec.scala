@@ -44,7 +44,8 @@ class PlanShapeSpec extends SparkSpec {
     "scale_zorder_layout",            // 1-row min/max-stats crossJoin feeding the scaled interleave
     "event_funnel_conversion",        // three 1-row stage counts crossJoined into the summary row
     "audit_constraints",              // per-check 1-row checked/violation counts crossJoined
-    "sample_weighted_pps")            // 1-row corpus char-mass crossJoin feeding the PPS predicate
+    "sample_weighted_pps",            // 1-row corpus char-mass crossJoin feeding the PPS predicate
+    "text_pmi_bigrams")               // 1-row corpus token-total crossJoin feeding the lift
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
