@@ -111,7 +111,7 @@ object TextAnalysis {
     * ONE definition of the classifier, shared by `text_langid` and the
     * confusion audit below so the two can never drift.
     */
-  private def withLangPred(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def withLangPred(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def hits(ws: Seq[String]) = size(expr(s"filter(ts, t -> t IN ${sqlList(ws)})")).cast("long")
     df.withColumn("ts", split(col("text"), " "))
       .withColumn("c_en", hits(enStops))
@@ -131,7 +131,7 @@ object TextAnalysis {
 
   /** The classifier's DuckDB twin as a subquery over `documents`:
     * (doc_id, lang, n_chars, lang_pred, c_en..c_fr). */
-  private val langPredSql: String = s"""
+  private[graft] val langPredSql: String = s"""
       SELECT doc_id, lang, n_chars,
              CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
                   WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'

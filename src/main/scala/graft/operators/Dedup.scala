@@ -60,7 +60,7 @@ object Dedup {
     * between them. Defined before its first consumer: object vals
     * initialize in declaration order.
     */
-  private val lshCandsSql: String =
+  private[operators] val lshCandsSql: String =
     s"""sh AS ($shinglesSql),
       mh AS (
         SELECT doc_id, CAST(i.range AS INT) AS i,

@@ -495,7 +495,110 @@ ${AnnSearch.centroidSql("")},
       ORDER BY t.doc_id
     """.stripMargin.trim))
 
+  /** The per-source corpus DATA CARD — the datasheet a curation team
+    * publishes with a training mixture, composed entirely from the
+    * family's ONE-definition helpers so no number on the card can drift
+    * from the operator that owns it: volume (docs/chars/ws-tokens),
+    * near-dup exposure (share of docs in ≥1 LSH candidate pair —
+    * [[graft.operators.Dedup.lshCandsFromSketch]] + the interpolated
+    * `lshCandsSql` twin), dominant predicted language with its share
+    * (TextAnalysis.withLangPred / langPredSql — the same classifier the
+    * confusion audit calibrates), and the deterministic PPS audit-sample
+    * mass (ScalePatterns' integer-hex uniform). Every branch is a keyed
+    * aggregate or broadcast-scalar join over frames already proven
+    * scale-safe by their owning operators; the card itself adds four
+    * source-keyed joins over |sources| rows.
+    */
+  val dataCard: QueryDef = QueryDef(
+    "pipeline_data_card",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perSrc = docs
+        .select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"), sum(col("n_tok")).as("n_tokens"))
+      val cands = Dedup.lshCandsFromSketch(s, dir)
+      val dupDocs = cands.select(col("ia").as("doc_id"))
+        .union(cands.select(col("ib").as("doc_id"))).distinct()
+      val dup = docs.select("doc_id", "source")
+        .join(dupDocs, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dup"))
+      val topLang = graft.functions.TextAnalysis.withLangPred(docs)
+        .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("nl"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(desc("nl"), asc("lang_pred"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang_pred").as("top_lang"), col("nl"))
+      val withV = docs.select(col("source"), col("n_chars"),
+        expr(ScalePatterns.hexIntSpark("md5(CAST(CAST(doc_id AS STRING) AS BINARY))")).as("v"))
+      val tot = withV.agg(sum(col("n_chars")).as("w_corpus"))
+      val pps = withV.crossJoin(broadcast(tot))
+        .filter(col("v") * col("w_corpus") < lit(100L) * col("n_chars") * lit(16777216L))
+        .groupBy("source").agg(count(lit(1)).as("n_pps"), sum(col("n_chars")).as("pps_chars"))
+      perSrc
+        .join(dup, Seq("source"), "left")
+        .join(topLang, Seq("source"), "left")
+        .join(pps, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs")).as("dup_rate"),
+          col("top_lang"),
+          (col("nl").cast("double") / col("n_docs")).as("top_lang_share"),
+          coalesce(col("n_pps"), lit(0L)).as("n_pps"),
+          coalesce(col("pps_chars"), lit(0L)).as("pps_chars"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH ${Dedup.lshCandsSql},
+      base AS (
+        SELECT source, doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM base GROUP BY 1),
+      dupd AS (SELECT ia AS doc_id FROM cand UNION SELECT ib FROM cand),
+      dup AS (
+        SELECT source, COUNT(*) AS n_dup FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM dupd) GROUP BY 1),
+      lang AS (
+        SELECT d.source, p.lang_pred, COUNT(*) AS nl
+        FROM (${graft.functions.TextAnalysis.langPredSql}) p
+        JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY 1, 2),
+      topl AS (
+        SELECT source, lang_pred AS top_lang, nl
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY nl DESC, lang_pred ASC) AS rn FROM lang) t
+        WHERE rn = 1),
+      ppsd AS (
+        SELECT source, n_chars,
+               ${ScalePatterns.hexIntDuck("md5(CAST(doc_id AS VARCHAR))")} AS v
+        FROM documents),
+      ptot AS (SELECT SUM(n_chars) AS w_corpus FROM ppsd),
+      pps AS (
+        SELECT source, COUNT(*) AS n_pps,
+               CAST(SUM(n_chars) AS BIGINT) AS pps_chars
+        FROM ppsd CROSS JOIN ptot
+        WHERE v * w_corpus < 100 * n_chars * 16777216
+        GROUP BY 1)
+      SELECT p.source, n_docs, n_chars, n_tokens,
+             CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_docs AS dup_rate,
+             top_lang,
+             CAST(nl AS DOUBLE) / n_docs AS top_lang_share,
+             COALESCE(n_pps, 0) AS n_pps,
+             CAST(COALESCE(pps_chars, 0) AS BIGINT) AS pps_chars
+      FROM per_src p
+      LEFT JOIN dup USING (source)
+      LEFT JOIN topl USING (source)
+      LEFT JOIN pps USING (source)
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
-      annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate)
+      annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
+      dataCard)
 }

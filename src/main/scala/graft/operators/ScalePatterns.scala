@@ -244,11 +244,11 @@ object ScalePatterns {
   /** First 6 hex chars of md5(key) as a BIGINT in [0, 16^6) — the
     * deterministic uniform both engines agree on, emitted for each
     * dialect from one generator (the zSpark/zDuck pattern). */
-  private def hexIntSpark(h: String): String =
+  private[operators] def hexIntSpark(h: String): String =
     (1 to 6).map(i =>
       s"(position(substring($h, $i, 1) IN '0123456789abcdef') - 1) * ${math.pow(16, 6 - i).toLong}L")
       .mkString(" + ")
-  private def hexIntDuck(h: String): String =
+  private[operators] def hexIntDuck(h: String): String =
     (1 to 6).map(i =>
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
       .mkString(" + ")

@@ -45,7 +45,8 @@ class PlanShapeSpec extends SparkSpec {
     "event_funnel_conversion",        // three 1-row stage counts crossJoined into the summary row
     "audit_constraints",              // per-check 1-row checked/violation counts crossJoined
     "sample_weighted_pps",            // 1-row corpus char-mass crossJoin feeding the PPS predicate
-    "text_pmi_bigrams")               // 1-row corpus token-total crossJoin feeding the lift
+    "text_pmi_bigrams",               // 1-row corpus token-total crossJoin feeding the lift
+    "pipeline_data_card")             // 1-row corpus char-mass crossJoin (the PPS branch)
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
