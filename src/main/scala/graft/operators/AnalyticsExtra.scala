@@ -488,6 +488,52 @@ object AnalyticsExtra {
         FROM stats
         WHERE abs(CAST(rc AS DOUBLE) - mu_c) > 2.0 * sd_c
         ORDER BY d
+      """.stripMargin.trim)),
+
+    // ---- exact grouped quartiles by rank ------------------------------
+    // Per-source p25/p50/p75 of document length as EXACT order statistics
+    // (value at rank ceil(q·n) under the (n_chars, doc_id) total order —
+    // integer ranks, no interpolation, no float quantile estimators, so
+    // both engines agree bit-for-bit and ties are deterministic). The
+    // grouped sibling of agg_exact_median_by_rank: one window rank per
+    // source partition + a 3-way conditional fold; at 100 TB each
+    // source's sort is partition-local and the output is |sources| rows.
+    QueryDef(
+      "stats_length_quartiles_by_source",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy(asc("n_chars"), asc("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("r") === ceil(col("n") * 0.25) ||
+            col("r") === ceil(col("n") * 0.5) ||
+            col("r") === ceil(col("n") * 0.75))
+          .groupBy(col("source"), col("n"))
+          .agg(
+            max(when(col("r") === ceil(col("n") * 0.25), col("n_chars"))).as("p25"),
+            max(when(col("r") === ceil(col("n") * 0.5), col("n_chars"))).as("p50"),
+            max(when(col("r") === ceil(col("n") * 0.75), col("n_chars"))).as("p75"))
+          .select(col("source"), col("n"), col("p25"), col("p50"), col("p75"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars ASC, doc_id ASC) AS r,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT source, n,
+               MAX(CASE WHEN r = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS p25,
+               MAX(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+               MAX(CASE WHEN r = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS p75
+        FROM ranked
+        WHERE r = CAST(ceil(n * 0.25) AS BIGINT)
+           OR r = CAST(ceil(n * 0.5) AS BIGINT)
+           OR r = CAST(ceil(n * 0.75) AS BIGINT)
+        GROUP BY source, n
+        ORDER BY source
       """.stripMargin.trim))
   )
 }
