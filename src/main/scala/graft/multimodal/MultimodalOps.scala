@@ -169,31 +169,31 @@ object MultimodalOps {
       val media = Multimodal.syntheticMedia(s, dir).toDF()
         .select(col("media_id"), expr("CAST(content AS STRING)").as("payload"))
         .filter(octet_length(col("payload")) >= Blocks)
-      val bytes = media
-        .select(col("media_id"), octet_length(col("payload")).as("n"),
-          posexplode(expr("split(payload, '(?!^)')")).as(Seq("p", "ch")))
-        // the lookahead split keeps ONE trailing empty element (Spark's
-        // split limit=-1 semantics); ascii('')=0 would corrupt the last
-        // block and the global mean — drop positions past the payload
-        .filter(col("p") < col("n"))
-        .select(col("media_id"), col("n"), col("p").cast("long").as("p"),
-          ascii(col("ch")).cast("long").as("b"))
-      val blocks = bytes
-        // integer DIV, not `/` + cast: double division can land an exact
-        // boundary at 3.999…→3 and shift a byte into the wrong block
-        .groupBy(col("media_id"), expr(s"CAST(p * $Blocks DIV n AS INT)").as("blk"))
-        .agg(sum(col("b")).as("bs"), count(lit(1)).as("bn"))
-      // global sums derive from the block partials (sum of sums) — the
-      // byte table is shuffled once, not twice
-      val overall = blocks.groupBy("media_id")
-        .agg(sum(col("bs")).as("ts"), sum(col("bn")).as("tn"))
-      val bits = blocks.join(overall, "media_id")
-        .select(col("media_id"), col("blk"),
-          when(col("bs") * col("tn") > col("ts") * col("bn"), lit("1"))
-            .otherwise(lit("0")).as("bit"))
-      val sig = bits.groupBy("media_id")
-        .agg(concat((0 until Blocks).map(i =>
-          coalesce(max(when(col("blk") === i, col("bit"))), lit("0"))): _*).as("sig"))
+        .repartition(s.sparkContext.defaultParallelism)
+      // Signature build is fully MAP-SIDE: per-row HOF block sums (block b
+      // covers 0-based positions [ceil(b·n/32), ceil((b+1)·n/32)) — the
+      // exact inverse of p·32 DIV n, integer arithmetic throughout), the
+      // global sum folded from the 32 partials, bits by the same integer
+      // cross-multiplication. The previous explode→groupBy×2→join→pivot
+      // form shuffled ~n_bytes rows twice and measured 3.1 s at sf0.1;
+      // this one shuffles nothing before the candidate join (measured
+      // drop recorded in DESIGN.md). Aliases are consumed only by plain
+      // projections (never a Generate), so the non-cheap bsums/ts columns
+      // are not lambda-inlined — see the winnow alias-inline note.
+      val sig = media
+        .withColumn("bsums", expr(
+          s"""transform(sequence(0, ${Blocks - 1}), b ->
+             |  aggregate(sequence((b * octet_length(payload) + ${Blocks - 1}) DIV $Blocks + 1,
+             |                     ((b + 1) * octet_length(payload) + ${Blocks - 1}) DIV $Blocks),
+             |    0L, (acc, q) -> acc + ascii(substring(payload, q, 1))))""".stripMargin))
+        .withColumn("ts", expr("aggregate(bsums, 0L, (acc, x) -> acc + x)"))
+        .withColumn("sig", expr(
+          s"""concat_ws('', transform(sequence(0, ${Blocks - 1}), b ->
+             |  CASE WHEN element_at(bsums, b + 1) * octet_length(payload) >
+             |    ts * (((b + 1) * octet_length(payload) + ${Blocks - 1}) DIV $Blocks
+             |          - (b * octet_length(payload) + ${Blocks - 1}) DIV $Blocks)
+             |  THEN '1' ELSE '0' END))""".stripMargin))
+        .select(col("media_id"), col("sig"))
         .localCheckpoint(true) // chunk-joined below; build the signatures once
       val chunks = sig.select(col("media_id"), col("sig"),
         posexplode(array(ChunkCuts.map { case (a, l) =>
