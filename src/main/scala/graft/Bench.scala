@@ -30,7 +30,9 @@ object Bench {
     "ann_cosine_topk_ivf_multiprobe", "pipeline_shard_pack",
     "pipeline_training_order", "ann_ivf_assign_delta",
     "pipeline_filter_audit", "dedup_prefix_filter_jaccard",
-    "dedup_containment")
+    "dedup_containment", "dedup_duplicate_spans", "pipeline_span_dedup_cut",
+    "dedup_winnow_candidates", "mm_phash_neardup", "scale_zorder_layout",
+    "event_funnel_conversion", "audit_constraints", "pipeline_data_card")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,
