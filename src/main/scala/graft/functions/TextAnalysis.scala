@@ -617,6 +617,7 @@ object TextAnalysis {
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw"))
+        .localCheckpoint(true) // consumed 3× below (total + two joins); build once
       val tot = uni.agg(sum(col("cw")).as("n"))
       val big = toks.filter(size(col("ts")) >= 2)
         .select(explode(expr(

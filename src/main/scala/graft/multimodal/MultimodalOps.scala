@@ -130,7 +130,11 @@ object MultimodalOps {
     * member of the dedup family (aHash shape: block-mean bits; a real
     * deployment swaps the stub byte-blocks for DCT coefficients behind
     * the same dataflow). Each payload gets a 32-bit signature: bit i is
-    * "block i's byte mean exceeds the payload's global byte mean",
+    * "block i's codepoint mean exceeds the payload's global mean"
+    * (CHARACTER units end-to-end — `length`/`substring`/`ascii` — so the
+    * Spark side and the oracle's len(text) blocks agree on non-ASCII
+    * payloads too; an octet_length draft desynchronized block bounds
+    * from the char-indexed substring on multi-byte input),
     * decided by the INTEGER cross-multiplication
     * blk_sum·n_total > total_sum·blk_n — no float means, so both
     * engines agree bit-for-bit. Candidates via the same chunk-pigeonhole
@@ -168,7 +172,7 @@ object MultimodalOps {
       implicit val spark = s
       val media = Multimodal.syntheticMedia(s, dir).toDF()
         .select(col("media_id"), expr("CAST(content AS STRING)").as("payload"))
-        .filter(octet_length(col("payload")) >= Blocks)
+        .filter(length(col("payload")) >= Blocks)
         .repartition(s.sparkContext.defaultParallelism)
       // Signature build is fully MAP-SIDE: per-row HOF block sums (block b
       // covers 0-based positions [ceil(b·n/32), ceil((b+1)·n/32)) — the
@@ -183,15 +187,15 @@ object MultimodalOps {
       val sig = media
         .withColumn("bsums", expr(
           s"""transform(sequence(0, ${Blocks - 1}), b ->
-             |  aggregate(sequence((b * octet_length(payload) + ${Blocks - 1}) DIV $Blocks + 1,
-             |                     ((b + 1) * octet_length(payload) + ${Blocks - 1}) DIV $Blocks),
+             |  aggregate(sequence((b * length(payload) + ${Blocks - 1}) DIV $Blocks + 1,
+             |                     ((b + 1) * length(payload) + ${Blocks - 1}) DIV $Blocks),
              |    0L, (acc, q) -> acc + ascii(substring(payload, q, 1))))""".stripMargin))
         .withColumn("ts", expr("aggregate(bsums, 0L, (acc, x) -> acc + x)"))
         .withColumn("sig", expr(
           s"""concat_ws('', transform(sequence(0, ${Blocks - 1}), b ->
-             |  CASE WHEN element_at(bsums, b + 1) * octet_length(payload) >
-             |    ts * (((b + 1) * octet_length(payload) + ${Blocks - 1}) DIV $Blocks
-             |          - (b * octet_length(payload) + ${Blocks - 1}) DIV $Blocks)
+             |  CASE WHEN element_at(bsums, b + 1) * length(payload) >
+             |    ts * (((b + 1) * length(payload) + ${Blocks - 1}) DIV $Blocks
+             |          - (b * length(payload) + ${Blocks - 1}) DIV $Blocks)
              |  THEN '1' ELSE '0' END))""".stripMargin))
         .select(col("media_id"), col("sig"))
         .localCheckpoint(true) // chunk-joined below; build the signatures once

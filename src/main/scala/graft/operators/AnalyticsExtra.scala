@@ -446,11 +446,28 @@ object AnalyticsExtra {
         daily
           .withColumn("nw", count(lit(1)).over(w))
           .withColumn("s1", sum(col("rc")).over(w))
-          .withColumn("ssq", sum(col("rc") * col("rc")).over(w))
+          // rc² overflows int64 on real data (sf0.1 daily revenue ≈ 2.3e9
+          // cents ⇒ rc² ≈ 5e18, a 30-day sum ≈ 9e19 >> Long.Max — Spark
+          // would wrap silently, DuckDB errors). Square and sum in exact
+          // wide integers: DECIMAL(38,0) here, HUGEINT in the oracle —
+          // scale-0, so the final →double is ONE correctly-rounded
+          // conversion from the same exact integer in both engines (the
+          // scale-4 double-rounding hazard documented below does not
+          // apply).
+          .withColumn("ssq", sum(col("rc").cast(DecimalType(19, 0))
+            * col("rc").cast(DecimalType(19, 0))).over(w))
           .filter(col("nw") >= 10)
+          // ssq can exceed 2^53 (≈9e19 at sf0.1), where wide-int→double
+          // conversion rounds DIFFERENTLY across engines (observed ulp
+          // mismatch between Java BigDecimal and DuckDB HUGEINT paths).
+          // Split into exact hi/lo halves (< 2^53 each) and rebuild with
+          // two IEEE ops — deterministic and identical on both engines.
+          .withColumn("ssq_d",
+            expr("CAST(ssq DIV 1048576 AS DOUBLE)") * lit(1048576.0)
+              + expr("CAST(ssq % 1048576 AS DOUBLE)"))
           .withColumn("mu_c", col("s1").cast("double") / col("nw"))
           .withColumn("variance", greatest(
-            (col("ssq").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("nw"))
+            (col("ssq_d") - col("s1").cast("double") * col("s1").cast("double") / col("nw"))
               / (col("nw") - 1), lit(0.0)))
           .withColumn("sd_c", sqrt(col("variance")))
           .filter(abs(col("rc").cast("double") - col("mu_c")) > lit(2.0) * col("sd_c"))
@@ -473,13 +490,15 @@ object AnalyticsExtra {
           SELECT d, rc,
                  COUNT(*) OVER w AS nw,
                  CAST(SUM(rc) OVER w AS BIGINT) AS s1,
-                 CAST(SUM(rc * rc) OVER w AS BIGINT) AS ssq
+                 SUM(CAST(rc AS HUGEINT) * rc) OVER w AS ssq
           FROM di
           WINDOW w AS (ORDER BY day_i RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)),
         stats AS (
           SELECT d, rc,
                  CAST(s1 AS DOUBLE) / nw AS mu_c,
-                 sqrt(greatest((CAST(ssq AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nw)
+                 sqrt(greatest(((CAST(ssq // 1048576 AS DOUBLE) * 1048576.0
+                                 + CAST(ssq % 1048576 AS DOUBLE))
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nw)
                                / (nw - 1), 0.0)) AS sd_c
           FROM win WHERE nw >= 10)
         SELECT d, CAST(rc AS DOUBLE) / 100.0 AS rev,

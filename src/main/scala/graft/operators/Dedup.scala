@@ -1231,16 +1231,27 @@ object Dedup {
     * (left join), so the report always covers the full source roster.
     * The division is one BIGINT/BIGINT → DOUBLE op on both engines.
     */
+  /** Doc ids appearing in ≥ 1 LSH near-dup candidate pair, wrapped by
+    * the size-guarded broadcaster — the ONE dup-exposure set shared by
+    * the per-source rate query and the data card. */
+  private[operators] def dupDocIdsGuarded(s: SparkSession, dir: String): DataFrame = {
+    val cands = lshCandsFromSketch(s, dir)
+    val ids = cands.select(col("ia").as("doc_id"))
+      .union(cands.select(col("ib").as("doc_id"))).distinct()
+    candBroadcaster(cands)(ids)
+  }
+
+  /** SQL twin of [[dupDocIdsGuarded]] (expects the `cand` CTE in scope). */
+  private[operators] val dupDocsSql: String =
+    "dupd AS (SELECT ia AS doc_id FROM cand UNION SELECT ib AS doc_id FROM cand)"
+
   val dupRateBySource: QueryDef = QueryDef(
     "pipeline_dedup_rate_by_source",
     (s, dir) => {
-      val cands = lshCandsFromSketch(s, dir)
-      val bc = candBroadcaster(cands)
-      val dupDocs = cands.select(col("ia").as("doc_id"))
-        .union(cands.select(col("ib").as("doc_id"))).distinct()
+      val dupDocs = dupDocIdsGuarded(s, dir)
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val perSrcTotal = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val perSrcDup = src.join(bc(dupDocs), Seq("doc_id"), "left_semi")
+      val perSrcDup = src.join(dupDocs, Seq("doc_id"), "left_semi")
         .groupBy("source").agg(count(lit(1)).as("n_dup"))
       perSrcTotal.join(perSrcDup, Seq("source"), "left")
         .select(col("source"), col("n_docs"),
@@ -1251,10 +1262,10 @@ object Dedup {
     },
     Some(s"""
       WITH $lshCandsSql,
-      dup AS (SELECT ia AS doc_id FROM cand UNION SELECT ib AS doc_id FROM cand),
+      $dupDocsSql,
       tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
       dps AS (SELECT source, COUNT(*) AS n_dup FROM documents
-              WHERE doc_id IN (SELECT doc_id FROM dup) GROUP BY 1)
+              WHERE doc_id IN (SELECT doc_id FROM dupd) GROUP BY 1)
       SELECT t.source, n_docs, COALESCE(n_dup, 0) AS n_dup,
              CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_docs AS dup_rate
       FROM tot t LEFT JOIN dps USING (source)
@@ -1400,13 +1411,17 @@ object Dedup {
   val spanDedupCut: QueryDef = QueryDef(
     "pipeline_span_dedup_cut",
     (s, dir) => {
-      val spans = gramSpans(s, dir)
+      // materialized for the coverage join AND the size-guarded broadcast
+      // decision (candBroadcaster counts it; a dup-heavy corpus can make
+      // the span set arbitrarily large — same guard as the LSH tails)
+      val spans = gramSpans(s, dir).localCheckpoint(true)
+      val bc = candBroadcaster(spans)
       val words = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .select(col("doc_id"), posexplode(col("ts")).as(Seq("off", "w")))
         .select(col("doc_id"), (col("off") + 1).cast("int").as("pos"), col("w"))
-      val kept = words.join(broadcast(spans),
+      val kept = words.join(bc(spans),
           words("doc_id") === spans("ib") && col("pos") >= col("b_start") &&
           col("pos") < col("b_start") + col("span_words"),
           "left_anti")

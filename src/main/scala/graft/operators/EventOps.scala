@@ -258,7 +258,12 @@ object EventOps {
           .select(col("user_id"), col("event_type").as("state"),
             col("ts").as("effective_from"), col("effective_to"),
             col("effective_to").isNull.as("is_current"))
-          .orderBy("user_id", "effective_from", "state")
+          // effective_to joins the sort: two same-ts same-state changes
+          // would otherwise tie on (user, from, state) and the emitted
+          // order could differ between engines; NULLS LAST matches
+          // DuckDB's default ordering
+          .orderBy(asc("user_id"), asc("effective_from"), asc("state"),
+            asc_nulls_last("effective_to"))
       },
       Some("""
         WITH ordered AS (
@@ -276,7 +281,7 @@ object EventOps {
                LEAD(ts) OVER (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
         FROM changes
-        ORDER BY user_id, effective_from, state
+        ORDER BY user_id, effective_from, state, effective_to
       """.stripMargin.trim)),
 
     /** Weekly cohort retention — the second classic product-analytics

@@ -518,11 +518,8 @@ ${AnnSearch.centroidSql("")},
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"), sum(col("n_tok")).as("n_tokens"))
-      val cands = Dedup.lshCandsFromSketch(s, dir)
-      val dupDocs = cands.select(col("ia").as("doc_id"))
-        .union(cands.select(col("ib").as("doc_id"))).distinct()
       val dup = docs.select("doc_id", "source")
-        .join(dupDocs, Seq("doc_id"), "left_semi")
+        .join(Dedup.dupDocIdsGuarded(s, dir), Seq("doc_id"), "left_semi")
         .groupBy("source").agg(count(lit(1)).as("n_dup"))
       val topLang = graft.functions.TextAnalysis.withLangPred(docs)
         .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("nl"))
@@ -534,7 +531,7 @@ ${AnnSearch.centroidSql("")},
         expr(ScalePatterns.hexIntSpark("md5(CAST(CAST(doc_id AS STRING) AS BINARY))")).as("v"))
       val tot = withV.agg(sum(col("n_chars")).as("w_corpus"))
       val pps = withV.crossJoin(broadcast(tot))
-        .filter(col("v") * col("w_corpus") < lit(100L) * col("n_chars") * lit(16777216L))
+        .filter(ScalePatterns.ppsPicked(col("v"), col("w_corpus"), col("n_chars")))
         .groupBy("source").agg(count(lit(1)).as("n_pps"), sum(col("n_chars")).as("pps_chars"))
       perSrc
         .join(dup, Seq("source"), "left")
@@ -582,7 +579,7 @@ ${AnnSearch.centroidSql("")},
         SELECT source, COUNT(*) AS n_pps,
                CAST(SUM(n_chars) AS BIGINT) AS pps_chars
         FROM ppsd CROSS JOIN ptot
-        WHERE v * w_corpus < 100 * n_chars * 16777216
+        WHERE ${ScalePatterns.ppsPickedDuck("v", "w_corpus", "n_chars")}
         GROUP BY 1)
       SELECT p.source, n_docs, n_chars, n_tokens,
              CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_docs AS dup_rate,

@@ -253,6 +253,19 @@ object ScalePatterns {
       s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
       .mkString(" + ")
 
+  /** The ONE definition of the PPS inclusion decision, shared with the
+    * data card so the two cannot desynchronize: include iff
+    * v·W < K·w·SCALE (all int64; SCALE = 16⁶ matches the hex-uniform
+    * domain). */
+  private[operators] val PpsK = 100L
+  private[operators] val PpsScale = 16777216L
+  private[operators] def ppsPicked(v: org.apache.spark.sql.Column,
+      wCorpus: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    v * wCorpus < lit(PpsK) * nChars * lit(PpsScale)
+  private[operators] def ppsPickedDuck(v: String, w: String, nChars: String): String =
+    s"$v * $w < $PpsK * $nChars * $PpsScale"
+
   /** Deterministic PPS (probability-proportional-to-size) Poisson
     * sampling: each document is included with probability
     * k·w/W (w = its char count, W = corpus char mass, k = 100 expected
@@ -274,8 +287,7 @@ object ScalePatterns {
           expr(hexIntSpark("md5(CAST(CAST(doc_id AS STRING) AS BINARY))")).as("v"))
       val tot = docs.agg(sum(col("n_chars")).as("w_corpus"))
       docs.crossJoin(broadcast(tot))
-        .withColumn("picked",
-          col("v") * col("w_corpus") < lit(100L) * col("n_chars") * lit(16777216L))
+        .withColumn("picked", ppsPicked(col("v"), col("w_corpus"), col("n_chars")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars"),
@@ -292,8 +304,8 @@ object ScalePatterns {
       tot AS (SELECT SUM(n_chars) AS w_corpus FROM d)
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS chars,
-             COUNT(*) FILTER (WHERE v * w_corpus < 100 * n_chars * 16777216) AS n_sampled,
-             CAST(COALESCE(SUM(n_chars) FILTER (WHERE v * w_corpus < 100 * n_chars * 16777216), 0) AS BIGINT) AS sampled_chars
+             COUNT(*) FILTER (WHERE ${ppsPickedDuck("v", "w_corpus", "n_chars")}) AS n_sampled,
+             CAST(COALESCE(SUM(n_chars) FILTER (WHERE ${ppsPickedDuck("v", "w_corpus", "n_chars")}), 0) AS BIGINT) AS sampled_chars
       FROM d CROSS JOIN tot
       GROUP BY source
       ORDER BY source

@@ -105,9 +105,12 @@ object TemporalJoins {
     * OR ahead — with a deterministic tie-break (the at-or-before side
     * wins equal distances; a click exactly at the error ts counts as
     * before). Same union-and-window shape as [[asof]], run in both
-    * directions over ONE sorted partition pass: the backward frame
-    * carries the last preceding click, the forward frame
-    * (CURRENT ROW → UNBOUNDED FOLLOWING) the first following one, and
+    * directions: the backward frame carries the last preceding click;
+    * the forward carry runs the SAME running-prefix frame under the
+    * reversed sort (semantically CURRENT ROW → UNBOUNDED FOLLOWING,
+    * executed as an incrementally-maintained UNBOUNDED PRECEDING frame
+    * — Spark re-aggregates shrinking following-frames per row, O(k²)
+    * on a hot key), and
     * a microsecond-exact timestampdiff picks the winner — still one
     * shuffle on user_id, no range explosion, errors with no clicks at
     * all surface with NULLs (full-roster left semantics).
@@ -122,15 +125,21 @@ object TemporalJoins {
       val order = Seq(asc("ts"), asc("kind"), asc("event_id"))
       val wb = Window.partitionBy("user_id").orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy("user_id").orderBy(order: _*)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // forward carry = last preceding non-null under the REVERSED order
+      // (identical frame semantics to CURRENT ROW .. UNBOUNDED FOLLOWING,
+      // but Spark maintains the running UnboundedPreceding frame
+      // incrementally, where the shrinking following-frame variant
+      // re-aggregates per row — O(k²) on a hot user's partition)
+      val orderDesc = Seq(desc("ts"), desc("kind"), desc("event_id"))
+      val wf = Window.partitionBy("user_id").orderBy(orderDesc: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val clickId = when(col("kind") === 0, col("event_id"))
       val clickTs = when(col("kind") === 0, col("ts"))
       ev
         .withColumn("b_id", last(clickId, ignoreNulls = true).over(wb))
         .withColumn("b_ts", last(clickTs, ignoreNulls = true).over(wb))
-        .withColumn("f_id", first(clickId, ignoreNulls = true).over(wf))
-        .withColumn("f_ts", first(clickTs, ignoreNulls = true).over(wf))
+        .withColumn("f_id", last(clickId, ignoreNulls = true).over(wf))
+        .withColumn("f_ts", last(clickTs, ignoreNulls = true).over(wf))
         .filter(col("kind") === 1)
         .withColumn("dt_b", expr("timestampdiff(MICROSECOND, b_ts, ts)"))
         .withColumn("dt_f", expr("timestampdiff(MICROSECOND, ts, f_ts)"))
