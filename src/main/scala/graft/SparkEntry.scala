@@ -26,6 +26,7 @@ object SparkEntry {
     operators.TemporalJoins.defs ++
     operators.ScalePatterns.defs ++
     operators.DataQuality.defs ++
+    operators.GraphIterative.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs
 
