@@ -16,6 +16,33 @@ object EventOps {
 
   private val D = DecimalType(12, 2)
 
+  /** THE definition of SCD2 state-change compaction (consecutive repeats
+    * of the same event_type fold into the first occurrence under the
+    * (ts, event_id) total order) — shared by `scd2_user_state_history`
+    * and the point-in-time feature join so the dimension they build from
+    * cannot drift. Returns (user_id, event_id, ts, event_type) change
+    * rows; one shuffle on user_id.
+    */
+  private[operators] def stateChanges(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .drop("prev_state")
+  }
+
+  /** DuckDB twin of [[stateChanges]]: CTEs `ordered` + `changes`. */
+  private[operators] val stateChangesSql: String = """
+        ordered AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS prev_state
+          FROM events),
+        changes AS (
+          SELECT user_id, event_id, ts, event_type
+          FROM ordered
+          WHERE prev_state IS NULL OR prev_state <> event_type)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- tumbling event-time window (§2.9 extension analytics) ----------
@@ -247,11 +274,7 @@ object EventOps {
     QueryDef(
       "scd2_user_state_history",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-        Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-          .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        stateChanges(Tables.events(s, dir))
           .withColumn("effective_to",
             lead(col("ts"), 1).over(Window.partitionBy("user_id")
               .orderBy(asc("ts"), asc("event_id"))))
@@ -265,16 +288,8 @@ object EventOps {
           .orderBy(asc("user_id"), asc("effective_from"), asc("state"),
             asc_nulls_last("effective_to"))
       },
-      Some("""
-        WITH ordered AS (
-          SELECT user_id, event_id, ts, event_type,
-                 LAG(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts ASC, event_id ASC) AS prev_state
-          FROM events),
-        changes AS (
-          SELECT user_id, event_id, ts, event_type
-          FROM ordered
-          WHERE prev_state IS NULL OR prev_state <> event_type)
+      Some(s"""
+        WITH $stateChangesSql
         SELECT user_id, event_type AS state, ts AS effective_from,
                LEAD(ts) OVER (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC) AS effective_to,

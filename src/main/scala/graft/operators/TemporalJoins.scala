@@ -186,5 +186,73 @@ object TemporalJoins {
       ORDER BY user_id, error_event_id
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(asof, range, asofNearest)
+  /** Feature-store point-in-time join: for every purchase (the label
+    * event), the user's SCD2 activity state valid at `purchase_ts − 1 h`
+    * — the leakage-safe feature cutoff a training pipeline must enforce
+    * (a feature computed after the label time is target leakage). The
+    * state dimension is [[EventOps.stateChanges]] — THE scd2 definition,
+    * shared so the two operators cannot drift.
+    *
+    * Shape: union-and-carry, not an interval join — state changes (kind
+    * 0, at effective_from) and feature-time query points (kind 1, at
+    * ts−1h) interleave in one per-user sorted pass; `last(… IGNORE
+    * NULLS)` carries the in-effect state. ONE shuffle on user_id, no
+    * range explosion, and a change exactly at the cutoff counts
+    * (at-or-before, kind tie-break) — the same carry discipline as
+    * [[asof]].
+    */
+  val pointInTime: QueryDef = QueryDef(
+    "join_pointintime_features",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tsType = ev.schema("ts").dataType
+      val st = EventOps.stateChanges(ev).select(
+        col("user_id"), col("ts").as("ets"), lit(0).as("kind"), col("event_id"),
+        col("event_type").as("state"), lit(null).cast(tsType).as("purchase_ts"))
+      val q = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), (col("ts") - expr("INTERVAL 1 HOUR")).as("ets"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast("string").as("state"), col("ts").as("purchase_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ets"), asc("kind"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      st.unionByName(q)
+        .withColumn("f_state",
+          last(when(col("kind") === 0, col("state")), ignoreNulls = true).over(w))
+        .withColumn("f_ts",
+          last(when(col("kind") === 0, col("ets")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_event_id"),
+          col("purchase_ts"), col("ets").as("feature_ts"),
+          col("f_state").as("state_at_feature_ts"),
+          expr("timestampdiff(MICROSECOND, f_ts, ets)").as("state_age_us"))
+        .orderBy("user_id", "purchase_event_id")
+    },
+    Some(s"""
+      WITH ${EventOps.stateChangesSql},
+      st AS (
+        SELECT user_id, ts AS ets, 0 AS kind, event_id,
+               event_type AS state, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM changes),
+      q AS (
+        SELECT user_id, ts - INTERVAL 1 HOUR AS ets, 1 AS kind, event_id,
+               CAST(NULL AS VARCHAR) AS state, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM st UNION ALL SELECT * FROM q),
+      carried AS (
+        SELECT user_id, ets, kind, event_id, purchase_ts,
+               last_value(CASE WHEN kind = 0 THEN state END IGNORE NULLS) OVER w AS f_state,
+               last_value(CASE WHEN kind = 0 THEN ets END IGNORE NULLS) OVER w AS f_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ets ASC, kind ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id AS purchase_event_id, purchase_ts,
+             ets AS feature_ts, f_state AS state_at_feature_ts,
+             date_diff('microsecond', f_ts, ets) AS state_age_us
+      FROM carried
+      WHERE kind = 1
+      ORDER BY user_id, purchase_event_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(asof, range, asofNearest, pointInTime)
 }
