@@ -27,6 +27,7 @@ object SparkEntry {
     operators.ScalePatterns.defs ++
     operators.DataQuality.defs ++
     operators.GraphIterative.defs ++
+    operators.SketchOps.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs
 
