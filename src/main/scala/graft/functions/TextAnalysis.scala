@@ -656,8 +656,83 @@ object TextAnalysis {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** CCNet-style corpus-LM fluency scoring, integer-exact: an add-one-
+    * smoothed word-bigram model is trained on the corpus itself and each
+    * document is scored by its mean smoothed transition probability in
+    * PARTS PER MILLION — `(10⁶·(c(w₁w₂)+1)) DIV (c(w₁·)+V)` per bigram,
+    * averaged by integer division — so the score involves no float, no
+    * log, and hashes identically on both engines (the perplexity
+    * ranking's monotone sibling: low mean transition prob = the
+    * high-perplexity junk CCNet buckets away).
+    *
+    * Shape: per-doc bigram multiplicities first (the within-doc groupBy
+    * shrinks the join-back stream — word-salad repeats collapse), then
+    * model tables cb/c1 by pure keyed aggregation (vocabulary-sized,
+    * Zipf-bounded), a 1-row vocab-count broadcast, and two
+    * content-keyed joins to score. At 100 TB the model tables are the
+    * broadcastable side; the corpus is never shuffled except by the
+    * within-doc aggregation.
+    */
+  val bigramLmQuality: QueryDef = QueryDef(
+    "text_bigram_lm_quality",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      val bigDoc = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("m"))
+      val cb = bigDoc.groupBy("w1", "w2").agg(sum(col("m")).as("cb"))
+      val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
+      val vocab = toks.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bigDoc.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("source"), col("m"),
+          expr("(1000000 * (cb + 1)) DIV (c1 + v)").as("ppm"))
+        .groupBy("doc_id", "source")
+        .agg(expr("SUM(m * ppm) DIV SUM(m)").as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("SUM(score) DIV COUNT(1)").as("avg_score_ppm"),
+          min(col("score")).as("min_score_ppm"),
+          max(col("score")).as("max_score_ppm"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      bigdoc AS (
+        SELECT doc_id, source, ts[CAST(p AS INT)] AS w1, ts[CAST(p AS INT) + 1] AS w2,
+               COUNT(*) AS m
+        FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts))) AS p
+              FROM toks WHERE len(ts) >= 2) t
+        GROUP BY 1, 2, 3, 4),
+      cb AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS cb FROM bigdoc GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+      vocab AS (
+        SELECT COUNT(DISTINCT ts[CAST(p AS INT)]) AS v
+        FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS p FROM toks) t),
+      perdoc AS (
+        SELECT doc_id, source,
+               CAST(SUM(m * ((1000000 * (cb + 1)) // (c1 + v))) // SUM(m) AS BIGINT) AS score
+        FROM bigdoc JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+        GROUP BY 1, 2)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+             MIN(score) AS min_score_ppm,
+             MAX(score) AS max_score_ppm
+      FROM perdoc
+      GROUP BY 1
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
-      winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams)
+      winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
+      bigramLmQuality)
 }
