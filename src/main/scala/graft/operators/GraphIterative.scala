@@ -38,8 +38,12 @@ object GraphIterative {
       val e0 = Tables.lineitem(s, dir)
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
-      // symmetric closure, materialized once: three supersteps re-scan it
+      // symmetric closure, materialized once ALREADY HASH-PARTITIONED BY
+      // src: the three supersteps' edges⋈contrib joins then reuse this
+      // layout (only the node-sized rank table moves per iteration — the
+      // cluster analogue is bucketing the edge list by src once)
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .localCheckpoint()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
