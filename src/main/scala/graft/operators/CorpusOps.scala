@@ -172,5 +172,127 @@ object CorpusOps {
       ORDER BY split, source
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder, splitManifest)
+  /** Temperature-scaled mixture weights (T = 2 ⇒ weights ∝ √tokens —
+    * the standard low-resource upweighting exponent), entirely in exact
+    * integers: √ is INTEGER sqrt, computed as one IEEE double sqrt
+    * (correctly rounded by spec) followed by a ±1 integer correction, so
+    * the result is floor(√n) exactly on both engines even where the
+    * double rounding would land on the wrong side of a perfect square.
+    * Weights and the per-source token allocation of a half-epoch budget
+    * are then integer div — reproducible forever, same discipline as
+    * [[epochMixture]] (whose natural shares sit alongside for the
+    * upweighting comparison). Per-source rollup first; every window
+    * runs over ~sources rows, never per-doc.
+    */
+  val temperatureMixture: QueryDef = QueryDef(
+    "pipeline_temperature_mixture",
+    (s, dir) => {
+      docTokens(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+        .withColumn("s0", expr("CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)"))
+        .withColumn("isqrt", expr(
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+            |     WHEN s0 * s0 > tokens THEN s0 - 1
+            |     ELSE s0 END""".stripMargin))
+        .withColumn("natural_ppm", expr("tokens * 1000000 DIV SUM(tokens) OVER ()"))
+        .withColumn("temp_weight_ppm", expr("isqrt * 1000000 DIV SUM(isqrt) OVER ()"))
+        .withColumn("alloc_tokens",
+          expr("(SUM(tokens) OVER () DIV 2) * isqrt DIV SUM(isqrt) OVER ()"))
+        .select("source", "n_docs", "tokens", "natural_ppm", "temp_weight_ppm",
+          "alloc_tokens")
+        .orderBy("source")
+    },
+    Some("""
+      WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      rooted AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0
+        FROM per_source),
+      corrected AS (
+        SELECT source, n_docs, tokens,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+                    WHEN s0 * s0 > tokens THEN s0 - 1
+                    ELSE s0 END AS isqrt
+        FROM rooted)
+      SELECT source, n_docs, tokens,
+             CAST(tokens * 1000000 // SUM(tokens) OVER () AS BIGINT) AS natural_ppm,
+             CAST(isqrt * 1000000 // SUM(isqrt) OVER () AS BIGINT) AS temp_weight_ppm,
+             CAST((SUM(tokens) OVER () // 2) * isqrt // SUM(isqrt) OVER () AS BIGINT) AS alloc_tokens
+      FROM corrected
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** Snapshot diff between two corpus versions, computed WITHOUT moving
+    * text: each side reduces to (doc_id, source, md5(text)) map-side,
+    * and a full-outer join on doc_id classifies every document as
+    * added / removed / changed / unchanged — the churn audit a corpus
+    * release publishes, and the input an incremental re-embedding or
+    * re-dedup run consumes (only `added ∪ changed` reprocess). The two
+    * versions are derived deterministically from the one documents
+    * table: v1 lacks the `% 10 = 7` docs (added since) and carries a
+    * half-truncated text for the `% 10 = 3` docs (edited since); v2
+    * lacks the `% 10 = 9` docs (deleted since). At 100 TB the join
+    * moves 32-char digests, never payloads.
+    */
+  val snapshotDiff: QueryDef = QueryDef(
+    "corpus_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source"),
+          md5(expr(
+            """CAST(CASE WHEN doc_id % 10 = 3
+              |     THEN substring(text, 1, CAST(n_chars DIV 2 AS INT))
+              |     ELSE text END AS BINARY)""".stripMargin)).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("doc_id2"), col("source").as("source2"),
+          md5(col("text").cast("binary")).as("h2"))
+      v1.join(v2, col("doc_id") === col("doc_id2"), "full_outer")
+        .select(
+          coalesce(col("source"), col("source2")).as("src"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .groupBy("src")
+        .agg(
+          count(when(col("status") === "added", 1)).as("n_added"),
+          count(when(col("status") === "removed", 1)).as("n_removed"),
+          count(when(col("status") === "changed", 1)).as("n_changed"),
+          count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+        .withColumnRenamed("src", "source")
+        .orderBy("source")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 10 = 3
+                   THEN substr(text, 1, CAST(n_chars // 2 AS INT))
+                   ELSE text END) AS h1
+        FROM documents WHERE doc_id % 10 <> 7),
+      v2 AS (
+        SELECT doc_id AS doc_id2, source AS source2, md5(text) AS h2
+        FROM documents WHERE doc_id % 10 <> 9),
+      classified AS (
+        SELECT COALESCE(source, source2) AS source,
+               CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 <> h2 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON doc_id = doc_id2)
+      SELECT source,
+             COUNT(*) FILTER (WHERE status = 'added') AS n_added,
+             COUNT(*) FILTER (WHERE status = 'removed') AS n_removed,
+             COUNT(*) FILTER (WHERE status = 'changed') AS n_changed,
+             COUNT(*) FILTER (WHERE status = 'unchanged') AS n_unchanged
+      FROM classified
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder, splitManifest,
+    temperatureMixture, snapshotDiff)
 }
