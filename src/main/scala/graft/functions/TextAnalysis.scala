@@ -730,9 +730,53 @@ object TextAnalysis {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Conjunctive (AND) posting-list search: documents containing ALL
+    * query terms, ranked by total term frequency. The posting extraction
+    * filters the token stream to the query terms BEFORE any aggregation
+    * — the stream entering the shuffle is |union of the terms' postings|,
+    * not the corpus — and the intersection is one keyed agg
+    * (`HAVING COUNT(DISTINCT tok) = k`), the set-intersection-as-
+    * aggregation shape that replaces k-way list merging on a cluster.
+    * (Rarest-first semi-join chaining matters when postings are
+    * disk-resident index segments; when they come off a scan, the
+    * selective `isin` filter IS the index probe.)
+    */
+  val searchConjunctive: QueryDef = {
+    val terms = Seq("vector", "stream", "spark")
+    QueryDef(
+      "text_search_conjunctive",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "source")
+          .agg(countDistinct(col("tok")).as("n_terms"), sum(col("tf")).as("tf_total"))
+          .filter(col("n_terms") === terms.size)
+          .select(col("doc_id"), col("source"), col("tf_total"))
+          .orderBy(desc("tf_total"), asc("doc_id"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH posts AS (
+          SELECT doc_id, source, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                FROM documents) t
+          WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+          GROUP BY 1, 2, 3)
+        SELECT doc_id, source, CAST(SUM(tf) AS BIGINT) AS tf_total
+        FROM posts
+        GROUP BY doc_id, source
+        HAVING COUNT(DISTINCT tok) = ${terms.size}
+        ORDER BY tf_total DESC, doc_id
+        LIMIT 50
+      """.stripMargin.trim))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality)
+      bigramLmQuality, searchConjunctive)
 }
