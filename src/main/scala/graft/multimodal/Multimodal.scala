@@ -114,6 +114,31 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int, sum_sq: Long)
+
+  /** Windowed audio energy: the payload bytes are treated as 8-bit
+    * unsigned PCM and folded into non-overlapping windows of `window`
+    * samples, each reduced to (n_samples, Σ sample²) — exact integers,
+    * so a VAD threshold downstream is a pure comparison. Same
+    * partition-amortized kernel shape as [[extractFeatures]]: at scale
+    * the decoder (here: nothing to decode) initializes once per
+    * partition and streams windows out as ordinary rows.
+    */
+  def audioWindows(media: Dataset[MediaRow], window: Int)(
+      implicit spark: SparkSession): Dataset[AudioWindow] = {
+    implicit val enc: Encoder[AudioWindow] = Encoders.product[AudioWindow]
+    media.filter(_.meta.media_type == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.content.grouped(window).zipWithIndex.map { case (chunk, i) =>
+          var ssq = 0L
+          var j = 0
+          while (j < chunk.length) { val v = (chunk(j) & 0xff).toLong; ssq += v * v; j += 1 }
+          AudioWindow(r.media_id, i, chunk.length, ssq)
+        }
+      }
+    }
+  }
+
   /** Deterministic media table synthesized from the documents corpus
     * (UTF-8 bytes as payload): lets multimodal queries run against the
     * driver's testdata with a DuckDB-checkable byte-level oracle.

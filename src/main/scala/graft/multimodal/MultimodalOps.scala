@@ -250,5 +250,58 @@ object MultimodalOps {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize, phashNearDup)
+  /** Voice-activity trim plan over the audio payloads: 32-sample energy
+    * windows from the [[Multimodal.audioWindows]] kernel, a window is
+    * "voiced" iff its mean square ≥ 9000 (pure integer comparison
+    * Σs² ≥ 9000·n — no division), and each clip reports how many
+    * leading/trailing silent windows a trim would drop — the
+    * silence-trimming pass an audio-training pipeline runs before
+    * feature extraction. Kernel emits exact integers; everything after
+    * is one keyed aggregation, so the oracle recomputes it from the
+    * ASCII payload bytes.
+    */
+  val audioVad: QueryDef = QueryDef(
+    "mm_audio_energy_vad",
+    (s, dir) => {
+      implicit val spark = s
+      val voiced = col("sum_sq") >= lit(9000L) * col("n_samples")
+      Multimodal.audioWindows(Multimodal.syntheticMedia(s, dir), window = 32).toDF()
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          count(when(voiced, 1)).as("n_voiced"),
+          min(when(voiced, col("win_idx").cast("long"))).as("firstv"),
+          max(when(voiced, col("win_idx").cast("long"))).as("lastv"))
+        .select(col("media_id"), col("n_windows"), col("n_voiced"),
+          coalesce(col("firstv"), col("n_windows")).as("lead_trim_windows"),
+          when(col("lastv").isNull, lit(0L))
+            .otherwise(col("n_windows") - 1 - col("lastv")).as("tail_trim_windows"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT doc_id AS media_id, text,
+               CAST(unnest(range(0, len(text))) AS BIGINT) AS p
+        FROM documents WHERE doc_id % 3 = 1),
+      win AS (
+        SELECT media_id, p // 32 AS win, COUNT(*) AS n,
+               SUM(ascii(substr(text, CAST(p AS INT) + 1, 1))
+                   * ascii(substr(text, CAST(p AS INT) + 1, 1))) AS ssq
+        FROM pos GROUP BY 1, 2),
+      agg AS (
+        SELECT media_id, COUNT(*) AS n_windows,
+               COUNT(*) FILTER (WHERE ssq >= 9000 * n) AS n_voiced,
+               MIN(win) FILTER (WHERE ssq >= 9000 * n) AS firstv,
+               MAX(win) FILTER (WHERE ssq >= 9000 * n) AS lastv
+        FROM win GROUP BY 1)
+      SELECT media_id, n_windows, n_voiced,
+             CAST(COALESCE(firstv, n_windows) AS BIGINT) AS lead_trim_windows,
+             CAST(CASE WHEN lastv IS NULL THEN 0
+                       ELSE n_windows - 1 - lastv END AS BIGINT) AS tail_trim_windows
+      FROM agg
+      ORDER BY media_id
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize, phashNearDup,
+    audioVad)
 }
