@@ -62,5 +62,74 @@ object SketchOps {
       LIMIT 20
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(countMin)
+  private val K = 64 // KMV sketch size
+
+  /** KMV (k-minimum-values) distinct-count sketch, the deterministic
+    * mergeable alternative to HLL when the estimate must be bit-stable
+    * across engines and re-runs: hash every key into the md5-hex
+    * uniform's [0, 16⁶) domain, keep the K smallest DISTINCT hash
+    * values per group, and estimate distincts as (K−1)·DOMAIN ÷ v_K
+    * (the classic KMV estimator, here in pure integer division). The
+    * audit emits estimate next to exact and a bounded-relative-error
+    * flag the oracle recomputes — so the estimator itself is
+    * hash-gated, like the count-min overestimate.
+    *
+    * Scale shape: the per-group K smallest values are a top-K-per-key
+    * aggregation (rank ≤ K over hash order — the native TopKPerKeyExec
+    * family shape); sketches merge by "union then keep K smallest",
+    * which is exactly what the same aggregation computes over unioned
+    * inputs, so per-partition sketches combine without re-reading rows.
+    */
+  val kmvDistinct: QueryDef = QueryDef(
+    "sketch_kmv_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.events(s, dir)
+        .select(col("event_type"), expr(ScalePatterns.hexIntSpark(
+          "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy(asc("h"))
+      val kth = hashed
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= K)
+        .groupBy("event_type")
+        .agg(max(when(col("r") === K, col("h"))).as("vk"),
+          count(lit(1)).as("n_kept"))
+      val exact = Tables.events(s, dir)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      kth.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          when(col("n_kept") < K, col("n_kept"))
+            .otherwise(expr(s"(${K - 1} * 16777216) DIV vk")).as("kmv_est"))
+        .withColumn("within_20pct",
+          abs(col("kmv_est") - col("n_exact")) * 5 <= col("n_exact"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ${ScalePatterns.hexIntDuck("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events),
+      ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+        FROM hashed),
+      kth AS (
+        SELECT event_type, MAX(CASE WHEN r = $K THEN h END) AS vk,
+               COUNT(*) AS n_kept
+        FROM ranked WHERE r <= $K GROUP BY 1),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT k.event_type AS event_type, e.n_exact AS n_exact,
+             CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
+                  ELSE (${K - 1} * 16777216) // k.vk END AS BIGINT) AS kmv_est,
+             ABS(CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
+                  ELSE (${K - 1} * 16777216) // k.vk END AS BIGINT) - e.n_exact) * 5
+               <= e.n_exact AS within_20pct
+      FROM kth k JOIN exact e USING (event_type)
+      ORDER BY event_type
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct)
 }
