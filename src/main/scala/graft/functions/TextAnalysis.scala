@@ -774,9 +774,47 @@ object TextAnalysis {
       """.stripMargin.trim))
   }
 
+  /** The first BPE merge iteration, as a tokenizer trainer runs it: rank
+    * adjacent character pairs by corpus frequency, where the mining runs
+    * over the WORD-FREQUENCY DICTIONARY (distinct word → count), not the
+    * corpus — one corpus-sized aggregation builds the dict, then the
+    * pair explosion touches each distinct word once and weights by its
+    * count. That dict-not-corpus shape is what makes iterated BPE
+    * training feasible at 100 TB (the dict is vocabulary-sized and
+    * Zipf-bounded; merges 2..N re-scan only it, never the text again).
+    */
+  val bpeMergePairs: QueryDef = QueryDef(
+    "text_bpe_merge_pairs",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(length(col("w")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(20)
+    },
+    Some("""
+      WITH wf AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        GROUP BY 1),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
+        FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+              FROM wf WHERE len(w) >= 2) t)
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM pairs
+      GROUP BY 1
+      ORDER BY n DESC, pair
+      LIMIT 20
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality, searchConjunctive)
+      bigramLmQuality, searchConjunctive, bpeMergePairs)
 }
