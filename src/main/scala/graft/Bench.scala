@@ -32,7 +32,12 @@ object Bench {
     "pipeline_filter_audit", "dedup_prefix_filter_jaccard",
     "dedup_containment", "dedup_duplicate_spans", "pipeline_span_dedup_cut",
     "dedup_winnow_candidates", "mm_phash_neardup", "scale_zorder_layout",
-    "event_funnel_conversion", "audit_constraints", "pipeline_data_card")
+    "event_funnel_conversion", "audit_constraints", "pipeline_data_card",
+    "graph_pagerank_bipartite", "join_pointintime_features",
+    "sketch_countmin_heavyhitters", "sketch_kmv_distinct",
+    "text_bigram_lm_quality", "text_search_conjunctive",
+    "text_bpe_merge_pairs", "pipeline_temperature_mixture",
+    "corpus_snapshot_diff", "mm_audio_energy_vad")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

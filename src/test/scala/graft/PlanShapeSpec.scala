@@ -46,7 +46,8 @@ class PlanShapeSpec extends SparkSpec {
     "audit_constraints",              // per-check 1-row checked/violation counts crossJoined
     "sample_weighted_pps",            // 1-row corpus char-mass crossJoin feeding the PPS predicate
     "text_pmi_bigrams",               // 1-row corpus token-total crossJoin feeding the lift
-    "pipeline_data_card")             // 1-row corpus char-mass crossJoin (the PPS branch)
+    "pipeline_data_card",             // 1-row corpus char-mass crossJoin (the PPS branch)
+    "text_bigram_lm_quality")         // 1-row vocab-count crossJoin feeding the smoothing denominator
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
