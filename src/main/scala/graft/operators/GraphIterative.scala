@@ -93,5 +93,76 @@ object GraphIterative {
       LIMIT 20
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(pagerank)
+  /** Frontier BFS with exact shortest-hop labels: from the nation-1
+    * suppliers as seeds, expand ≤ 3 hops through the same bipartite
+    * graph; each level is (edges ⋈ frontier) → distinct → anti-join
+    * against everything already visited — the level-synchronous BFS a
+    * cluster runs (frontier and visited-set are node-sized; the edge
+    * list is the only big operand and it is touched once per level,
+    * pre-partitioned by src exactly as in [[pagerank]]). Output is the
+    * per-hop roster size split by node type — the "blast radius" audit
+    * of a dependency/contamination traversal.
+    */
+  val bfsReachability: QueryDef = QueryDef(
+    "graph_bfs_reachability",
+    (s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 1)
+        .select((col("s_suppkey") * 2).as("node"))
+        // seeds outside the graph (suppliers with no lineitem) stay hop-0
+        // members of the visited set but expand nothing — keep them
+      var visited = seeds.withColumn("hop", lit(0))
+      var frontier = seeds
+      for (h <- 1 to 3) {
+        frontier = edges.join(frontier, edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(frontier.withColumn("hop", lit(h)))
+      }
+      visited
+        .groupBy("hop")
+        .agg(
+          count(when(col("node") % 2 === 0, 1)).as("n_suppliers"),
+          count(when(col("node") % 2 === 1, 1)).as("n_parts"))
+        .select(col("hop").cast("long").as("hop"), col("n_suppliers"), col("n_parts"))
+        .orderBy("hop")
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      f0 AS (SELECT DISTINCT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey = 1),
+      f1 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)),
+      f2 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)
+          AND e.dst NOT IN (SELECT node FROM f1)),
+      f3 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)
+          AND e.dst NOT IN (SELECT node FROM f1)
+          AND e.dst NOT IN (SELECT node FROM f2)),
+      v AS (
+        SELECT node, 0 AS hop FROM f0
+        UNION ALL SELECT node, 1 FROM f1
+        UNION ALL SELECT node, 2 FROM f2
+        UNION ALL SELECT node, 3 FROM f3)
+      SELECT CAST(hop AS BIGINT) AS hop,
+             COUNT(*) FILTER (WHERE node % 2 = 0) AS n_suppliers,
+             COUNT(*) FILTER (WHERE node % 2 = 1) AS n_parts
+      FROM v
+      GROUP BY hop
+      ORDER BY hop
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability)
 }
