@@ -553,6 +553,63 @@ object AnalyticsExtra {
            OR r = CAST(ceil(n * 0.75) AS BIGINT)
         GROUP BY source, n
         ORDER BY source
+      """.stripMargin.trim)),
+
+    // ---- winsorized mean per event type (robust location estimate) ----
+    // Outlier-robust mean for monitoring/quality metrics: clamp values at
+    // the exact p5/p95 RANK positions (ceil(q·n) under the (cents,
+    // event_id) total order — the stats_length_quartiles discipline),
+    // then average the clamped cents. Values ride as exact integer cents
+    // (double → DECIMAL(12,2) → ×100, the stats_corr idiom), the clamped
+    // sum is an exact BIGINT, and the only floats are the final two IEEE
+    // divisions both engines share. ONE shuffle on event_type: rank,
+    // row-count, and the two clamp bounds all come from windows over the
+    // same partition.
+    QueryDef(
+      "stats_winsorized_mean",
+      (s, dir) => {
+        val wSort = Window.partitionBy("event_type").orderBy(asc("vc"), asc("event_id"))
+        val wAll = Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            (col("value").cast(D) * 100).cast("long").as("vc"))
+          .withColumn("rn", row_number().over(wSort))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("lo", max(when(col("rn") === expr("(n + 19) DIV 20"), col("vc"))).over(wAll))
+          .withColumn("hi", max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("vc"))).over(wAll))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("lo")).as("lo_cents"), min(col("hi")).as("hi_cents"),
+            sum(greatest(col("lo"), least(col("hi"), col("vc")))).as("sc"))
+          .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+            (col("sc").cast("double") / col("n") / 100.0).as("winsorized_mean"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        ranked AS (
+          SELECT event_type, vc,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY vc ASC, event_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM cents),
+        bounded AS (
+          SELECT event_type, vc, n,
+                 MAX(CASE WHEN rn = (n + 19) // 20 THEN vc END)
+                   OVER (PARTITION BY event_type) AS lo,
+                 MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN vc END)
+                   OVER (PARTITION BY event_type) AS hi
+          FROM ranked)
+        SELECT event_type, COUNT(*) AS n,
+               MIN(lo) AS lo_cents, MIN(hi) AS hi_cents,
+               CAST(SUM(GREATEST(lo, LEAST(hi, vc))) AS DOUBLE) / COUNT(*) / 100.0
+                 AS winsorized_mean
+        FROM bounded
+        GROUP BY event_type
+        ORDER BY event_type
       """.stripMargin.trim))
   )
 }

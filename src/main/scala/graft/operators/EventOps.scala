@@ -342,6 +342,44 @@ object EventOps {
         FROM wk JOIN cohort c USING (user_id) JOIN sizes s ON c.w0 = s.w0
         GROUP BY 1, 2
         ORDER BY cohort_week, week_offset
+      """.stripMargin.trim)),
+
+    /** First-order Markov transition matrix of the event stream: counts
+      * of adjacent (prev → next) event-type transitions under the
+      * per-user (ts, event_id) total order, with row-normalized shares
+      * in integer ppm — the behavioral fingerprint next-event-prediction
+      * features start from. One shuffle on user_id for the lag, then a
+      * type²-sized aggregation; the row-total window runs over ≤|types|²
+      * rows.
+      */
+    QueryDef(
+      "event_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_ppm", expr(
+            "n * 1000000 DIV SUM(n) OVER (PARTITION BY from_type)"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS from_type
+          FROM events),
+        m AS (
+          SELECT from_type, event_type AS to_type, COUNT(*) AS n
+          FROM ordered WHERE from_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_ppm
+        FROM m
+        ORDER BY from_type, to_type
       """.stripMargin.trim))
   )
 }
