@@ -610,6 +610,64 @@ object AnalyticsExtra {
         FROM bounded
         GROUP BY event_type
         ORDER BY event_type
+      """.stripMargin.trim)),
+
+    // ---- exact two-sample KS drift statistic (view vs purchase value) --
+    // Distribution-drift detection with NO floats until the last step:
+    // both samples reduce to per-distinct-cents counts, one ordered
+    // cumulative pass builds both empirical CDFs, and the KS distance is
+    // the integer argmax of |cum₁·n₂ − cum₂·n₁| (cross-multiplied — the
+    // exact numerator of |F₁−F₂| over the common denominator n₁·n₂),
+    // reported in ppm by one integer division plus the cents location
+    // where the gap peaks (smallest location on ties). The cumulative
+    // window runs over the DISTINCT-value table — bounded by value
+    // resolution (cents of a bounded metric), not row count; at larger
+    // domains the standard two-stage distributed cumsum applies.
+    QueryDef(
+      "stats_ks_drift",
+      (s, dir) => {
+        val cents = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select((col("value").cast(D) * 100).cast("long").as("vc"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
+        val perV = cents.groupBy("vc")
+          .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        val w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = perV
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .withColumn("cum2", sum(col("c2")).over(w))
+        val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("d", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .orderBy(desc("d"), asc("vc"))
+          .limit(1)
+          .select(col("n1"), col("n2"),
+            expr("d * 1000000 DIV (n1 * n2)").as("ks_ppm"),
+            col("vc").as("ks_at_cents"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        perv AS (
+          SELECT vc, CAST(SUM(g1) AS BIGINT) AS c1,
+                 CAST(SUM(1 - g1) AS BIGINT) AS c2
+          FROM cents GROUP BY 1),
+        cum AS (
+          SELECT vc,
+                 SUM(c1) OVER (ORDER BY vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                 SUM(c2) OVER (ORDER BY vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+          FROM perv),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM perv)
+        SELECT n1, n2,
+               CAST(ABS(cum1 * n2 - cum2 * n1) * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm,
+               vc AS ks_at_cents
+        FROM cum CROSS JOIN tot
+        ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, vc ASC
+        LIMIT 1
       """.stripMargin.trim))
   )
 }

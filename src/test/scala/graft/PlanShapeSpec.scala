@@ -47,7 +47,8 @@ class PlanShapeSpec extends SparkSpec {
     "sample_weighted_pps",            // 1-row corpus char-mass crossJoin feeding the PPS predicate
     "text_pmi_bigrams",               // 1-row corpus token-total crossJoin feeding the lift
     "pipeline_data_card",             // 1-row corpus char-mass crossJoin (the PPS branch)
-    "text_bigram_lm_quality")         // 1-row vocab-count crossJoin feeding the smoothing denominator
+    "text_bigram_lm_quality",         // 1-row vocab-count crossJoin feeding the smoothing denominator
+    "stats_ks_drift")                 // 1-row sample-totals crossJoin feeding the CDF cross-multiplication
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
