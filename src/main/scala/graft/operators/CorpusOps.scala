@@ -293,6 +293,67 @@ object CorpusOps {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Sequence packing audit — the concat-and-split step a GPT-style
+    * pretraining pipeline runs after [[trainingOrder]]: documents
+    * concatenate in the deterministic salted order and split at fixed
+    * 4096-token context boundaries. Everything derives from ONE
+    * running-token window per shard (the same per-shard, never-global
+    * sort as the order itself): a doc is "split" iff its [start, end)
+    * token span crosses a boundary (`(cum−tokens) DIV 4096 ≠
+    * (cum−1) DIV 4096`), bins per shard are `ceil(total/4096)`, and the
+    * only waste is the final partial bin — the audit that prices a
+    * context-length choice against the corpus before a training run.
+    */
+  val packSequences: QueryDef = QueryDef(
+    "pipeline_pack_sequences",
+    (s, dir) => {
+      val C = 4096L
+      val w = Window.partitionBy("shard").orderBy(col("ord_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docTokens(Tables.documents(s, dir))
+        .select(col("doc_id"), col("tokens"),
+          substring(md5(concat(lit("s:"), col("doc_id").cast("string")).cast("binary")), 1, 1)
+            .as("shard"),
+          md5(concat(lit("o:"), col("doc_id").cast("string")).cast("binary"))
+            .as("ord_key"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("split", expr(s"(cum - tokens) DIV $C <> (cum - 1) DIV $C"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum")).as("total_tokens"),
+          count(when(col("split"), 1)).as("n_docs_split"))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          expr(s"(total_tokens + ${C - 1}) DIV $C").as("n_bins"),
+          col("n_docs_split"),
+          expr(s"((total_tokens + ${C - 1}) DIV $C) * $C - total_tokens").as("tail_waste_tokens"))
+        .orderBy("shard")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+               substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               md5('o:' || CAST(doc_id AS VARCHAR)) AS ord_key
+        FROM documents),
+      cums AS (
+        SELECT shard, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM keyed),
+      agg AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(MAX(cum) AS BIGINT) AS total_tokens,
+               COUNT(*) FILTER (WHERE (cum - tokens) // 4096 <> (cum - 1) // 4096)
+                 AS n_docs_split
+        FROM cums GROUP BY 1)
+      SELECT shard, n_docs, total_tokens,
+             CAST((total_tokens + 4095) // 4096 AS BIGINT) AS n_bins,
+             n_docs_split,
+             CAST(((total_tokens + 4095) // 4096) * 4096 - total_tokens AS BIGINT)
+               AS tail_waste_tokens
+      FROM agg
+      ORDER BY shard
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] = Seq(shardPack, epochMixture, trainingOrder, splitManifest,
-    temperatureMixture, snapshotDiff)
+    temperatureMixture, snapshotDiff, packSequences)
 }
