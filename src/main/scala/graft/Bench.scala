@@ -37,7 +37,9 @@ object Bench {
     "sketch_countmin_heavyhitters", "sketch_kmv_distinct",
     "text_bigram_lm_quality", "text_search_conjunctive",
     "text_bpe_merge_pairs", "pipeline_temperature_mixture",
-    "corpus_snapshot_diff", "mm_audio_energy_vad")
+    "corpus_snapshot_diff", "mm_audio_energy_vad",
+    "graph_bfs_reachability", "event_transition_matrix",
+    "stats_winsorized_mean", "stats_ks_drift", "pipeline_pack_sequences")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,
