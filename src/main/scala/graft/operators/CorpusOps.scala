@@ -143,29 +143,36 @@ object CorpusOps {
     * The manifest audits size and token mass per (split, source): the
     * table a release ships next to the data.
     */
+  /** THE train/val/test membership formula (first two md5 nibbles of
+    * the salted doc_id: 00-f9 / fa-fc / fd-ff), shared by the manifest
+    * and the split-leakage audit so the assignment cannot drift.
+    */
+  private[operators] def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h2 = substring(md5(concat(lit("split:"), docId.cast("string")).cast("binary")), 1, 2)
+    when(h2 < "fa", "train").when(h2 < "fd", "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]]; `docId` is a SQL expression. */
+  private[operators] def splitOfDuck(docId: String): String =
+    s"""CASE WHEN substr(md5('split:' || CAST($docId AS VARCHAR)), 1, 2) < 'fa' THEN 'train'
+       |     WHEN substr(md5('split:' || CAST($docId AS VARCHAR)), 1, 2) < 'fd' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   val splitManifest: QueryDef = QueryDef(
     "pipeline_split_manifest",
     (s, dir) => {
       docTokens(Tables.documents(s, dir))
-        .withColumn("h2",
-          substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2))
-        .withColumn("split",
-          when(col("h2") < "fa", "train")
-            .when(col("h2") < "fd", "val")
-            .otherwise("test"))
+        .withColumn("split", splitOf(col("doc_id")))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
         .orderBy("split", "source")
     },
-    Some("""
+    Some(s"""
       WITH keyed AS (
         SELECT source, len(string_split(text, ' ')) AS tokens,
-               substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+               ${splitOfDuck("doc_id")} AS split
         FROM documents)
-      SELECT CASE WHEN h2 < 'fa' THEN 'train'
-                  WHEN h2 < 'fd' THEN 'val'
-                  ELSE 'test' END AS split,
-             source, COUNT(*) AS n_docs,
+      SELECT split, source, COUNT(*) AS n_docs,
              CAST(SUM(tokens) AS BIGINT) AS tokens
       FROM keyed
       GROUP BY 1, 2

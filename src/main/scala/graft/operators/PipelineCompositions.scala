@@ -594,8 +594,52 @@ ${AnnSearch.centroidSql("")},
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Split-leakage audit: near-duplicate pairs whose two documents land
+    * in DIFFERENT train/val/test splits — the eval-contamination channel
+    * hash-threshold splitting cannot close (membership is per-doc, but
+    * near-dups are per-PAIR: a test doc's near-twin in train leaks the
+    * answer). Composes the two owning definitions verbatim —
+    * [[Dedup.lshCandsFromSketch]] (+ `lshCandsSql` twin) for pairs and
+    * [[CorpusOps.splitOf]] for membership — so the audit can never
+    * disagree with the operators it audits. Scale shape: the pair set is
+    * LSH-bounded; the split lookup is two doc_id-keyed joins of that
+    * small pair frame against a 2-column projection of the corpus; the
+    * cross-split rows are the re-dedup worklist a release runs before
+    * freezing an eval set.
+    */
+  val splitLeakage: QueryDef = QueryDef(
+    "pipeline_split_leakage_audit",
+    (s, dir) => {
+      val pairs = Dedup.lshCandsFromSketch(s, dir)
+      val splits = Tables.documents(s, dir)
+        .select(col("doc_id"), CorpusOps.splitOf(col("doc_id")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+        .join(splits.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""
+      WITH ${Dedup.lshCandsSql},
+      splits AS (
+        SELECT doc_id, ${CorpusOps.splitOfDuck("doc_id")} AS split
+        FROM documents)
+      SELECT LEAST(a.split, b.split) AS split_a,
+             GREATEST(a.split, b.split) AS split_b,
+             COUNT(*) AS n_pairs,
+             LEAST(a.split, b.split) <> GREATEST(a.split, b.split) AS leaks
+      FROM cand
+      JOIN splits a ON cand.ia = a.doc_id
+      JOIN splits b ON cand.ib = b.doc_id
+      GROUP BY 1, 2
+      ORDER BY split_a, split_b
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
       annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
-      dataCard)
+      dataCard, splitLeakage)
 }
