@@ -812,9 +812,54 @@ object TextAnalysis {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** Vocabulary-concentration audit per source: Gini impurity of the
+    * token distribution (1 − Σp²) and the top-token share, both in
+    * integer ppm — Σ(c²) and n are exact BIGINTs, so
+    * `10⁶ − Σ(c²)·10⁶ DIV n²` needs no float and no log (the entropy
+    * question answered with the polynomial diversity index instead —
+    * same monotone ordering on concentration). LOW gini = a
+    * boilerplate/templated source a mixture should downweight. Shape:
+    * (source, token) hash agg → per-source fold; token tables are
+    * vocabulary-sized. (Token counts beyond ~10⁹ per source need the
+    * DECIMAL widening of the anomaly fix for the c² sum.)
+    */
+  val giniDiversity: QueryDef = QueryDef(
+    "text_gini_diversity",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("ssq"),
+          max(col("c")).as("cmax"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          expr("1000000 - (ssq * 1000000) DIV (n_tokens * n_tokens)").as("gini_ppm"),
+          expr("cmax * 1000000 DIV n_tokens").as("top1_share_ppm"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      counts AS (
+        SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      agg AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(c * c) AS BIGINT) AS ssq,
+               CAST(MAX(c) AS BIGINT) AS cmax
+        FROM counts GROUP BY 1)
+      SELECT source, n_tokens, n_distinct,
+             CAST(1000000 - (ssq * 1000000) // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm,
+             CAST(cmax * 1000000 // n_tokens AS BIGINT) AS top1_share_ppm
+      FROM agg
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality, searchConjunctive, bpeMergePairs)
+      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity)
 }
