@@ -857,9 +857,64 @@ object TextAnalysis {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** N-gram novelty: the share of each document's word-5-grams that are
+    * UNIQUE in the corpus (df = 1), in integer ppm, rolled up per source
+    * — low novelty marks boilerplate/templated sources before any pair
+    * enumeration (the cheap scalar precursor to the dedup families: a
+    * source whose novelty collapses is where the LSH budget should go).
+    * Shape: positional gram explode → gram-keyed df agg → join back →
+    * two keyed aggregations; the df table is content-keyed and
+    * Zipf-bounded, and no pair set is ever formed.
+    */
+  val noveltyScore: QueryDef = QueryDef(
+    "text_novelty_score",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ts) - 4),
+            |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+            |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))"""
+            .stripMargin)).as("gram"))
+      val df = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      grams.join(df, "gram")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("gdf") === 1, 1)).as("n_novel"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("SUM(n_novel) * 1000000 DIV SUM(n_grams)").as("novelty_ppm"),
+          expr("CAST(MIN(n_novel * 1000000 DIV n_grams) AS BIGINT)").as("min_doc_novelty_ppm"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               ts[CAST(p AS INT)] || ' ' || ts[CAST(p AS INT)+1] || ' ' ||
+               ts[CAST(p AS INT)+2] || ' ' || ts[CAST(p AS INT)+3] || ' ' ||
+               ts[CAST(p AS INT)+4] AS gram
+        FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts) - 3)) AS p
+              FROM toks WHERE len(ts) >= 5) t),
+      df AS (SELECT gram, COUNT(*) AS gdf FROM grams GROUP BY 1),
+      perdoc AS (
+        SELECT doc_id, source, COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE gdf = 1) AS n_novel
+        FROM grams JOIN df USING (gram)
+        GROUP BY 1, 2)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT) AS novelty_ppm,
+             CAST(MIN(n_novel * 1000000 // n_grams) AS BIGINT) AS min_doc_novelty_ppm
+      FROM perdoc
+      GROUP BY 1
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity)
+      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity, noveltyScore)
 }
