@@ -686,6 +686,9 @@ object TextAnalysis {
           .as("bg"))
         .groupBy(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("m"))
+        // consumed 2× below (model build + score join-back); build once —
+        // the pmiBigrams re-aggregation lesson (DESIGN.md round 8 item 7)
+        .localCheckpoint(true)
       val cb = bigDoc.groupBy("w1", "w2").agg(sum(col("m")).as("cb"))
       val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
       val vocab = toks.select(explode(col("ts")).as("w"))
@@ -820,22 +823,28 @@ object TextAnalysis {
     * same monotone ordering on concentration). LOW gini = a
     * boilerplate/templated source a mixture should downweight. Shape:
     * (source, token) hash agg → per-source fold; token tables are
-    * vocabulary-sized. (Token counts beyond ~10⁹ per source need the
-    * DECIMAL widening of the anomaly fix for the c² sum.)
+    * vocabulary-sized. The c² sum runs in exact WIDE integers
+    * (DECIMAL(38,0) / DuckDB's native HUGEINT promotion — the
+    * ts_anomaly discipline): int64 would wrap silently in Spark once
+    * the top token of a source passes ~3·10⁶ occurrences, while the
+    * emitted ppm stays comfortably in BIGINT.
     */
   val giniDiversity: QueryDef = QueryDef(
     "text_gini_diversity",
     (s, dir) => {
+      val W = org.apache.spark.sql.types.DecimalType(38, 0)
       Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
         .groupBy("source")
         .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_distinct"),
-          sum(col("c") * col("c")).as("ssq"),
+          sum((col("c") * col("c")).cast(W)).as("ssq"),
           max(col("c")).as("cmax"))
         .select(col("source"), col("n_tokens"), col("n_distinct"),
-          expr("1000000 - (ssq * 1000000) DIV (n_tokens * n_tokens)").as("gini_ppm"),
+          expr("""CAST(1000000 - (ssq * 1000000)
+                  DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
+            .as("gini_ppm"),
           expr("cmax * 1000000 DIV n_tokens").as("top1_share_ppm"))
         .orderBy("source")
     },
@@ -847,11 +856,12 @@ object TextAnalysis {
       agg AS (
         SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_distinct,
-               CAST(SUM(c * c) AS BIGINT) AS ssq,
+               SUM(CAST(c AS HUGEINT) * c) AS ssq,
                CAST(MAX(c) AS BIGINT) AS cmax
         FROM counts GROUP BY 1)
       SELECT source, n_tokens, n_distinct,
-             CAST(1000000 - (ssq * 1000000) // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm,
+             CAST(1000000 - (ssq * 1000000)
+                  // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS gini_ppm,
              CAST(cmax * 1000000 // n_tokens AS BIGINT) AS top1_share_ppm
       FROM agg
       ORDER BY source
@@ -877,11 +887,18 @@ object TextAnalysis {
             |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
             |    element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))"""
             .stripMargin)).as("gram"))
-      val df = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
-      grams.join(df, "gram")
+      // per-doc multiplicities first (smaller than the occurrence stream),
+      // built ONCE for both the df aggregate and the join-back — a gram
+      // repeated within one doc has m ≥ 2 ⇒ gdf ≥ 2, so occurrence-level
+      // and multiplicity-level novelty agree exactly
+      val gramDoc = grams.groupBy("doc_id", "source", "gram")
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      val df = gramDoc.groupBy("gram").agg(sum(col("m")).as("gdf"))
+      gramDoc.join(df, "gram")
         .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_grams"),
-          count(when(col("gdf") === 1, 1)).as("n_novel"))
+        .agg(sum(col("m")).as("n_grams"),
+          coalesce(sum(when(col("gdf") === 1, col("m"))), lit(0L)).as("n_novel"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           expr("SUM(n_novel) * 1000000 DIV SUM(n_grams)").as("novelty_ppm"),

@@ -637,12 +637,18 @@ object AnalyticsExtra {
           .withColumn("cum1", sum(col("c1")).over(w))
           .withColumn("cum2", sum(col("c2")).over(w))
         val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        // cross-multiplication in WIDE integers (the ts_anomaly
+        // discipline): cum·n reaches n² — int64 wraps silently in Spark
+        // past ~3·10⁶ rows per sample while DuckDB's HUGEINT stays exact
         cum.crossJoin(broadcast(tot))
-          .withColumn("d", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .withColumn("d", abs(
+            col("cum1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n2") -
+            col("cum2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n1")))
           .orderBy(desc("d"), asc("vc"))
           .limit(1)
           .select(col("n1"), col("n2"),
-            expr("d * 1000000 DIV (n1 * n2)").as("ks_ppm"),
+            expr("""CAST((d * 1000000)
+                    DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""").as("ks_ppm"),
             col("vc").as("ks_at_cents"))
       },
       Some("""
@@ -663,10 +669,11 @@ object AnalyticsExtra {
           FROM perv),
         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM perv)
         SELECT n1, n2,
-               CAST(ABS(cum1 * n2 - cum2 * n1) * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm,
+               CAST(ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) * 1000000
+                    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm,
                vc AS ks_at_cents
         FROM cum CROSS JOIN tot
-        ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, vc ASC
+        ORDER BY ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) DESC, vc ASC
         LIMIT 1
       """.stripMargin.trim))
   )

@@ -107,25 +107,37 @@ object CorpusOps {
     * SCALE-path form is `sortWithinPartitions` after
     * `repartition($"shard")`, the exact plan this query produces).
     */
+  /** THE salted training-order formula (shard salt "s:", intra-shard
+    * order salt "o:"), shared by [[trainingOrder]] and [[packSequences]]
+    * so the packing audit structurally audits the SAME order a trainer
+    * consumes.
+    */
+  private[operators] def shardCol(docId: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit("s:"), docId.cast("string")).cast("binary")), 1, 1)
+  private[operators] def ordKeyCol(docId: org.apache.spark.sql.Column) =
+    md5(concat(lit("o:"), docId.cast("string")).cast("binary"))
+  private[operators] def shardDuck(docId: String): String =
+    s"substr(md5('s:' || CAST($docId AS VARCHAR)), 1, 1)"
+  private[operators] def ordKeyDuck(docId: String): String =
+    s"md5('o:' || CAST($docId AS VARCHAR))"
+
   val trainingOrder: QueryDef = QueryDef(
     "pipeline_training_order",
     (s, dir) => {
       val w = Window.partitionBy("shard").orderBy(col("ord_key"), col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          substring(md5(concat(lit("s:"), col("doc_id").cast("string")).cast("binary")), 1, 1)
-            .as("shard"),
-          md5(concat(lit("o:"), col("doc_id").cast("string")).cast("binary"))
-            .as("ord_key"))
+          shardCol(col("doc_id")).as("shard"),
+          ordKeyCol(col("doc_id")).as("ord_key"))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos")
     },
-    Some("""
+    Some(s"""
       WITH keyed AS (
         SELECT doc_id,
-               substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               md5('o:' || CAST(doc_id AS VARCHAR)) AS ord_key
+               ${shardDuck("doc_id")} AS shard,
+               ${ordKeyDuck("doc_id")} AS ord_key
         FROM documents)
       SELECT shard,
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
@@ -319,10 +331,8 @@ object CorpusOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docTokens(Tables.documents(s, dir))
         .select(col("doc_id"), col("tokens"),
-          substring(md5(concat(lit("s:"), col("doc_id").cast("string")).cast("binary")), 1, 1)
-            .as("shard"),
-          md5(concat(lit("o:"), col("doc_id").cast("string")).cast("binary"))
-            .as("ord_key"))
+          shardCol(col("doc_id")).as("shard"),
+          ordKeyCol(col("doc_id")).as("ord_key"))
         .withColumn("cum", sum(col("tokens")).over(w))
         .withColumn("split", expr(s"(cum - tokens) DIV $C <> (cum - 1) DIV $C"))
         .groupBy("shard")
@@ -335,11 +345,11 @@ object CorpusOps {
           expr(s"((total_tokens + ${C - 1}) DIV $C) * $C - total_tokens").as("tail_waste_tokens"))
         .orderBy("shard")
     },
-    Some("""
+    Some(s"""
       WITH keyed AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
-               substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-               md5('o:' || CAST(doc_id AS VARCHAR)) AS ord_key
+               ${shardDuck("doc_id")} AS shard,
+               ${ordKeyDuck("doc_id")} AS ord_key
         FROM documents),
       cums AS (
         SELECT shard, tokens,

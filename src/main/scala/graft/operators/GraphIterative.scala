@@ -26,29 +26,28 @@ import graft.{QueryDef, Tables}
   */
 object GraphIterative {
 
-  private val graphCache = new graft.SessionCache[(DataFrame, DataFrame)]
+  private val graphCache = new graft.SessionCache[DataFrame]
 
-  /** The symmetric edge list (hash-partitioned by src, checkpointed) and
-    * its degree table, pinned per (session, corpus) — the dedup-family
-    * surface pattern: [[pagerank]] stays the honest FULL-BUILD carrier
-    * (it reconstructs the graph inside its own timed window), while
-    * traversals like [[bfsReachability]] probe the pinned surface, the
-    * way a second graph query on a real cluster reads the already-
-    * bucketed edge table instead of re-deriving it from lineitem.
+  /** The symmetric edge list (hash-partitioned by src, checkpointed),
+    * pinned per (session, corpus) — the dedup-family surface pattern:
+    * [[pagerank]] stays the honest FULL-BUILD carrier (it reconstructs
+    * the graph inside its own timed window), while traversals like
+    * [[bfsReachability]] probe the pinned surface, the way a second
+    * graph query on a real cluster reads the already-bucketed edge
+    * table instead of re-deriving it from lineitem. (Degrees are NOT
+    * part of the surface: only pagerank needs them and it builds its
+    * own — pinning an unread table would burn executor memory for the
+    * whole session.)
     */
-  private def graphSurface(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def graphSurface(s: SparkSession, dir: String): DataFrame =
     graphCache.getOrElseUpdate(s, dir) {
       graft.PinnedStorage.pin(s) {
         val e0 = Tables.lineitem(s, dir)
           .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
-        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src"))
           .localCheckpoint()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .select(col("src").as("node"), col("deg"))
-          .localCheckpoint()
-        (edges, deg)
       }
     }
 
@@ -132,7 +131,7 @@ object GraphIterative {
   val bfsReachability: QueryDef = QueryDef(
     "graph_bfs_reachability",
     (s, dir) => {
-      val (edges, _) = graphSurface(s, dir)
+      val edges = graphSurface(s, dir)
       val seeds = Tables.supplier(s, dir)
         .filter(col("s_nationkey") === 1)
         .select((col("s_suppkey") * 2).as("node"))

@@ -64,15 +64,32 @@ object SketchOps {
 
   private val K = 64 // KMV sketch size
 
+  /** 48-bit md5-hex uniform: first 12 hex chars as a BIGINT in
+    * [0, 16¹²) — the KMV hash needs more headroom than the house 24-bit
+    * [[ScalePatterns.hexIntSpark]] (at ~5·10⁶ distinct keys the 64
+    * minima of a 24-bit domain start colliding, deterministically
+    * biasing v_K upward; 48 bits pushes that past 10¹²). Same
+    * digit-positional construction, emitted for both dialects.
+    */
+  private def hex12Spark(h: String): String =
+    (1 to 12).map(i =>
+      s"(position(substring($h, $i, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (12 - i))}L")
+      .mkString(" + ")
+  private def hex12Duck(h: String): String =
+    (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString(" + ")
+  private val Domain = 1L << 48
+
   /** KMV (k-minimum-values) distinct-count sketch, the deterministic
     * mergeable alternative to HLL when the estimate must be bit-stable
-    * across engines and re-runs: hash every key into the md5-hex
-    * uniform's [0, 16⁶) domain, keep the K smallest DISTINCT hash
-    * values per group, and estimate distincts as (K−1)·DOMAIN ÷ v_K
-    * (the classic KMV estimator, here in pure integer division). The
-    * audit emits estimate next to exact and a bounded-relative-error
-    * flag the oracle recomputes — so the estimator itself is
-    * hash-gated, like the count-min overestimate.
+    * across engines and re-runs: hash every key into the 48-bit md5-hex
+    * uniform, keep the K smallest DISTINCT hash values per group, and
+    * estimate distincts as (K−1)·DOMAIN ÷ v_K (the classic KMV
+    * estimator, here in pure integer division — (K−1)·2⁴⁸ ≈ 1.8·10¹⁶
+    * fits int64). The audit emits estimate next to exact and a
+    * bounded-relative-error flag the oracle recomputes — so the
+    * estimator itself is hash-gated, like the count-min overestimate.
     *
     * Scale shape: the per-group K smallest values are a top-K-per-key
     * aggregation (rank ≤ K over hash order — the native TopKPerKeyExec
@@ -85,7 +102,7 @@ object SketchOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hashed = Tables.events(s, dir)
-        .select(col("event_type"), expr(ScalePatterns.hexIntSpark(
+        .select(col("event_type"), expr(hex12Spark(
           "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
         .distinct()
       val w = Window.partitionBy("event_type").orderBy(asc("h"))
@@ -100,7 +117,7 @@ object SketchOps {
       kth.join(exact, "event_type")
         .select(col("event_type"), col("n_exact"),
           when(col("n_kept") < K, col("n_kept"))
-            .otherwise(expr(s"(${K - 1} * 16777216) DIV vk")).as("kmv_est"))
+            .otherwise(expr(s"(${K - 1}L * ${Domain}L) DIV vk")).as("kmv_est"))
         .withColumn("within_20pct",
           abs(col("kmv_est") - col("n_exact")) * 5 <= col("n_exact"))
         .orderBy("event_type")
@@ -108,7 +125,7 @@ object SketchOps {
     Some(s"""
       WITH hashed AS (
         SELECT DISTINCT event_type,
-               ${ScalePatterns.hexIntDuck("md5(CAST(user_id AS VARCHAR))")} AS h
+               ${hex12Duck("md5(CAST(user_id AS VARCHAR))")} AS h
         FROM events),
       ranked AS (
         SELECT event_type, h,
@@ -123,9 +140,9 @@ object SketchOps {
         FROM events GROUP BY 1)
       SELECT k.event_type AS event_type, e.n_exact AS n_exact,
              CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
-                  ELSE (${K - 1} * 16777216) // k.vk END AS BIGINT) AS kmv_est,
+                  ELSE (${K - 1} * $Domain) // k.vk END AS BIGINT) AS kmv_est,
              ABS(CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
-                  ELSE (${K - 1} * 16777216) // k.vk END AS BIGINT) - e.n_exact) * 5
+                  ELSE (${K - 1} * $Domain) // k.vk END AS BIGINT) - e.n_exact) * 5
                <= e.n_exact AS within_20pct
       FROM kth k JOIN exact e USING (event_type)
       ORDER BY event_type

@@ -10,10 +10,10 @@ import graft.SparkSpec
   */
 class KmvSpec extends SparkSpec {
 
-  private def hexInt6(s: String): Long = {
+  private def hex12(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(6), 16)
+    java.lang.Long.parseLong(hex.take(12), 16)
   }
 
   test("exact below K, scalar-KMV above K, duplicate-insensitive") {
@@ -34,8 +34,8 @@ class KmvSpec extends SparkSpec {
 
     assert(got("click") == ((10L, 10L)), s"below-K group must be exact: ${got("click")}")
 
-    val vk = (1 to 200).map(u => hexInt6(u.toString)).distinct.sorted.apply(63)
-    val wantEst = 63L * 16777216L / vk
+    val vk = (1 to 200).map(u => hex12(u.toString)).distinct.sorted.apply(63)
+    val wantEst = 63L * (1L << 48) / vk
     assert(got("view") == ((200L, wantEst)), s"sketched group: ${got("view")} want $wantEst")
   }
 }
