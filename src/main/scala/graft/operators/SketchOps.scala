@@ -148,5 +148,85 @@ object SketchOps {
       ORDER BY event_type
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct)
+  /** KMV set algebra — the property that makes the sketch a SET type,
+    * not just a counter: the union sketch of two key sets is the K
+    * smallest of the POOLED hash values (exactly what the same ranked
+    * aggregation computes over the unioned input — no access to the
+    * original rows), and intersection follows by inclusion-exclusion.
+    * Exercised on the 'view' vs 'purchase' user sets: |A|, |B| from
+    * per-set sketches, |A∪B| from the merged sketch, |A∩B| =
+    * est(A)+est(B)−est(A∪B), each next to its exact value. At 100 TB
+    * the two per-set sketches are K-row artifacts merged without
+    * touching the corpus again — the sketch-algebra twin of
+    * `dedup_minhash_sketch_merge`.
+    */
+  val kmvSetOps: QueryDef = QueryDef(
+    "sketch_kmv_set_ops",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+      val hashed = ev
+        .select(col("event_type"), expr(hex12Spark(
+          "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
+        .distinct()
+        .localCheckpoint(true) // feeds both per-set and merged rankings
+      def est(df: org.apache.spark.sql.DataFrame, tag: String) = {
+        val w = Window.orderBy(asc("h"))
+        df.select(col("h")).distinct()
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= K)
+          .agg(max(when(col("r") === K, col("h"))).as("vk"),
+            count(lit(1)).as("n_kept"))
+          .select(when(col("n_kept") < K, col("n_kept"))
+            .otherwise(expr(s"(${K - 1}L * ${Domain}L) DIV vk")).as(s"est_$tag"))
+      }
+      val exact = ev.agg(
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("exact_a"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_b"),
+        countDistinct(col("user_id")).as("exact_union"))
+      est(hashed.filter(col("event_type") === "view"), "a")
+        .crossJoin(est(hashed.filter(col("event_type") === "purchase"), "b"))
+        .crossJoin(est(hashed, "union"))
+        .crossJoin(exact)
+        .select(col("exact_a"), col("est_a"), col("exact_b"), col("est_b"),
+          col("exact_union"), col("est_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_intersect"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ${hex12Duck("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      est_a AS (
+        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
+               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_a
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
+              FROM (SELECT DISTINCT h FROM hashed WHERE event_type = 'view') t) rt
+        WHERE r <= $K),
+      est_b AS (
+        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
+               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_b
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
+              FROM (SELECT DISTINCT h FROM hashed WHERE event_type = 'purchase') t) rt
+        WHERE r <= $K),
+      est_u AS (
+        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
+               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_union
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
+              FROM (SELECT DISTINCT h FROM hashed) t) rt
+        WHERE r <= $K),
+      exact AS (
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_a,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
+               COUNT(DISTINCT user_id) AS exact_union
+        FROM events WHERE event_type IN ('view', 'purchase'))
+      SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+             exact_a + exact_b - exact_union AS exact_intersect,
+             est_a + est_b - est_union AS est_intersect
+      FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN exact
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct, kmvSetOps)
 }

@@ -48,7 +48,8 @@ class PlanShapeSpec extends SparkSpec {
     "text_pmi_bigrams",               // 1-row corpus token-total crossJoin feeding the lift
     "pipeline_data_card",             // 1-row corpus char-mass crossJoin (the PPS branch)
     "text_bigram_lm_quality",         // 1-row vocab-count crossJoin feeding the smoothing denominator
-    "stats_ks_drift")                 // 1-row sample-totals crossJoin feeding the CDF cross-multiplication
+    "stats_ks_drift",                 // 1-row sample-totals crossJoin feeding the CDF cross-multiplication
+    "sketch_kmv_set_ops")             // four 1-row sketch-estimate frames crossJoined into the summary row
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
