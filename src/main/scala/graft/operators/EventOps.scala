@@ -380,6 +380,52 @@ object EventOps {
                CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_ppm
         FROM m
         ORDER BY from_type, to_type
+      """.stripMargin.trim)),
+
+    /** RFM segmentation: every user scored 1-4 on Recency (last activity),
+      * Frequency (event count) and Monetary (exact value cents) by
+      * NTILE(4) under fully tie-broken total orders (metric, user_id) —
+      * deterministic cross-engine because NTILE's distribution rule is
+      * SQL-standard given an identical order. Output is the segment
+      * census (rfm_code = r·100 + f·10 + m): user counts and exact cent
+      * mass per cell — the 64-cell behavioral map a lifecycle/marketing
+      * pipeline consumes. Shape: one per-user aggregation, three
+      * user-grain NTILE windows (the exact-quartile discipline: user
+      * grain, not event grain; two-stage at extreme cardinality), one
+      * 64-cell census agg.
+      */
+    QueryDef(
+      "event_rfm_segments",
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("freq"),
+            sum((col("value").cast(D) * 100).cast("long")).as("cents"))
+        perUser
+          .withColumn("r", ntile(4).over(Window.orderBy(asc("last_ts"), asc("user_id"))))
+          .withColumn("f", ntile(4).over(Window.orderBy(asc("freq"), asc("user_id"))))
+          .withColumn("m", ntile(4).over(Window.orderBy(asc("cents"), asc("user_id"))))
+          .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("rfm_code"))
+          .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+          .orderBy("rfm_code")
+      },
+      Some("""
+        WITH per_user AS (
+          SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+        scored AS (
+          SELECT user_id, cents,
+                 NTILE(4) OVER (ORDER BY last_ts ASC, user_id ASC) AS r,
+                 NTILE(4) OVER (ORDER BY freq ASC, user_id ASC) AS f,
+                 NTILE(4) OVER (ORDER BY cents ASC, user_id ASC) AS m
+          FROM per_user)
+        SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+               COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM scored
+        GROUP BY 1
+        ORDER BY rfm_code
       """.stripMargin.trim))
   )
 }
