@@ -426,6 +426,71 @@ object EventOps {
         FROM scored
         GROUP BY 1
         ORDER BY rfm_code
+      """.stripMargin.trim)),
+
+    /** Peak concurrency per state — the sweep-line interval aggregation
+      * (how many users were in state X at once, and when the high-water
+      * mark was first reached), over the SAME [[stateChanges]]-derived
+      * intervals as scd2/point-in-time. Each interval [from, to) emits
+      * +1 at `from` and −1 at `to` (open current intervals emit no −1);
+      * the running sum under the (ts, delta, user) total order — exits
+      * before entries on ts ties, the half-open convention — visits a
+      * permutation-invariant set of values per ts group, so peak and its
+      * first ts are deterministic. Shape: one shuffle on user_id for the
+      * interval build, one on state for the sweep; event-grain windows,
+      * keyed throughout.
+      */
+    QueryDef(
+      "event_peak_concurrency",
+      (s, dir) => {
+        val iw = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val intervals = stateChanges(Tables.events(s, dir))
+          .withColumn("eto", lead(col("ts"), 1).over(iw))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts").as("efrom"), col("eto"))
+        val pts = intervals
+          .select(col("state"), col("efrom").as("pts"), lit(1L).as("delta"), col("user_id"))
+          .unionByName(intervals.filter(col("eto").isNotNull)
+            .select(col("state"), col("eto").as("pts"), lit(-1L).as("delta"), col("user_id")))
+        val sw = Window.partitionBy("state")
+          .orderBy(asc("pts"), asc("delta"), asc("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts
+          .withColumn("run", sum(col("delta")).over(sw))
+          .withColumn("peak", max(col("run")).over(Window.partitionBy("state")))
+          .filter(col("run") === col("peak"))
+          .groupBy("state")
+          .agg(min(col("peak")).as("peak_concurrency"),
+            min(col("pts")).as("peak_at"))
+          .orderBy("state")
+      },
+      Some(s"""
+        WITH ${stateChangesSql},
+        intervals AS (
+          SELECT user_id, event_type AS state, ts AS efrom,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS eto
+          FROM changes),
+        pts AS (
+          SELECT state, efrom AS pts, CAST(1 AS BIGINT) AS delta, user_id FROM intervals
+          UNION ALL
+          SELECT state, eto, CAST(-1 AS BIGINT), user_id FROM intervals WHERE eto IS NOT NULL),
+        swept AS (
+          SELECT state, pts, user_id,
+                 SUM(delta) OVER (PARTITION BY state
+                   ORDER BY pts ASC, delta ASC, user_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM pts),
+        peaked AS (
+          SELECT state, pts, run,
+                 MAX(run) OVER (PARTITION BY state) AS peak
+          FROM swept)
+        SELECT state, CAST(MIN(peak) AS BIGINT) AS peak_concurrency,
+               MIN(pts) AS peak_at
+        FROM peaked
+        WHERE run = peak
+        GROUP BY state
+        ORDER BY state
       """.stripMargin.trim))
   )
 }
