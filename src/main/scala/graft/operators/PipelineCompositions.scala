@@ -638,8 +638,79 @@ ${AnnSearch.centroidSql("")},
       ORDER BY split_a, split_b
     """.stripMargin.trim))
 
+  /** Dedup funnel: the stage-survival table a curation run publishes —
+    * corpus → exact dedup (md5 keep-smallest-id) → near-dup dedup (drop
+    * the LATER side of every LSH candidate pair among exact survivors,
+    * the keep-earliest discipline) — with doc/token mass and retained
+    * ppm per stage. Near-dup candidates come from
+    * [[Dedup.lshCandsFromSketch]] (+ `lshCandsSql` twin), THE pair
+    * definition, so funnel numbers cannot disagree with the dedup
+    * operators. Shape: one hash agg for exact groups, the LSH-bounded
+    * pair probe, two anti-join-shaped semi-filters, a 3-row summary —
+    * the corpus text is scanned, hashed, and never shuffled as payload.
+    */
+  val dedupFunnel: QueryDef = QueryDef(
+    "pipeline_dedup_funnel",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"),
+          md5(col("text").cast("binary")).as("h"))
+        .localCheckpoint(true) // feeds all three stage aggregates
+      val exactKeep = docs
+        .withColumn("keep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "tokens")
+      val nearDrops = Dedup.lshCandsFromSketch(s, dir)
+        .join(exactKeep.select(col("doc_id").as("ia")), "ia", "left_semi")
+        .join(exactKeep.select(col("doc_id").as("ib")), "ib", "left_semi")
+        .select(col("ib").as("doc_id")).distinct()
+      val nearKeep = exactKeep.join(nearDrops, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("tokens"))
+      stage("0_corpus", docs.select("doc_id", "tokens"))
+        .unionByName(stage("1_exact", exactKeep))
+        .unionByName(stage("2_neardup", nearKeep))
+        .withColumn("retained_ppm", expr(
+          "tokens * 1000000 DIV MAX(tokens) OVER ()"))
+        .orderBy("stage")
+    },
+    Some(s"""
+      WITH ${Dedup.lshCandsSql},
+      d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+               md5(text) AS h
+        FROM documents),
+      exact_keep AS (
+        SELECT doc_id, tokens
+        FROM (SELECT doc_id, tokens,
+                     MIN(doc_id) OVER (PARTITION BY h) AS keep_id FROM d) t
+        WHERE doc_id = keep_id),
+      near_drops AS (
+        SELECT DISTINCT cand.ib AS doc_id
+        FROM cand
+        JOIN exact_keep a ON cand.ia = a.doc_id
+        JOIN exact_keep b ON cand.ib = b.doc_id),
+      near_keep AS (
+        SELECT doc_id, tokens FROM exact_keep
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)),
+      stages AS (
+        SELECT '0_corpus' AS stage, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS tokens FROM d
+        UNION ALL
+        SELECT '1_exact', COUNT(*), CAST(SUM(tokens) AS BIGINT) FROM exact_keep
+        UNION ALL
+        SELECT '2_neardup', COUNT(*), CAST(SUM(tokens) AS BIGINT) FROM near_keep)
+      SELECT stage, n_docs, tokens,
+             CAST(tokens * 1000000 // MAX(tokens) OVER () AS BIGINT) AS retained_ppm
+      FROM stages
+      ORDER BY stage
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
       annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
-      dataCard, splitLeakage)
+      dataCard, splitLeakage, dedupFunnel)
 }
