@@ -39,7 +39,10 @@ object Bench {
     "text_bpe_merge_pairs", "pipeline_temperature_mixture",
     "corpus_snapshot_diff", "mm_audio_energy_vad",
     "graph_bfs_reachability", "event_transition_matrix",
-    "stats_winsorized_mean", "stats_ks_drift", "pipeline_pack_sequences")
+    "stats_winsorized_mean", "stats_ks_drift", "pipeline_pack_sequences",
+    "pipeline_split_leakage_audit", "text_gini_diversity",
+    "text_novelty_score", "sketch_kmv_set_ops", "event_rfm_segments",
+    "event_peak_concurrency", "pipeline_dedup_funnel")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,
