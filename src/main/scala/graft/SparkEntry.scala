@@ -28,6 +28,7 @@ object SparkEntry {
     operators.DataQuality.defs ++
     operators.GraphIterative.defs ++
     operators.SketchOps.defs ++
+    operators.PrivacyOps.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs
 

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Privacy operators a training-data pipeline runs before release:
+  * PII detection over raw text and identifier pseudonymization with a
+  * referential-integrity audit. Both follow the audit_constraints
+  * discipline — a clean corpus yields the all-zero PASS artifact, and
+  * the specs inject violations/PII to pin that each detector counts
+  * exactly them.
+  */
+object PrivacyOps {
+
+  /** (name, pattern) — identical Java-regex/RE2 semantics: character
+    * classes and bounded counts only, no backreferences/lookarounds, so
+    * Spark and DuckDB count the same non-overlapping matches.
+    */
+  private val piiPatterns = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone" -> "\\+[0-9]{7,15}")
+
+  /** PII scan: per-source match counts for each pattern plus the
+    * `clean` flag — all-zero on the synthetic corpus (the release-gate
+    * PASS artifact; PiiSpec injects each PII type and pins detection).
+    * One scan, codegen'd regexp_extract_all, no shuffle beyond the
+    * source rollup; at 100 TB this is the map-side pass the redaction
+    * job shares its scan with.
+    */
+  val piiScan: QueryDef = QueryDef(
+    "privacy_pii_scan",
+    (s, dir) => {
+      // patterns ride as Column literals, not SQL-string text — Spark's
+      // double-quoted SQL literals would eat the backslash escapes
+      val counts = piiPatterns.map { case (name, pat) =>
+        sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long")).as(s"n_$name")
+      }
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), counts: _*)
+        .withColumn("clean",
+          piiPatterns.map { case (n, _) => col(s"n_$n") === 0 }.reduce(_ && _))
+        .orderBy("source")
+    },
+    Some(s"""
+      SELECT source, COUNT(*) AS n_docs,
+             ${piiPatterns.map { case (n, p) =>
+               s"CAST(SUM(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS n_$n"
+             }.mkString(",\n             ")},
+             ${piiPatterns.map { case (_, p) =>
+               s"SUM(len(regexp_extract_all(text, '$p'))) = 0" }
+               .mkString(" AND ")} AS clean
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
+  /** Pseudonymization with referential-integrity audit: user ids are
+    * replaced by salted-md5 surrogate keys, and the audit proves the
+    * mapping is CONSISTENT (same user → same pseudonym everywhere) and
+    * INJECTIVE (no two users share a pseudonym — the property that
+    * keeps per-user analytics valid after scrubbing). Per event type:
+    * distinct users vs distinct pseudonyms (equal iff injective on
+    * that slice); globally: the exact collision count. All map-side
+    * hashing + keyed distinct aggregation.
+    */
+  val pseudonymizeAudit: QueryDef = QueryDef(
+    "privacy_pseudonymize_audit",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(concat(lit("pseud:"), col("user_id").cast("string")).cast("binary"))
+            .as("pseudonym"),
+          col("user_id"))
+      val collisions = ev.select("pseudonym", "user_id").distinct()
+        .groupBy("pseudonym").agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") > 1)
+        .agg(coalesce(sum(col("n_users") - 1), lit(0L)).as("n_collisions"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("pseudonym")).as("n_pseudonyms"))
+        .crossJoin(broadcast(collisions))
+        .withColumn("injective", col("n_users") === col("n_pseudonyms"))
+        .select("event_type", "n_events", "n_users", "n_pseudonyms",
+          "injective", "n_collisions")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               md5('pseud:' || CAST(user_id AS VARCHAR)) AS pseudonym,
+               user_id
+        FROM events),
+      coll AS (
+        SELECT CAST(COALESCE(SUM(n_users - 1), 0) AS BIGINT) AS n_collisions
+        FROM (SELECT pseudonym, COUNT(*) AS n_users
+              FROM (SELECT DISTINCT pseudonym, user_id FROM ev) t
+              GROUP BY 1 HAVING COUNT(*) > 1) c)
+      SELECT event_type, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT pseudonym) AS n_pseudonyms,
+             COUNT(DISTINCT user_id) = COUNT(DISTINCT pseudonym) AS injective,
+             MIN(n_collisions) AS n_collisions
+      FROM ev CROSS JOIN coll
+      GROUP BY event_type
+      ORDER BY event_type
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(piiScan, pseudonymizeAudit)
+}

@@ -49,7 +49,8 @@ class PlanShapeSpec extends SparkSpec {
     "pipeline_data_card",             // 1-row corpus char-mass crossJoin (the PPS branch)
     "text_bigram_lm_quality",         // 1-row vocab-count crossJoin feeding the smoothing denominator
     "stats_ks_drift",                 // 1-row sample-totals crossJoin feeding the CDF cross-multiplication
-    "sketch_kmv_set_ops")             // four 1-row sketch-estimate frames crossJoined into the summary row
+    "sketch_kmv_set_ops",             // four 1-row sketch-estimate frames crossJoined into the summary row
+    "privacy_pseudonymize_audit")     // 1-row global-collision count crossJoined into the per-type audit
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
