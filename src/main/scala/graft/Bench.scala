@@ -42,7 +42,8 @@ object Bench {
     "stats_winsorized_mean", "stats_ks_drift", "pipeline_pack_sequences",
     "pipeline_split_leakage_audit", "text_gini_diversity",
     "text_novelty_score", "sketch_kmv_set_ops", "event_rfm_segments",
-    "event_peak_concurrency", "pipeline_dedup_funnel")
+    "event_peak_concurrency", "pipeline_dedup_funnel",
+    "privacy_pii_scan", "privacy_pseudonymize_audit")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,
