@@ -673,8 +673,10 @@ ${AnnSearch.centroidSql("")},
       stage("0_corpus", docs.select("doc_id", "tokens"))
         .unionByName(stage("1_exact", exactKeep))
         .unionByName(stage("2_neardup", nearKeep))
+        // wide-integer ppm (the stats_ks_drift discipline): tokens·10⁶
+        // would wrap int64 silently in Spark past ~9·10¹² corpus tokens
         .withColumn("retained_ppm", expr(
-          "tokens * 1000000 DIV MAX(tokens) OVER ()"))
+          "CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) DIV MAX(tokens) OVER () AS BIGINT)"))
         .orderBy("stage")
     },
     Some(s"""
@@ -704,7 +706,7 @@ ${AnnSearch.centroidSql("")},
         UNION ALL
         SELECT '2_neardup', COUNT(*), CAST(SUM(tokens) AS BIGINT) FROM near_keep)
       SELECT stage, n_docs, tokens,
-             CAST(tokens * 1000000 // MAX(tokens) OVER () AS BIGINT) AS retained_ppm
+             CAST((CAST(tokens AS HUGEINT) * 1000000) // MAX(tokens) OVER () AS BIGINT) AS retained_ppm
       FROM stages
       ORDER BY stage
     """.stripMargin.trim))

@@ -25,7 +25,7 @@ object PrivacyOps {
 
   /** PII scan: per-source match counts for each pattern plus the
     * `clean` flag — all-zero on the synthetic corpus (the release-gate
-    * PASS artifact; PiiSpec injects each PII type and pins detection).
+    * PASS artifact; PrivacySpec injects each PII type and pins detection).
     * One scan, codegen'd regexp_extract_all, no shuffle beyond the
     * source rollup; at 100 TB this is the map-side pass the redaction
     * job shares its scan with.

@@ -97,6 +97,23 @@ object SketchOps {
     * which is exactly what the same aggregation computes over unioned
     * inputs, so per-partition sketches combine without re-reading rows.
     */
+  /** THE KMV estimator expression — exact below K, (K−1)·DOMAIN ÷ v_K
+    * above — emitted once per dialect and consumed by every estimate
+    * site in both KMV queries (five textual copies before the r9 review;
+    * a domain/rounding change now lands everywhere or nowhere).
+    */
+  private def kmvEstSpark(nKept: String, vk: String): String =
+    s"CAST(CASE WHEN $nKept < $K THEN $nKept ELSE (${K - 1}L * ${Domain}L) DIV $vk END AS BIGINT)"
+  private def kmvEstDuck(nKept: String, vk: String): String =
+    s"CAST(CASE WHEN $nKept < $K THEN $nKept ELSE (${K - 1} * $Domain) // $vk END AS BIGINT)"
+
+  /** One full DuckDB estimate-CTE body over a distinct-hash source. */
+  private def kmvEstCteDuck(src: String, alias: String): String =
+    s"""SELECT ${kmvEstDuck("COUNT(*)", s"MAX(CASE WHEN r = $K THEN h END)")} AS $alias
+       |        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
+       |              FROM ($src) t) rt
+       |        WHERE r <= $K""".stripMargin
+
   val kmvDistinct: QueryDef = QueryDef(
     "sketch_kmv_distinct",
     (s, dir) => {
@@ -116,8 +133,7 @@ object SketchOps {
         .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
       kth.join(exact, "event_type")
         .select(col("event_type"), col("n_exact"),
-          when(col("n_kept") < K, col("n_kept"))
-            .otherwise(expr(s"(${K - 1}L * ${Domain}L) DIV vk")).as("kmv_est"))
+          expr(kmvEstSpark("n_kept", "vk")).as("kmv_est"))
         .withColumn("within_20pct",
           abs(col("kmv_est") - col("n_exact")) * 5 <= col("n_exact"))
         .orderBy("event_type")
@@ -139,10 +155,8 @@ object SketchOps {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
         FROM events GROUP BY 1)
       SELECT k.event_type AS event_type, e.n_exact AS n_exact,
-             CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
-                  ELSE (${K - 1} * $Domain) // k.vk END AS BIGINT) AS kmv_est,
-             ABS(CAST(CASE WHEN k.n_kept < $K THEN k.n_kept
-                  ELSE (${K - 1} * $Domain) // k.vk END AS BIGINT) - e.n_exact) * 5
+             ${kmvEstDuck("k.n_kept", "k.vk")} AS kmv_est,
+             ABS(${kmvEstDuck("k.n_kept", "k.vk")} - e.n_exact) * 5
                <= e.n_exact AS within_20pct
       FROM kth k JOIN exact e USING (event_type)
       ORDER BY event_type
@@ -171,23 +185,24 @@ object SketchOps {
           "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
         .distinct()
         .localCheckpoint(true) // feeds both per-set and merged rankings
+      // expects an already-distinct h column: the per-type slices of
+      // `hashed` are distinct by construction; only the union across
+      // types re-dedups (r9 review: two redundant exchanges dropped)
       def est(df: org.apache.spark.sql.DataFrame, tag: String) = {
         val w = Window.orderBy(asc("h"))
-        df.select(col("h")).distinct()
-          .withColumn("r", row_number().over(w))
+        df.withColumn("r", row_number().over(w))
           .filter(col("r") <= K)
           .agg(max(when(col("r") === K, col("h"))).as("vk"),
             count(lit(1)).as("n_kept"))
-          .select(when(col("n_kept") < K, col("n_kept"))
-            .otherwise(expr(s"(${K - 1}L * ${Domain}L) DIV vk")).as(s"est_$tag"))
+          .select(expr(kmvEstSpark("n_kept", "vk")).as(s"est_$tag"))
       }
       val exact = ev.agg(
         countDistinct(when(col("event_type") === "view", col("user_id"))).as("exact_a"),
         countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_b"),
         countDistinct(col("user_id")).as("exact_union"))
-      est(hashed.filter(col("event_type") === "view"), "a")
-        .crossJoin(est(hashed.filter(col("event_type") === "purchase"), "b"))
-        .crossJoin(est(hashed, "union"))
+      est(hashed.filter(col("event_type") === "view").select("h"), "a")
+        .crossJoin(est(hashed.filter(col("event_type") === "purchase").select("h"), "b"))
+        .crossJoin(est(hashed.select("h").distinct(), "union"))
         .crossJoin(exact)
         .select(col("exact_a"), col("est_a"), col("exact_b"), col("est_b"),
           col("exact_union"), col("est_union"),
@@ -200,23 +215,11 @@ object SketchOps {
                ${hex12Duck("md5(CAST(user_id AS VARCHAR))")} AS h
         FROM events WHERE event_type IN ('view', 'purchase')),
       est_a AS (
-        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
-               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_a
-        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
-              FROM (SELECT DISTINCT h FROM hashed WHERE event_type = 'view') t) rt
-        WHERE r <= $K),
+        ${kmvEstCteDuck("SELECT h FROM hashed WHERE event_type = 'view'", "est_a")}),
       est_b AS (
-        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
-               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_b
-        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
-              FROM (SELECT DISTINCT h FROM hashed WHERE event_type = 'purchase') t) rt
-        WHERE r <= $K),
+        ${kmvEstCteDuck("SELECT h FROM hashed WHERE event_type = 'purchase'", "est_b")}),
       est_u AS (
-        SELECT CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
-               ELSE (${K - 1} * $Domain) // MAX(CASE WHEN r = $K THEN h END) END AS BIGINT) AS est_union
-        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS r
-              FROM (SELECT DISTINCT h FROM hashed) t) rt
-        WHERE r <= $K),
+        ${kmvEstCteDuck("SELECT DISTINCT h FROM hashed", "est_union")}),
       exact AS (
         SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_a,
                COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
