@@ -311,6 +311,57 @@ object ScalePatterns {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Two-stage distributed cumulative sum — the scale form of an
+    * ordered running total that several operators' docs reference
+    * (KS drift, sweep-line) as "the standard fix" for an unpartitioned
+    * window, shipped here as a real operator: cumulative daily revenue
+    * where stage 1 computes per-MONTH running sums under a
+    * PARTITIONED window (parallel across months), stage 2 prefixes
+    * each month with the total of all earlier months (a window over
+    * ~months rows — driver-trivial at any scale), and the result is
+    * day_cum = month_prefix + within-month running sum. The oracle is
+    * the single unpartitioned window — so the decomposition's
+    * exactness is hash-gated, and the integer-cents discipline makes
+    * the sums bit-identical. At 100 TB the day grain is replaced by
+    * any grain and the month by any range-bucket of the sort key.
+    */
+  val twoStageCumsum: QueryDef = QueryDef(
+    "scale_two_stage_cumsum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long"))
+          .as("cents"))
+        .withColumn("month", date_trunc("month", col("day")))
+      val wIn = Window.partitionBy("month").orderBy(asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val monthTotals = daily.groupBy("month").agg(sum(col("cents")).as("mtotal"))
+      val prefixed = monthTotals
+        .withColumn("mprefix",
+          coalesce(sum(col("mtotal")).over(
+            Window.orderBy(asc("month"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      daily
+        .withColumn("incum", sum(col("cents")).over(wIn))
+        .join(prefixed.select("month", "mprefix"), "month")
+        .select(col("day"), col("cents"),
+          (col("mprefix") + col("incum")).as("cum_cents"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT day, cents,
+             CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM daily
+      ORDER BY day
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps)
+    Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
+      twoStageCumsum)
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** scale_two_stage_cumsum: the month-bucketed decomposition equals the
+  * plain running total across month boundaries, and the day-grain
+  * window is partitioned (only the months-level prefix is global).
+  */
+class TwoStageCumsumSpec extends SparkSpec {
+
+  test("decomposition equals the direct running total across boundaries") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "2024-01-30", 10.0), (2L, "2024-01-31", 20.0),
+      (3L, "2024-02-01", 5.0), (4L, "2024-02-01", 5.0),  // same-day fold
+      (5L, "2024-03-15", 40.0))
+      .map { case (k, d, p) => (k, 1L, "O", p, Timestamp.valueOf(d + " 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("cumsum").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val got = ScalePatterns.twoStageCumsum.run(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      "2024-01-30" -> ((1000L, 1000L)),
+      "2024-01-31" -> ((2000L, 3000L)),
+      "2024-02-01" -> ((1000L, 4000L)),   // crosses the month boundary
+      "2024-03-15" -> ((4000L, 8000L))), s"got ${got.toSeq}")
+
+    // shape: the day-grain running window is partitioned by month; the
+    // only unpartitioned window runs over month-grain rows
+    val plan = ScalePatterns.twoStageCumsum.run(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("month")), s"no partitioned day window:\n$plan")
+  }
+}
