@@ -622,7 +622,8 @@ object AnalyticsExtra {
     // where the gap peaks (smallest location on ties). The cumulative
     // window runs over the DISTINCT-value table — bounded by value
     // resolution (cents of a bounded metric), not row count; at larger
-    // domains the standard two-stage distributed cumsum applies.
+    // domains the two-stage distributed cumsum applies (shipped and
+    // oracle-gated as scale_two_stage_cumsum).
     QueryDef(
       "stats_ks_drift",
       (s, dir) => {
