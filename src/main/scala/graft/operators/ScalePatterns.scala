@@ -331,7 +331,7 @@ object ScalePatterns {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long"))
+        .agg(sum((col("o_totalprice").cast(D) * 100).cast("long"))
           .as("cents"))
         .withColumn("month", date_trunc("month", col("day")))
       val wIn = Window.partitionBy("month").orderBy(asc("day"))

@@ -30,11 +30,18 @@ class TwoStageCumsumSpec extends SparkSpec {
       "2024-02-01" -> ((1000L, 4000L)),   // crosses the month boundary
       "2024-03-15" -> ((4000L, 8000L))), s"got ${got.toSeq}")
 
-    // shape: the day-grain running window is partitioned by month; the
-    // only unpartitioned window runs over month-grain rows
+    // shape: the day-grain running window must be PARTITIONED by month
+    // (spec contains both the month partition key and the day sort key);
+    // matching on "month" alone would also match the unpartitioned
+    // month-prefix window and could never fail (r9 review finding)
     val plan = ScalePatterns.twoStageCumsum.run(spark, dir)
       .queryExecution.optimizedPlan.toString
     val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.exists(_.contains("month")), s"no partitioned day window:\n$plan")
+    assert(windows.exists(w => w.contains("month") && w.contains("day")),
+      s"day-grain window is not partitioned by month:\n${windows.mkString("\n")}")
+    // and the naive shape (day-ordered window with NO month partition)
+    // must be absent
+    assert(!windows.exists(w => w.contains("day") && !w.contains("month")),
+      s"unpartitioned day-grain window present:\n${windows.mkString("\n")}")
   }
 }
