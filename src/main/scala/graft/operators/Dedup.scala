@@ -60,13 +60,19 @@ object Dedup {
     * between them. Defined before its first consumer: object vals
     * initialize in declaration order.
     */
-  private[operators] val lshCandsSql: String =
+  /** The sh + mh prefix of the chain alone — consumed by [[lshCandsSql]]
+    * and by the band-layout sweep, which re-bands the SAME signatures.
+    */
+  private[operators] val shMhSql: String =
     s"""sh AS ($shinglesSql),
       mh AS (
         SELECT doc_id, CAST(i.range AS INT) AS i,
                min(md5(CAST(i.range AS VARCHAR) || ':' || shingle)) AS h
         FROM sh CROSS JOIN range(0, 16) i
-        GROUP BY 1, 2),
+        GROUP BY 1, 2)"""
+
+  private[operators] val lshCandsSql: String =
+    s"""$shMhSql,
       bands AS (
         SELECT doc_id, CAST(i // 4 AS INT) AS band,
                md5(concat_ws(',',
@@ -1569,10 +1575,86 @@ object Dedup {
       ORDER BY ia, ib
     """.stripMargin.trim))
 
+  /** LSH band-layout sweep — the (b, r) tuning table for the S-curve
+    * threshold: the SAME pinned 16-hash signatures re-banded as 2×8
+    * (high precision), 4×4 (the production layout) and 8×2 (high
+    * recall), each reporting candidate-pair count, the pairs whose
+    * estimated Jaccard (minhash agreement ÷ 16) clears 0.5, and the
+    * implied precision — the measured form of the 1−(1−s^r)^b curve an
+    * operator consults before committing a layout at 100 TB. All three
+    * arms probe the session-pinned sketch (zero new corpus scans); pair
+    * sets are LSH-bounded per layout; the estimate join is
+    * candidate-scoped.
+    */
+  val lshBandSweep: QueryDef = QueryDef(
+    "dedup_lsh_band_sweep",
+    (s, dir) => {
+      val (_, mh) = sketchSurface(s, dir)
+      def arm(nb: Int): DataFrame = {
+        val r = 16 / nb
+        val keys = (0 until nb).map(b =>
+          md5(concat_ws(",", (0 until r).map(j => col(s"h${b * r + j}")): _*).cast("binary")))
+        val bands = mh.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+        val pairs = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+        pairs
+          .join(mh.as("ma"), col("ia") === col("ma.doc_id"))
+          .join(mh.as("mb"), col("ib") === col("mb.doc_id"))
+          .select((0 until 16).map(i =>
+            when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0)).reduce(_ + _).as("matches"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("matches") >= 8, 1)).as("n_est_dups"))
+          .select(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_pairs"), col("n_est_dups"),
+            expr("CASE WHEN n_pairs = 0 THEN NULL ELSE n_est_dups * 1000000 DIV n_pairs END")
+              .as("est_precision_ppm"))
+      }
+      arm(2).unionByName(arm(4)).unionByName(arm(8)).orderBy("bands")
+    },
+    Some {
+      def armSql(nb: Int): String = {
+        val r = 16 / nb
+        s"""bands$nb AS (
+          SELECT doc_id, CAST(i // $r AS INT) AS band,
+                 md5(concat_ws(',', ${(0 until r).map(j =>
+                   s"max(CASE WHEN i % $r = $j THEN h END)").mkString(", ")})) AS bkey
+          FROM mh GROUP BY 1, 2),
+        pairs$nb AS (
+          SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+          FROM bands$nb a JOIN bands$nb b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        est$nb AS (
+          SELECT p.ia, p.ib, COUNT(*) FILTER (WHERE ma.h = mb.h) AS matches
+          FROM pairs$nb p
+          JOIN mh ma ON ma.doc_id = p.ia
+          JOIN mh mb ON mb.doc_id = p.ib AND mb.i = ma.i
+          GROUP BY 1, 2),
+        row$nb AS (
+          SELECT CAST($nb AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+                 COUNT(*) AS n_pairs,
+                 COUNT(*) FILTER (WHERE matches >= 8) AS n_est_dups
+          FROM est$nb)"""
+      }
+      s"""
+      WITH $shMhSql,
+      ${armSql(2)},
+      ${armSql(4)},
+      ${armSql(8)}
+      SELECT bands, rows_per_band, n_pairs, n_est_dups,
+             CAST(CASE WHEN n_pairs = 0 THEN NULL
+                  ELSE n_est_dups * 1000000 // n_pairs END AS BIGINT) AS est_precision_ppm
+      FROM (SELECT * FROM row2 UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8) t
+      ORDER BY bands
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents,
       crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge,
-      spanDedupCut, winnowCandidates)
+      spanDedupCut, winnowCandidates, lshBandSweep)
 }
