@@ -44,7 +44,7 @@ object Bench {
     "text_novelty_score", "sketch_kmv_set_ops", "event_rfm_segments",
     "event_peak_concurrency", "pipeline_dedup_funnel",
     "privacy_pii_scan", "privacy_pseudonymize_audit",
-    "scale_two_stage_cumsum")
+    "scale_two_stage_cumsum", "dedup_lsh_band_sweep")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,
