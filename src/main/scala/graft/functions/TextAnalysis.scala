@@ -696,12 +696,16 @@ object TextAnalysis {
       bigDoc.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"), col("source"), col("m"),
-          expr("(1000000 * (cb + 1)) DIV (c1 + v)").as("ppm"))
+          // 10⁶·(cb+1) wraps int64 once corpus bigram counts pass ~9.2e12;
+          // widen to DECIMAL(38,0) (HUGEINT in the oracle twin)
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (cb + 1))
+                  DIV (c1 + v) AS BIGINT)""").as("ppm"))
         .groupBy("doc_id", "source")
         .agg(expr("SUM(m * ppm) DIV SUM(m)").as("score"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          expr("SUM(score) DIV COUNT(1)").as("avg_score_ppm"),
+          expr("""CAST(SUM(CAST(score AS DECIMAL(38,0)))
+                  DIV COUNT(1) AS BIGINT)""").as("avg_score_ppm"),
           min(col("score")).as("min_score_ppm"),
           max(col("score")).as("max_score_ppm"))
         .orderBy("source")
@@ -721,7 +725,7 @@ object TextAnalysis {
         FROM (SELECT ts, unnest(range(1, len(ts) + 1)) AS p FROM toks) t),
       perdoc AS (
         SELECT doc_id, source,
-               CAST(SUM(m * ((1000000 * (cb + 1)) // (c1 + v))) // SUM(m) AS BIGINT) AS score
+               CAST(SUM(m * ((CAST(1000000 AS HUGEINT) * (cb + 1)) // (c1 + v))) // SUM(m) AS BIGINT) AS score
         FROM bigdoc JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
         GROUP BY 1, 2)
       SELECT source, COUNT(*) AS n_docs,
@@ -901,7 +905,10 @@ object TextAnalysis {
           coalesce(sum(when(col("gdf") === 1, col("m"))), lit(0L)).as("n_novel"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          expr("SUM(n_novel) * 1000000 DIV SUM(n_grams)").as("novelty_ppm"),
+          // widen the summed numerator before *1e6: wraps int64 past ~9.2e12
+          // corpus grams (DuckDB's SUM is already HUGEINT)
+          expr("""CAST((CAST(SUM(n_novel) AS DECIMAL(38,0)) * 1000000)
+                  DIV SUM(n_grams) AS BIGINT)""").as("novelty_ppm"),
           expr("CAST(MIN(n_novel * 1000000 DIV n_grams) AS BIGINT)").as("min_doc_novelty_ppm"))
         .orderBy("source")
     },

@@ -142,6 +142,14 @@ object Multimodal {
   /** Deterministic media table synthesized from the documents corpus
     * (UTF-8 bytes as payload): lets multimodal queries run against the
     * driver's testdata with a DuckDB-checkable byte-level oracle.
+    *
+    * ASCII GUARD: the multimodal oracles window CHARACTERS
+    * (substr/ascii over text) while the kernels window the payload's
+    * UTF-8 BYTES — equivalent only while every document is pure ASCII.
+    * Rather than leave that convention as a docstring, the payload build
+    * fails loudly on the first non-ASCII document, so a future corpus
+    * produces an explicit error instead of a subtle oracle hash
+    * mismatch.
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
@@ -150,6 +158,10 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
+        require(text.forall(_ < 0x80),
+          s"syntheticMedia: doc $id contains non-ASCII text; the byte-level " +
+            "multimodal oracles (character-windowed SQL vs UTF-8-byte kernels) " +
+            "are only equivalent on ASCII corpora")
         val mt = (id % 3) match {
           case 0 => "image"
           case 1 => "audio"

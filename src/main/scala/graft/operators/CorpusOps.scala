@@ -214,10 +214,16 @@ object CorpusOps {
           """CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
             |     WHEN s0 * s0 > tokens THEN s0 - 1
             |     ELSE s0 END""".stripMargin))
-        .withColumn("natural_ppm", expr("tokens * 1000000 DIV SUM(tokens) OVER ()"))
-        .withColumn("temp_weight_ppm", expr("isqrt * 1000000 DIV SUM(isqrt) OVER ()"))
+        // Products widen to DECIMAL(38,0) (HUGEINT in the oracle) before the
+        // multiply: tokens*1e6 and half_budget*isqrt wrap int64 past ~9.2e12
+        // corpus tokens — same discipline as dedupFunnel's retained_ppm.
+        .withColumn("natural_ppm", expr(
+          "CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) DIV SUM(tokens) OVER () AS BIGINT)"))
+        .withColumn("temp_weight_ppm", expr(
+          "CAST((CAST(isqrt AS DECIMAL(38,0)) * 1000000) DIV SUM(isqrt) OVER () AS BIGINT)"))
         .withColumn("alloc_tokens",
-          expr("(SUM(tokens) OVER () DIV 2) * isqrt DIV SUM(isqrt) OVER ()"))
+          expr("""CAST((CAST(SUM(tokens) OVER () DIV 2 AS DECIMAL(38,0)) * isqrt)
+                  DIV SUM(isqrt) OVER () AS BIGINT)"""))
         .select("source", "n_docs", "tokens", "natural_ppm", "temp_weight_ppm",
           "alloc_tokens")
         .orderBy("source")
@@ -237,9 +243,9 @@ object CorpusOps {
                     ELSE s0 END AS isqrt
         FROM rooted)
       SELECT source, n_docs, tokens,
-             CAST(tokens * 1000000 // SUM(tokens) OVER () AS BIGINT) AS natural_ppm,
-             CAST(isqrt * 1000000 // SUM(isqrt) OVER () AS BIGINT) AS temp_weight_ppm,
-             CAST((SUM(tokens) OVER () // 2) * isqrt // SUM(isqrt) OVER () AS BIGINT) AS alloc_tokens
+             CAST(CAST(tokens AS HUGEINT) * 1000000 // SUM(tokens) OVER () AS BIGINT) AS natural_ppm,
+             CAST(CAST(isqrt AS HUGEINT) * 1000000 // SUM(isqrt) OVER () AS BIGINT) AS temp_weight_ppm,
+             CAST(CAST(SUM(tokens) OVER () // 2 AS HUGEINT) * isqrt // SUM(isqrt) OVER () AS BIGINT) AS alloc_tokens
       FROM corrected
       ORDER BY source
     """.stripMargin.trim))

@@ -28,27 +28,44 @@ object GraphIterative {
 
   private val graphCache = new graft.SessionCache[DataFrame]
 
+  /** THE single edge-list definition (shared-single-definition
+    * discipline): distinct supplier↔part pairs mapped to disjoint even/
+    * odd node ids, symmetrized, hash-partitioned by src and
+    * materialized. Both consumers — the pinned [[graphSurface]] that
+    * BFS probes and [[pagerank]]'s inline timed full build — call this
+    * one builder, so their graphs can never silently desync.
+    */
+  private def buildEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(s, dir)
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+  }
+
+  /** The DuckDB twin of [[buildEdges]], one CTE string spliced into both
+    * oracle queries (defines `e0` and the symmetric closure `e`). */
+  private val edgesDuck: String =
+    """e0 AS (
+      |        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+      |      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)"""
+      .stripMargin
+
   /** The symmetric edge list (hash-partitioned by src, checkpointed),
     * pinned per (session, corpus) — the dedup-family surface pattern:
     * [[pagerank]] stays the honest FULL-BUILD carrier (it reconstructs
-    * the graph inside its own timed window), while traversals like
-    * [[bfsReachability]] probe the pinned surface, the way a second
-    * graph query on a real cluster reads the already-bucketed edge
-    * table instead of re-deriving it from lineitem. (Degrees are NOT
-    * part of the surface: only pagerank needs them and it builds its
-    * own — pinning an unread table would burn executor memory for the
-    * whole session.)
+    * the graph inside its own timed window via the same [[buildEdges]]),
+    * while traversals like [[bfsReachability]] probe the pinned surface,
+    * the way a second graph query on a real cluster reads the
+    * already-bucketed edge table instead of re-deriving it from
+    * lineitem. (Degrees are NOT part of the surface: only pagerank needs
+    * them and it builds its own — pinning an unread table would burn
+    * executor memory for the whole session.)
     */
   private def graphSurface(s: SparkSession, dir: String): DataFrame =
     graphCache.getOrElseUpdate(s, dir) {
-      graft.PinnedStorage.pin(s) {
-        val e0 = Tables.lineitem(s, dir)
-          .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-          .distinct()
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src"))
-          .localCheckpoint()
-      }
+      graft.PinnedStorage.pin(s)(buildEdges(s, dir))
     }
 
   /** PageRank (damping 0.85, 3 supersteps) over the undirected bipartite
@@ -60,16 +77,13 @@ object GraphIterative {
   val pagerank: QueryDef = QueryDef(
     "graph_pagerank_bipartite",
     (s, dir) => {
-      val e0 = Tables.lineitem(s, dir)
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
       // symmetric closure, materialized once ALREADY HASH-PARTITIONED BY
       // src: the three supersteps' edges⋈contrib joins then reuse this
       // layout (only the node-sized rank table moves per iteration — the
-      // cluster analogue is bucketing the edge list by src once)
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
-        .localCheckpoint()
+      // cluster analogue is bucketing the edge list by src once). Built
+      // inline (not via the pinned surface): pagerank is the honest
+      // full-build carrier, but through the SAME buildEdges definition.
+      val edges = buildEdges(s, dir)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
         .localCheckpoint()
@@ -90,10 +104,8 @@ object GraphIterative {
         .orderBy(desc("rank"), asc("node_id"))
         .limit(20)
     },
-    Some("""
-      WITH e0 AS (
-        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
-      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    Some(s"""
+      WITH $edgesDuck,
       deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),
       it1 AS (
@@ -154,10 +166,8 @@ object GraphIterative {
         .select(col("hop").cast("long").as("hop"), col("n_suppliers"), col("n_parts"))
         .orderBy("hop")
     },
-    Some("""
-      WITH e0 AS (
-        SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
-      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    Some(s"""
+      WITH $edgesDuck,
       f0 AS (SELECT DISTINCT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey = 1),
       f1 AS (
         SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
