@@ -27,6 +27,7 @@ object SparkEntry {
     operators.ScalePatterns.defs ++
     operators.DataQuality.defs ++
     operators.GraphIterative.defs ++
+    operators.SearchRank.defs ++
     operators.SketchOps.defs ++
     operators.PrivacyOps.defs ++
     multimodal.MultimodalOps.defs ++
