@@ -936,9 +936,76 @@ object TextAnalysis {
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Heaps-law vocabulary-growth audit: the corpus is cut into 10
+    * ingestion-order slices (by doc_id VALUE against the id span — the
+    * streaming-friendly bucketing that needs no global row numbering),
+    * each word is attributed to the slice where it FIRST appears, and
+    * the output is cumulative tokens vs cumulative vocabulary per slice
+    * — the curve a tokenizer-training or dedup-planning pass reads to
+    * see whether new data still brings new vocabulary. Shape: one
+    * token explode → groupBy(word) → min(doc_id) (content-keyed,
+    * map-side combinable), then every window runs over exactly 10 rows.
+    */
+  val vocabGrowth: QueryDef = QueryDef(
+    "text_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val span = docs.agg(min(col("doc_id")).as("lo"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1).as("span_w"))
+      def slice(c: org.apache.spark.sql.Column) =
+        expr(s"CAST((${c.toString} - lo) * 10 DIV span_w AS BIGINT)")
+      val perSlice = docs.crossJoin(broadcast(span))
+        .select(slice(col("doc_id")).as("slice"),
+          size(col("ts")).cast("long").as("n_toks"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      val firstSeen = docs.select(col("doc_id"), explode(col("ts")).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(span))
+        .select(slice(col("first_doc")).as("slice"))
+        .groupBy("slice").agg(count(lit(1)).as("new_words"))
+      val win = Window.orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perSlice.join(firstSeen, Seq("slice"), "left_outer")
+        .select(col("slice"), col("n_docs"), col("toks"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+        .withColumn("cum_tokens", sum(col("toks")).over(win))
+        .withColumn("cum_vocab", sum(col("new_words")).over(win))
+        .select("slice", "n_docs", "cum_tokens", "new_words", "cum_vocab")
+        .orderBy("slice")
+    },
+    Some("""
+      WITH span AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS w FROM documents),
+      sliced AS (
+        SELECT CAST((doc_id - lo) * 10 // w AS BIGINT) AS slice,
+               len(string_split(text, ' ')) AS n_toks, doc_id, text
+        FROM documents CROSS JOIN span),
+      per_slice AS (
+        SELECT slice, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS toks
+        FROM sliced GROUP BY 1),
+      first_seen AS (
+        SELECT CAST((MIN(doc_id) - MIN(lo)) * 10 // MIN(w) AS BIGINT) AS slice
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+             CROSS JOIN span
+        GROUP BY word),
+      news AS (SELECT slice, COUNT(*) AS new_words FROM first_seen GROUP BY 1)
+      SELECT p.slice, p.n_docs,
+             CAST(SUM(p.toks) OVER (ORDER BY p.slice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+             CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words,
+             CAST(SUM(COALESCE(n.new_words, 0)) OVER (ORDER BY p.slice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      FROM per_slice p LEFT JOIN news n ON p.slice = n.slice
+      ORDER BY p.slice
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity, noveltyScore)
+      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity, noveltyScore,
+      vocabGrowth)
 }

@@ -676,6 +676,125 @@ object AnalyticsExtra {
         FROM cum CROSS JOIN tot
         ORDER BY ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) DESC, vc ASC
         LIMIT 1
+      """.stripMargin.trim)),
+
+    // ---- chi-square independence (categorical drift / association) ------
+    /* Pearson chi-square between order priority and status, quantized to
+     * exact integers: expected counts are declared in MILLI units
+     * (E_milli = R·C·1000 DIV N — the only quantization, relative error
+     * ≤ 1e-3) and every cell contribution is then pure 128-bit integer
+     * arithmetic: contrib_ppm = d_milli²·1000 DIV E_milli with
+     * d_milli = O·1000 − E_milli. The naive (O·N − R·C)² form would
+     * overflow even HUGEINT at ~1e12 rows; the milli-quantized form
+     * peaks at d_milli² ≈ 1e33 — safely inside DECIMAL(38,0). Shape:
+     * one contingency groupBy (map-side combinable), then windows over
+     * the |cells| rows only.
+     */
+    QueryDef(
+      "stats_chi2_independence",
+      (s, dir) => {
+        val cells = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("priority"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("o"))
+        cells
+          .withColumn("r", expr("SUM(o) OVER (PARTITION BY priority)"))
+          .withColumn("c", expr("SUM(o) OVER (PARTITION BY status)"))
+          .withColumn("n", expr("SUM(o) OVER ()"))
+          .withColumn("e_milli", expr(
+            "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000) DIV n AS BIGINT)"))
+          .withColumn("contrib_ppm", expr(
+            """CAST((CAST(o * 1000 - e_milli AS DECIMAL(38,0))
+                     * (o * 1000 - e_milli) * 1000)
+                    DIV e_milli AS BIGINT)"""))
+          .withColumn("chi2_ppm", expr("SUM(contrib_ppm) OVER ()"))
+          .select("priority", "status", "o", "e_milli", "contrib_ppm", "chi2_ppm")
+          .orderBy("priority", "status")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                 COUNT(*) AS o
+          FROM orders GROUP BY 1, 2),
+        tot AS (
+          SELECT priority, status, o,
+                 SUM(o) OVER (PARTITION BY priority) AS r,
+                 SUM(o) OVER (PARTITION BY status) AS c,
+                 SUM(o) OVER () AS n
+          FROM cells),
+        ex AS (
+          SELECT priority, status, o,
+                 CAST((CAST(r AS HUGEINT) * c * 1000) // n AS BIGINT) AS e_milli
+          FROM tot),
+        contrib AS (
+          SELECT priority, status, o, e_milli,
+                 CAST((CAST(o * 1000 - e_milli AS HUGEINT)
+                       * (o * 1000 - e_milli) * 1000)
+                      // e_milli AS BIGINT) AS contrib_ppm
+          FROM ex)
+        SELECT priority, status, o, e_milli, contrib_ppm,
+               CAST(SUM(contrib_ppm) OVER () AS BIGINT) AS chi2_ppm
+        FROM contrib
+        ORDER BY priority, status
+      """.stripMargin.trim)),
+
+    // ---- Mann-Whitney U (nonparametric two-sample location test) --------
+    /* Rank-sum U between src0 and src1 document lengths (tokens),
+     * integer-exact: tied values take the average rank, kept integral by
+     * working in DOUBLED ranks — a tie group of size g preceded by L
+     * smaller values occupies ranks L+1..L+g, so its doubled average
+     * rank is 2L+g+1 exactly. U1×2 = Σ_groups n1_g·(2L+g+1) − n1(n1+1),
+     * U2×2 = 2n1n2 − U1×2, and the effect size is the AUC estimate
+     * U1/(n1n2) in ppm (widened). No per-row global window: ranks come
+     * from a groupBy(value) + a cumulative window over DISTINCT values
+     * only (bounded by the value domain, not the corpus).
+     */
+    QueryDef(
+      "stats_rank_sum_u",
+      (s, dir) => {
+        val lens = Tables.documents(s, dir)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+        val groups = lens.groupBy("v")
+          .agg(count(lit(1)).as("g"),
+            count(when(col("source") === "src0", 1)).as("g1"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        groups
+          .withColumn("l", coalesce(sum(col("g")).over(w), lit(0L)))
+          .agg(
+            sum(col("g1")).as("n1"),
+            expr("SUM(g - g1)").as("n2"),
+            expr("SUM(g1 * (2 * l + g + 1))").as("r1_x2"))
+          .select(col("n1"), col("n2"),
+            expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+            expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").as("u2_x2"),
+            expr("""CAST((CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) * 1000000)
+                    DIV (2 * n1 * n2) AS BIGINT)""").as("auc_ppm"))
+      },
+      Some("""
+        WITH lens AS (
+          SELECT source, len(string_split(text, ' ')) AS v
+          FROM documents WHERE source IN ('src0', 'src1')),
+        groups AS (
+          SELECT v, COUNT(*) AS g,
+                 COUNT(*) FILTER (WHERE source = 'src0') AS g1
+          FROM lens GROUP BY 1),
+        ranked AS (
+          SELECT v, g, g1,
+                 COALESCE(SUM(g) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+          FROM groups),
+        agg AS (
+          SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+                 CAST(SUM(g - g1) AS BIGINT) AS n2,
+                 CAST(SUM(g1 * (2 * l + g + 1)) AS BIGINT) AS r1_x2
+          FROM ranked)
+        SELECT n1, n2,
+               r1_x2 - n1 * (n1 + 1) AS u1_x2,
+               2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+               CAST((CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT) * 1000000)
+                    // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+        FROM agg
       """.stripMargin.trim))
   )
 }

@@ -43,7 +43,84 @@ object EventOps {
           FROM ordered
           WHERE prev_state IS NULL OR prev_state <> event_type)"""
 
-  val defs: Seq[QueryDef] = Seq(
+  /** CDC changelog apply (the MERGE INTO / upsert-compaction kernel a
+    * lakehouse table maintenance job runs): the pre-cutoff events build
+    * the base snapshot (latest state per user under the (ts, event_id)
+    * total order), the post-cutoff events become a changelog where
+    * `error` is a DELETE and every other type an UPSERT, and applying
+    * the changelog means: the LAST op per user wins — delete removes
+    * the row, upsert replaces it, a user unseen in the changelog
+    * carries over. Output is the merge audit: row counts by
+    * (change_kind ∈ carried/updated/inserted/deleted × final state) —
+    * what a MERGE reports as its matched/not-matched statistics.
+    *
+    * Scale shape: two latest-per-key reductions (each one keyed shuffle
+    * over its half of the log — on a cluster, max_by aggregation, never
+    * a global sort) + one keyed full-outer join on user_id + a tiny
+    * rollup. Exactly the incremental-compaction plan: the base side is
+    * the existing table, the changelog side is the new partition, and
+    * only user_id moves.
+    */
+  val cdcMerge: QueryDef = QueryDef(
+    "cdc_changelog_merge",
+    (s, dir) => {
+      val cutoff = "TIMESTAMP '2024-01-16 00:00:00'"
+      val ev = Tables.events(s, dir)
+      def latest(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val base = latest(ev.filter(expr(s"ts <= $cutoff")))
+        .select(col("user_id"), col("event_type").as("base_state"))
+      val delta = latest(ev.filter(expr(s"ts > $cutoff")))
+        .select(col("user_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("event_type").as("delta_state"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("op") === "D", lit("deleted"))
+            .when(col("op").isNull, lit("carried"))
+            .when(col("base_state").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("change_kind"),
+          when(col("op") === "D", lit("-"))
+            .otherwise(coalesce(col("delta_state"), col("base_state"))).as("final_state"))
+        .groupBy("change_kind", "final_state")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("change_kind", "final_state")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_type AS base_state
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00') t
+        WHERE rn = 1),
+      delta AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type AS delta_state
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00') t
+        WHERE rn = 1),
+      merged AS (
+        SELECT COALESCE(base.user_id, delta.user_id) AS user_id,
+               CASE WHEN op = 'D' THEN 'deleted'
+                    WHEN op IS NULL THEN 'carried'
+                    WHEN base_state IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS change_kind,
+               CASE WHEN op = 'D' THEN '-'
+                    ELSE COALESCE(delta_state, base_state) END AS final_state
+        FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id)
+      SELECT change_kind, final_state, COUNT(*) AS n_users
+      FROM merged
+      GROUP BY 1, 2
+      ORDER BY change_kind, final_state
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(cdcMerge) ++ Seq(
 
     // ---- tumbling event-time window (§2.9 extension analytics) ----------
     QueryDef(

@@ -194,5 +194,83 @@ object GraphIterative {
       ORDER BY hop
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability)
+  /** Triangle census of the co-supplier graph (suppliers joined by a
+    * shared part — the projection `graph_cosupplier_shared_parts` also
+    * reads): edge/wedge/triangle counts and the global closure ratio
+    * 3·Δ/wedges in ppm, one exact integer row.
+    *
+    * The triangle join uses DEGREE-ORDERED orientation — each undirected
+    * edge is directed from its (degree, id)-smaller endpoint — the
+    * standard skew guard (Suri & Vassilvitskii's MR triangle counting):
+    * a hub of degree d contributes O(d) oriented out-edges only toward
+    * higher-degree nodes, so the wedge join is bounded by Σ out-deg²
+    * with out-degrees ≤ O(√m), never by the hub's full d². Every step
+    * is an equi-join keyed by a vertex id.
+    */
+  val triangleCount: QueryDef = QueryDef(
+    "graph_triangle_count",
+    (s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      // undirected co-supplier edges (a < b), one row per pair
+      val und = sp.as("x").join(sp.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      // orient each edge from the (degree, id)-smaller endpoint
+      val ori = und
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("w"))
+        .localCheckpoint(true)
+      val wedgeClose = ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+        .select(col("e1.u").as("u"), col("e2.w").as("w"))
+        .join(ori, Seq("u", "w"), "left_semi")
+      val tri = wedgeClose.agg(count(lit(1)).as("n_triangles"))
+      val scalars = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("SUM(d) DIV 2").as("n_edges"),
+        expr("SUM(d * (d - 1) DIV 2)").as("n_wedges"))
+      scalars.crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("""CAST((CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000)
+                  DIV n_wedges AS BIGINT)""").as("closure_ppm"))
+    },
+    Some("""
+      WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      und AS (
+        SELECT DISTINCT x.sk AS a, y.sk AS b
+        FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk),
+      deg AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) t
+        GROUP BY 1),
+      ori AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS w
+        FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+      tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM (SELECT e1.u AS u, e2.w AS w
+              FROM ori e1 JOIN ori e2 ON e1.w = e2.u) wedge
+        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.u = wedge.u AND o.w = wedge.w)),
+      scal AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg)
+      SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+             CAST((CAST(3 AS HUGEINT) * n_triangles * 1000000)
+                  // n_wedges AS BIGINT) AS closure_ppm
+      FROM scal CROSS JOIN tri
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability, triangleCount)
 }

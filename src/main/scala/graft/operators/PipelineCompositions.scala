@@ -711,8 +711,93 @@ ${AnnSearch.centroidSql("")},
       ORDER BY stage
     """.stripMargin.trim))
 
+  /** Weak-supervision label model (the Snorkel-style labeling-function
+    * vote): three deterministic rules each emit +1 (keep), 0 (drop), or
+    * ABSTAIN (null) per document —
+    *   lf_tech:    mentions a technical query term → keep; abstains on
+    *               short docs it cannot judge;
+    *   lf_length:  very short docs → drop, long docs → keep, abstains
+    *               in between;
+    *   lf_repeat:  low distinct-token ratio (< 1/4) → drop, abstains
+    *               otherwise —
+    * fused by majority vote among non-abstaining rules (ties → no
+    * label). Output per source: coverage (≥1 vote), label split,
+    * conflict rate — the audit that tells you whether the rule set is
+    * worth training a label model on, before any LLM labeling spend.
+    * One scan, all rules are codegen'd CASE expressions, one rollup.
+    */
+  val ruleVotes: QueryDef = QueryDef(
+    "pipeline_rule_votes_label",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ts"), col("text"))
+        .withColumn("n_toks", size(col("ts")).cast("long"))
+        .withColumn("lf_tech", expr(
+          """CASE WHEN n_toks < 5 THEN NULL
+                  WHEN text LIKE '%vector%' OR text LIKE '%stream%'
+                    OR text LIKE '%spark%' THEN 1 ELSE 0 END"""))
+        .withColumn("lf_length", expr(
+          "CASE WHEN n_toks < 8 THEN 0 WHEN n_toks >= 40 THEN 1 ELSE NULL END"))
+        .withColumn("lf_repeat", expr(
+          """CASE WHEN size(array_distinct(ts)) * 4 < n_toks THEN 0
+                  ELSE NULL END"""))
+        .withColumn("n_votes", expr(
+          """CASE WHEN lf_tech IS NULL THEN 0 ELSE 1 END +
+             CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END +
+             CASE WHEN lf_repeat IS NULL THEN 0 ELSE 1 END"""))
+        .withColumn("n_keep", expr(
+          "COALESCE(lf_tech, 0) + COALESCE(lf_length, 0) + COALESCE(lf_repeat, 0)"))
+        .withColumn("label", expr(
+          """CASE WHEN n_votes = 0 OR 2 * n_keep = n_votes THEN NULL
+                  WHEN 2 * n_keep > n_votes THEN 1 ELSE 0 END"""))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_votes") > 0, 1)).as("covered"),
+          count(when(col("label") === 1, 1)).as("labeled_keep"),
+          count(when(col("label") === 0, 1)).as("labeled_drop"),
+          count(when(col("n_votes") > 0 && col("label").isNull, 1)).as("conflicts"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH voted AS (
+        SELECT source,
+               CASE WHEN n_toks < 5 THEN NULL
+                    WHEN text LIKE '%vector%' OR text LIKE '%stream%'
+                      OR text LIKE '%spark%' THEN 1 ELSE 0 END AS lf_tech,
+               CASE WHEN n_toks < 8 THEN 0 WHEN n_toks >= 40 THEN 1
+                    ELSE NULL END AS lf_length,
+               CASE WHEN len(list_distinct(ts)) * 4 < n_toks THEN 0
+                    ELSE NULL END AS lf_repeat
+        FROM (SELECT source, text, string_split(text, ' ') AS ts,
+                     len(string_split(text, ' ')) AS n_toks
+              FROM documents) t),
+      fused AS (
+        SELECT source,
+               (CASE WHEN lf_tech IS NULL THEN 0 ELSE 1 END +
+                CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END +
+                CASE WHEN lf_repeat IS NULL THEN 0 ELSE 1 END) AS n_votes,
+               (COALESCE(lf_tech, 0) + COALESCE(lf_length, 0)
+                + COALESCE(lf_repeat, 0)) AS n_keep
+        FROM voted),
+      labeled AS (
+        SELECT source, n_votes,
+               CASE WHEN n_votes = 0 OR 2 * n_keep = n_votes THEN NULL
+                    WHEN 2 * n_keep > n_votes THEN 1 ELSE 0 END AS label
+        FROM fused)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE n_votes > 0) AS covered,
+             COUNT(*) FILTER (WHERE label = 1) AS labeled_keep,
+             COUNT(*) FILTER (WHERE label = 0) AS labeled_drop,
+             COUNT(*) FILTER (WHERE n_votes > 0 AND label IS NULL) AS conflicts
+      FROM labeled
+      GROUP BY source
+      ORDER BY source
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
       annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
-      dataCard, splitLeakage, dedupFunnel)
+      dataCard, splitLeakage, dedupFunnel, ruleVotes)
 }

@@ -111,5 +111,82 @@ object PrivacyOps {
       ORDER BY event_type
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(piiScan, pseudonymizeAudit)
+  /** One shared quasi-identifier definition for both anonymity audits:
+    * the released "view" is (nation, market segment) — the classic
+    * linkable-attribute pair. Kept as a single column list so the two
+    * queries can never audit different views.
+    */
+  private val quasiIds = Seq("c_nationkey", "c_mktsegment")
+  private val quasiIdsSql = quasiIds.mkString(", ")
+
+  /** k-anonymity census of the customer release view: every row's
+    * equivalence class under the quasi-identifiers, summarized as a
+    * class-size histogram (for each k: how many classes, how many rows
+    * sit in them, and whether that bucket violates the k ≥ 5 release
+    * policy). The release gate reads one small table instead of
+    * scanning per-row: rows in violating buckets are exactly the ones
+    * a suppression pass would drop.
+    *
+    * Scale shape: one keyed count by QI (map-side combinable), then a
+    * histogram over class counts — the second agg runs over |classes|
+    * rows, never the corpus.
+    */
+  val kAnonymity: QueryDef = QueryDef(
+    "privacy_k_anonymity",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(quasiIds.map(col): _*)
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_customers"))
+        .withColumn("violates", col("k") < 5)
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH classes AS (
+        SELECT $quasiIdsSql, COUNT(*) AS k FROM customer GROUP BY $quasiIdsSql)
+      SELECT k, COUNT(*) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_customers,
+             k < 5 AS violates
+      FROM classes
+      GROUP BY k
+      ORDER BY k
+    """.stripMargin.trim))
+
+  /** l-diversity over the same quasi-identifier classes: the sensitive
+    * attribute is the account-balance band (2000-unit buckets), and a
+    * class with l = 1 is a homogeneity breach — k-anonymity alone would
+    * still let a linker learn every member's balance band. Output is
+    * the l-histogram with the minimum class size per l bucket, so the
+    * release gate sees at a glance whether low-diversity classes are
+    * also small (the worst combination).
+    */
+  val lDiversity: QueryDef = QueryDef(
+    "privacy_l_diversity",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .withColumn("bal_band", expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)"))
+        .groupBy(quasiIds.map(col): _*)
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("bal_band")).as("l"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_customers"),
+          min(col("k")).as("min_class_size"))
+        .withColumn("homogeneous", col("l") === 1)
+        .orderBy("l")
+    },
+    Some(s"""
+      WITH classes AS (
+        SELECT $quasiIdsSql, COUNT(*) AS k,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS l
+        FROM customer GROUP BY $quasiIdsSql)
+      SELECT l, COUNT(*) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_customers,
+             MIN(k) AS min_class_size, l = 1 AS homogeneous
+      FROM classes
+      GROUP BY l
+      ORDER BY l
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(piiScan, pseudonymizeAudit, kAnonymity, lDiversity)
 }

@@ -361,7 +361,91 @@ object ScalePatterns {
       ORDER BY day
     """.stripMargin.trim))
 
+  /** Zone-map (min/max) data-skipping audit — "why you sort your data",
+    * quantified. Orders land in 16 shards under two layouts: `hash16`
+    * (content-free md5 nibble — the naive write layout) and
+    * `datesort16` (date-clustered — what a sort-on-write or Z-order
+    * maintenance job produces). Each shard keeps the min/max order-day
+    * zone map a parquet footer would carry; a one-month predicate then
+    * scans exactly the shards whose [min,max] overlaps the range.
+    * Output per layout: shards scanned, rows behind those shards, rows
+    * actually matching, and the scan-waste ppm — hash layout scans all
+    * 16 shards (every zone spans the full domain), the date-sorted one
+    * touches ~1. This is the audit that justifies the layout job before
+    * anyone pays for it at 100 TB: the ONLY full-data pass is the
+    * layout assignment itself; the skipping decision runs on the
+    * 2×16-row zone-map table.
+    */
+  val zonemapPrune: QueryDef = QueryDef(
+    "scale_zonemap_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lo = 1154L // days from 1995-01-01 to 1998-02-28 exclusive bound below
+      val hi = 1184L // ... to 1998-03-30 (one-month window)
+      val raw = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("bigint").as("oday"))
+      val hashed = raw.withColumn("layout", lit("hash16"))
+        .withColumn("shard",
+          substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1))
+      val sorted = raw.withColumn("layout", lit("datesort16"))
+        .withColumn("shard",
+          ntile(16).over(Window.orderBy(col("oday"), col("o_orderkey")))
+            .cast("string"))
+      val zones = hashed.unionByName(sorted)
+        .groupBy("layout", "shard")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("oday").between(lo, hi), 1L).otherwise(0L)).as("n_match"),
+          min(col("oday")).as("zmin"), max(col("oday")).as("zmax"))
+      zones
+        .withColumn("scanned", col("zmin") <= hi && col("zmax") >= lo)
+        .groupBy("layout")
+        .agg(
+          count(lit(1)).as("n_shards"),
+          count(when(col("scanned"), 1)).as("shards_scanned"),
+          sum(col("n_rows")).as("rows_total"),
+          coalesce(sum(when(col("scanned"), col("n_rows"))), lit(0L)).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matched"))
+        .withColumn("scan_waste_ppm", expr(
+          """CAST((CAST(rows_scanned - rows_matched AS DECIMAL(38,0)) * 1000000)
+                  DIV rows_scanned AS BIGINT)"""))
+        .orderBy("layout")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT o_orderkey,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS oday
+        FROM orders),
+      assigned AS (
+        SELECT 'hash16' AS layout,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS shard, oday
+        FROM raw
+        UNION ALL
+        SELECT 'datesort16' AS layout,
+               CAST(ntile(16) OVER (ORDER BY oday, o_orderkey) AS VARCHAR) AS shard, oday
+        FROM raw),
+      zones AS (
+        SELECT layout, shard, COUNT(*) AS n_rows,
+               SUM(CASE WHEN oday BETWEEN 1154 AND 1184 THEN 1 ELSE 0 END) AS n_match,
+               MIN(oday) AS zmin, MAX(oday) AS zmax
+        FROM assigned GROUP BY 1, 2)
+      SELECT layout,
+             COUNT(*) AS n_shards,
+             COUNT(*) FILTER (WHERE zmin <= 1184 AND zmax >= 1154) AS shards_scanned,
+             CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+             CAST(COALESCE(SUM(n_rows) FILTER (WHERE zmin <= 1184 AND zmax >= 1154), 0)
+                  AS BIGINT) AS rows_scanned,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+             CAST((CAST(COALESCE(SUM(n_rows) FILTER (WHERE zmin <= 1184 AND zmax >= 1154), 0)
+                        - SUM(n_match) AS HUGEINT) * 1000000)
+                  // COALESCE(SUM(n_rows) FILTER (WHERE zmin <= 1184 AND zmax >= 1154), 0)
+                  AS BIGINT) AS scan_waste_ppm
+      FROM zones
+      GROUP BY layout
+      ORDER BY layout
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
-      twoStageCumsum)
+      twoStageCumsum, zonemapPrune)
 }
