@@ -44,7 +44,11 @@ object Bench {
     "text_novelty_score", "sketch_kmv_set_ops", "event_rfm_segments",
     "event_peak_concurrency", "pipeline_dedup_funnel",
     "privacy_pii_scan", "privacy_pseudonymize_audit",
-    "scale_two_stage_cumsum", "dedup_lsh_band_sweep")
+    "scale_two_stage_cumsum", "dedup_lsh_band_sweep",
+    "search_tf_saturation", "search_hybrid_rrf", "graph_triangle_count",
+    "cdc_changelog_merge", "scale_zonemap_prune", "text_vocab_growth",
+    "stats_rank_sum_u", "stats_chi2_independence", "privacy_k_anonymity",
+    "pipeline_rule_votes_label")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

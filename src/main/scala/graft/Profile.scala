@@ -3,9 +3,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main — contents vary per investigation (currently:
-  * sub-stage attribution of dedup_prefix_filter_jaccard, round 9; the
-  * measured numbers and the rejected alternatives are recorded in
-  * DESIGN.md §round 9).
+  * sub-stage attribution of graph_triangle_count, round 10; prior
+  * investigations' measured numbers live in DESIGN.md).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -21,35 +20,84 @@ object Profile {
       val t0 = System.nanoTime(); val n = f
       println(f"[prof] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s   rows=$n")
     }
-    // warm the pinned surface exactly like Bench's warmup pass
-    val sh = Dedup.shingleSurface(spark, dir)
-    t("shingleSurface (pinned, warm)")(sh.count())
     for (pass <- 1 to 2) {
       println(s"-- pass $pass")
-      val cands0 = Dedup.prefixCandidatePairs(sh, 0.5)
-      t("candidates (no ckpt)")(cands0.count())
-      val cands = cands0.localCheckpoint(true)
-      val candDocs = cands.select(col("ia").as("doc_id"))
-        .union(cands.select(col("ib").as("doc_id"))).distinct()
-      val shC = sh.join(broadcast(candDocs), Seq("doc_id")).localCheckpoint(true)
-      t("prune shC (ckpt)")(shC.count())
-      val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shC.as("ca").join(shC.as("cb"),
-          col("ca.shingle") === col("cb.shingle") &&
-          col("ca.doc_id") < col("cb.doc_id"))
-        .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))
-        .join(cands.hint("broadcast"), Seq("ia", "ib"), "left_semi")
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      val out = inter
-        .join(broadcast(sz.as("sa")), col("ia") === col("sa.doc_id"))
-        .join(broadcast(sz.as("sb")), col("ib") === col("sb.doc_id"))
-        .select(col("ia"), col("ib"),
-          (col("inter").cast("double") /
-            (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("ia", "ib")
-      t("verify tail")(out.count())
-      graft.PinnedStorage.sweep(spark, blocking = true)
+      val sp = graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      var und: org.apache.spark.sql.DataFrame = null
+      t("und build+ckpt") {
+        und = sp.as("x").join(sp.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+          .localCheckpoint(true)
+        und.count()
+      }
+      var deg: org.apache.spark.sql.DataFrame = null
+      t("deg+ckpt") {
+        deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint(true)
+        deg.count()
+      }
+      var ori: org.apache.spark.sql.DataFrame = null
+      t("orient+ckpt") {
+        ori = und
+          .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+          .select(
+            when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+              col("a")).otherwise(col("b")).as("u"),
+            when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+              col("b")).otherwise(col("a")).as("w"))
+          .localCheckpoint(true)
+        ori.count()
+      }
+      t("wedges only") {
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u")).count()
+      }
+      t("close smj") {
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.w").as("w"))
+          .join(ori, Seq("u", "w"), "left_semi").count()
+      }
+      t("close bhj") {
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.w").as("w"))
+          .join(broadcast(ori), Seq("u", "w"), "left_semi").count()
+      }
+      t("close bloom+smj") {
+        graft.functions.BloomExpressions.register(spark)
+        val keyed = ori.withColumn("k", expr("xxhash64(u, w)"))
+        val bf = keyed.stat.bloomFilter("k", 1500000L, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.w").as("w"))
+          .filter(call_function("bloom_might_contain",
+            lit(bos.toByteArray), expr("xxhash64(u, w)")))
+          .join(ori, Seq("u", "w"), "left_semi").count()
+      }
+      t("close shj") {
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.w").as("w"))
+          .join(ori.hint("shuffle_hash"), Seq("u", "w"), "left_semi").count()
+      }
+      t("close bloom+shj") {
+        graft.functions.BloomExpressions.register(spark)
+        val keyed = ori.withColumn("k", expr("xxhash64(u, w)"))
+        val bf = keyed.stat.bloomFilter("k", 1500000L, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
+          .select(col("e1.u").as("u"), col("e2.w").as("w"))
+          .filter(call_function("bloom_might_contain",
+            lit(bos.toByteArray), expr("xxhash64(u, w)")))
+          .join(ori.hint("shuffle_hash"), Seq("u", "w"), "left_semi").count()
+      }
+      t("wedge shj only") {
+        ori.as("e1").join(ori.as("e2").hint("shuffle_hash"),
+          col("e1.w") === col("e2.u")).count()
+      }
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
     }
     spark.stop()

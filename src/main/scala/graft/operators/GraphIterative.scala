@@ -194,15 +194,21 @@ object GraphIterative {
       ORDER BY hop
     """.stripMargin.trim))
 
-  /** Triangle census of the co-supplier graph (suppliers joined by a
-    * shared part — the projection `graph_cosupplier_shared_parts` also
-    * reads): edge/wedge/triangle counts and the global closure ratio
-    * 3·Δ/wedges in ppm, one exact integer row.
+  /** Triangle census of the co-ordered-parts graph (parts joined by
+    * appearing in the same order): edge/wedge/triangle counts and the
+    * global closure ratio 3·Δ/wedges in ppm, one exact integer row.
+    *
+    * The base graph matters as much as the algorithm: co-membership on
+    * a SMALL grouping key (supplier↔part) is near-complete — on that
+    * graph any triangle join is Θ(n³) by construction (measured 44 s at
+    * sf0.1 before this was caught). Co-occurrence within ORDERS keeps
+    * density bounded by order width (~4 items), so edges grow linearly
+    * with the fact table and the census stays joinable at any SF.
     *
     * The triangle join uses DEGREE-ORDERED orientation — each undirected
     * edge is directed from its (degree, id)-smaller endpoint — the
     * standard skew guard (Suri & Vassilvitskii's MR triangle counting):
-    * a hub of degree d contributes O(d) oriented out-edges only toward
+    * a hub of degree d contributes oriented out-edges only toward
     * higher-degree nodes, so the wedge join is bounded by Σ out-deg²
     * with out-degrees ≤ O(√m), never by the hub's full d². Every step
     * is an equi-join keyed by a vertex id.
@@ -211,11 +217,11 @@ object GraphIterative {
     "graph_triangle_count",
     (s, dir) => {
       val sp = Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
-      // undirected co-supplier edges (a < b), one row per pair
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      // undirected co-order edges (a < b), one row per pair
       val und = sp.as("x").join(sp.as("y"),
-          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
         .localCheckpoint(true)
       val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
@@ -230,9 +236,26 @@ object GraphIterative {
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             col("b")).otherwise(col("a")).as("w"))
         .localCheckpoint(true)
+      // Closure check, A/B'd across four physical shapes at sf0.1 (49M
+      // wedges, 1.2M edges — DESIGN.md §round 10): plain SMJ sorts the
+      // full wedge stream (4.5-9 s); a driver-built bloom filter over
+      // xxhash64(u,w) of the edge set prunes ~96% of wedges MAP-SIDE
+      // before any shuffle, and a shuffled-hash semi-join (build = the
+      // edge-sized side, stream = survivors) replaces the sort
+      // (1.9-2.8 s). False positives cost nothing — the exact semi-join
+      // behind the bloom removes them; hash collisions in the key only
+      // ever ADD false positives, never drop a true pair. Same
+      // dim-filter-pushed-to-fact pattern as scale_bloom_prune_join.
+      graft.functions.BloomExpressions.register(s)
+      val bf = ori.withColumn("k", expr("xxhash64(u, w)"))
+        .stat.bloomFilter("k", 2000000L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
       val wedgeClose = ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
         .select(col("e1.u").as("u"), col("e2.w").as("w"))
-        .join(ori, Seq("u", "w"), "left_semi")
+        .filter(call_function("bloom_might_contain",
+          lit(bos.toByteArray), expr("xxhash64(u, w)")))
+        .join(ori.hint("shuffle_hash"), Seq("u", "w"), "left_semi")
       val tri = wedgeClose.agg(count(lit(1)).as("n_triangles"))
       val scalars = deg.agg(
         count(lit(1)).as("n_nodes"),
@@ -244,10 +267,10 @@ object GraphIterative {
                   DIV n_wedges AS BIGINT)""").as("closure_ppm"))
     },
     Some("""
-      WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      WITH sp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       und AS (
-        SELECT DISTINCT x.sk AS a, y.sk AS b
-        FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk),
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM sp x JOIN sp y ON x.ok = y.ok AND x.pk < y.pk),
       deg AS (
         SELECT v, COUNT(*) AS d
         FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) t

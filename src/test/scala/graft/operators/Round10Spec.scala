@@ -94,18 +94,18 @@ class Round10Spec extends SparkSpec {
     val rnd = new Random(77)
     for (round <- 1 to 3) {
       val pairs = (for {
-        pk <- 1L to 12L; sk <- 1L to 10L if rnd.nextInt(3) == 0
-      } yield (pk, sk)).distinct
+        ok <- 1L to 12L; pk <- 1L to 10L if rnd.nextInt(3) == 0
+      } yield (ok, pk)).distinct
       val dir = tmp(s"tri$round")
-      pairs.map { case (pk, sk) => (sk * 100 + pk, pk, sk) }
+      pairs.map { case (ok, pk) => (ok, pk, 1L) }
         .toDF("l_orderkey", "l_partkey", "l_suppkey")
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      // brute force
-      val bySupp = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
-      val sks = bySupp.keys.toSeq.sorted
+      // brute force over co-order part pairs
+      val byPart = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      val pks = byPart.keys.toSeq.sorted
       val edges = (for {
-        i <- sks; j <- sks if i < j
-        if (bySupp(i) & bySupp(j)).nonEmpty
+        i <- pks; j <- pks if i < j
+        if (byPart(i) & byPart(j)).nonEmpty
       } yield (i, j)).toSet
       val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
