@@ -48,7 +48,9 @@ object Bench {
     "search_tf_saturation", "search_hybrid_rrf", "graph_triangle_count",
     "cdc_changelog_merge", "scale_zonemap_prune", "text_vocab_growth",
     "stats_rank_sum_u", "stats_chi2_independence", "privacy_k_anonymity",
-    "pipeline_rule_votes_label")
+    "pipeline_rule_votes_label", "er_customer_dedup",
+    "event_attribution_position", "sketch_join_size_estimate",
+    "ts_anomaly_robust_mad")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

@@ -28,6 +28,7 @@ object SparkEntry {
     operators.DataQuality.defs ++
     operators.GraphIterative.defs ++
     operators.SearchRank.defs ++
+    operators.EntityResolution.defs ++
     operators.SketchOps.defs ++
     operators.PrivacyOps.defs ++
     multimodal.MultimodalOps.defs ++

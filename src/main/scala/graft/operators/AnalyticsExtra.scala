@@ -795,6 +795,68 @@ object AnalyticsExtra {
                CAST((CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT) * 1000000)
                     // (2 * n1 * n2) AS BIGINT) AS auc_ppm
         FROM agg
+      """.stripMargin.trim)),
+
+    // ---- robust (median/MAD) anomaly detection ---------------------------
+    /* The breakdown-resistant sibling of ts_anomaly_daily_revenue: a
+     * rolling mean/stddev detector is itself dragged by the outliers it
+     * hunts (one 10× day inflates sigma and masks its neighbors); the
+     * median/MAD detector is immune up to 50% contamination — and here it
+     * is FLOAT-FREE: daily revenue in exact integer cents, both medians
+     * by the exact lower-median rank convention (rank (n+1) DIV 2 under
+     * (value, day) order — the agg_exact_median_by_rank idiom), and the
+     * flag |x − med| > 3·MAD a pure integer comparison. No window ever
+     * exceeds the day-count; the only corpus-sized step is the daily
+     * rollup.
+     */
+    QueryDef(
+      "ts_anomaly_robust_mad",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg((sum(col("o_totalprice").cast(D)) * 100).cast("long").as("rc"))
+          .localCheckpoint(true) // consumed by both median passes + output
+        def lowerMedian(df: org.apache.spark.sql.DataFrame,
+            vcol: String, alias: String) = {
+          val w = Window.orderBy(col(vcol).asc, col("d").asc)
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+            .filter(col("rn") === expr("(n + 1) DIV 2"))
+            .select(col(vcol).as(alias))
+        }
+        val med = lowerMedian(daily, "rc", "med")
+        val dev = daily.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("rc") - col("med")))
+        val mad = lowerMedian(dev, "dev", "mad")
+        dev.crossJoin(broadcast(mad))
+          .filter(col("dev") > lit(3) * col("mad"))
+          .select(col("d"), col("rc"), col("med"), col("dev"), col("mad"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
+          FROM orders GROUP BY 1),
+        med AS (
+          SELECT rc AS med
+          FROM (SELECT rc, row_number() OVER (ORDER BY rc ASC, d ASC) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM daily) t
+          WHERE rn = (n + 1) // 2),
+        dev AS (
+          SELECT d, rc, med, ABS(rc - med) AS dev
+          FROM daily CROSS JOIN med),
+        mad AS (
+          SELECT dev AS mad
+          FROM (SELECT dev, row_number() OVER (ORDER BY dev ASC, d ASC) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM dev) t
+          WHERE rn = (n + 1) // 2)
+        SELECT d, rc, med, dev, mad
+        FROM dev CROSS JOIN mad
+        WHERE dev > 3 * mad
+        ORDER BY d
       """.stripMargin.trim))
   )
 }

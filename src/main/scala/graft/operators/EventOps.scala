@@ -120,7 +120,83 @@ object EventOps {
       ORDER BY change_kind, final_state
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(cdcMerge) ++ Seq(
+  /** U-shaped (position-based) multi-touch attribution, integer-exact:
+    * every purchase distributes 10⁶ ppm of credit over that user's
+    * clicks in the preceding 24 h — 40% to the first touch, 40% to the
+    * last, the middle 20% split evenly by integer division (the DIV
+    * remainder stays unassigned, so per-conversion credit is ≤ 10⁶
+    * exactly; n=1 → 10⁶, n=2 → 5·10⁵ each — the standard U-shape
+    * degenerate cases). Credit rolls up by acquisition channel
+    * (props.k mod 4 — the synthetic channel tag).
+    *
+    * Scale shape: the click↔purchase pairing is an equi-join on
+    * user_id with a time-range predicate (the join_range_pairs
+    * pattern — per-user activity bounds the fan-out), position
+    * ranking windows are per-conversion (bounded by clicks-per-day,
+    * never corpus-wide), and the rollup is one keyed agg.
+    */
+  val attribution: QueryDef = QueryDef(
+    "event_attribution_position",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"),
+          (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 4)
+            .as("ch"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") < col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      val w = Window.partitionBy("pid").orderBy(asc("cts"), asc("cid"))
+      touched
+        .withColumn("pos", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+        .withColumn("credit_ppm", expr(
+          """CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE 200000 DIV (n - 2) END"""))
+        .groupBy(concat(lit("ch"), col("ch")).as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_conversions_touched"),
+          sum(col("credit_ppm")).as("credit_ppm"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH purchases AS (
+        SELECT user_id, event_id AS pid, ts AS pts
+        FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, event_id AS cid, ts AS cts,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 4 AS ch
+        FROM events WHERE event_type = 'click'),
+      touched AS (
+        SELECT p.pid, c.cid, c.cts, c.ch
+        FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+        WHERE c.cts < p.pts AND c.cts >= p.pts - INTERVAL 24 HOUR),
+      positioned AS (
+        SELECT pid, ch,
+               row_number() OVER (PARTITION BY pid ORDER BY cts ASC, cid ASC) AS pos,
+               COUNT(*) OVER (PARTITION BY pid) AS n
+        FROM touched),
+      credited AS (
+        SELECT pid, ch,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN pos = 1 OR pos = n THEN 400000
+                    ELSE 200000 // (n - 2) END AS credit_ppm
+        FROM positioned)
+      SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
+             COUNT(*) AS n_touches,
+             COUNT(DISTINCT pid) AS n_conversions_touched,
+             CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+      FROM credited
+      GROUP BY ch
+      ORDER BY channel
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(cdcMerge, attribution) ++ Seq(
 
     // ---- tumbling event-time window (§2.9 extension analytics) ----------
     QueryDef(

@@ -231,5 +231,100 @@ object SketchOps {
       FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN exact
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct, kmvSetOps)
+  /** Sketch-based equi-join cardinality estimation — what a cost-based
+    * optimizer (or a pipeline gate deciding whether a join is safe to
+    * run at all) computes from K-row artifacts instead of scanning
+    * either input: |A ⋈ B| ≈ est|K_A ∩ K_B| · (|A|/est|K_A|) ·
+    * (|B|/est|K_B|) — KMV inclusion-exclusion for the key intersection
+    * (same estimator definition as [[kmvSetOps]], consumed from the one
+    * shared expression site) times the average key multiplicity of each
+    * side, i.e. exact under per-key-uniform frequency, and the audit
+    * prints the exact join size and signed error next to it so the
+    * uniformity assumption is measured, not trusted. Click events are
+    * side A, view events side B, keyed by user. All integer division;
+    * the error ratio is widened to DECIMAL(38,0)/HUGEINT.
+    */
+  val joinSizeEstimate: QueryDef = QueryDef(
+    "sketch_join_size_estimate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+      val hashed = ev
+        .select(col("event_type"), expr(hex12Spark(
+          "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      def est(df: org.apache.spark.sql.DataFrame, tag: String) = {
+        val w = Window.orderBy(asc("h"))
+        df.withColumn("r", row_number().over(w))
+          .filter(col("r") <= K)
+          .agg(max(when(col("r") === K, col("h"))).as("vk"),
+            count(lit(1)).as("n_kept"))
+          .select(expr(kmvEstSpark("n_kept", "vk")).as(s"est_$tag"))
+      }
+      val rowCounts = ev.agg(
+        count(when(col("event_type") === "click", 1)).as("rows_a"),
+        count(when(col("event_type") === "view", 1)).as("rows_b"))
+      val exactJoin = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
+      est(hashed.filter(col("event_type") === "click").select("h"), "a")
+        .crossJoin(est(hashed.filter(col("event_type") === "view").select("h"), "b"))
+        .crossJoin(est(hashed.select("h").distinct(), "union"))
+        .crossJoin(broadcast(rowCounts))
+        .crossJoin(broadcast(exactJoin))
+        .select(col("rows_a"), col("rows_b"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_keys_common"),
+          col("est_a"), col("est_b"), col("exact_join"))
+        .withColumn("est_join", expr(
+          "est_keys_common * (rows_a DIV est_a) * (rows_b DIV est_b)"))
+        .withColumn("err_ppm", expr(
+          """CAST((CAST(est_join - exact_join AS DECIMAL(38,0)) * 1000000)
+                  DIV exact_join AS BIGINT)"""))
+        .select("rows_a", "rows_b", "est_keys_common", "est_join",
+          "exact_join", "err_ppm")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'view')),
+      hashed AS (
+        SELECT DISTINCT event_type,
+               ${hex12Duck("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM ev),
+      est_a AS (
+        ${kmvEstCteDuck("SELECT h FROM hashed WHERE event_type = 'click'", "est_a")}),
+      est_b AS (
+        ${kmvEstCteDuck("SELECT h FROM hashed WHERE event_type = 'view'", "est_b")}),
+      est_u AS (
+        ${kmvEstCteDuck("SELECT DISTINCT h FROM hashed", "est_union")}),
+      counts AS (
+        SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS rows_a,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS rows_b
+        FROM ev),
+      exactj AS (
+        SELECT COALESCE(SUM(na * nb), 0) AS exact_join
+        FROM (SELECT user_id, COUNT(*) AS na FROM ev
+              WHERE event_type = 'click' GROUP BY 1) a
+        JOIN (SELECT user_id, COUNT(*) AS nb FROM ev
+              WHERE event_type = 'view' GROUP BY 1) b USING (user_id)),
+      assembled AS (
+        SELECT rows_a, rows_b,
+               est_a + est_b - est_union AS est_keys_common,
+               est_a, est_b, CAST(exact_join AS BIGINT) AS exact_join
+        FROM est_a CROSS JOIN est_b CROSS JOIN est_u
+             CROSS JOIN counts CROSS JOIN exactj)
+      SELECT rows_a, rows_b, est_keys_common,
+             CAST(est_keys_common * (rows_a // est_a) * (rows_b // est_b) AS BIGINT) AS est_join,
+             exact_join,
+             CAST((CAST(est_keys_common * (rows_a // est_a) * (rows_b // est_b)
+                        - exact_join AS HUGEINT) * 1000000)
+                  // exact_join AS BIGINT) AS err_ppm
+      FROM assembled
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate)
 }
