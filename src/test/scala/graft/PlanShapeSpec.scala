@@ -50,7 +50,13 @@ class PlanShapeSpec extends SparkSpec {
     "text_bigram_lm_quality",         // 1-row vocab-count crossJoin feeding the smoothing denominator
     "stats_ks_drift",                 // 1-row sample-totals crossJoin feeding the CDF cross-multiplication
     "sketch_kmv_set_ops",             // four 1-row sketch-estimate frames crossJoined into the summary row
-    "privacy_pseudonymize_audit")     // 1-row global-collision count crossJoined into the per-type audit
+    "privacy_pseudonymize_audit",     // 1-row global-collision count crossJoined into the per-type audit
+    "graph_triangle_count",           // 1-row triangle count crossJoined with the 1-row graph scalars
+    "search_tf_saturation",           // 1-row corpus scalars (N, avgdl) crossJoin
+    "search_hybrid_rrf",              // 1-row query-embedding crossJoin feeding the semantic arm
+    "sketch_join_size_estimate",      // 1-row sketch-estimate/count frames crossJoined into the summary row
+    "text_vocab_growth",              // 1-row id-span crossJoin feeding the slice formula
+    "ts_anomaly_robust_mad")          // 1-row median/MAD crossJoins feeding the flag predicate
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
