@@ -50,7 +50,8 @@ object Bench {
     "stats_rank_sum_u", "stats_chi2_independence", "privacy_k_anonymity",
     "pipeline_rule_votes_label", "er_customer_dedup",
     "event_attribution_position", "sketch_join_size_estimate",
-    "ts_anomaly_robust_mad")
+    "ts_anomaly_robust_mad", "graph_kcore_peel", "ts_seasonal_weekday",
+    "ann_eval_mrr", "text_rake_keyphrases")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

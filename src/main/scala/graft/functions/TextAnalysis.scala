@@ -1002,10 +1002,97 @@ object TextAnalysis {
       ORDER BY p.slice
     """.stripMargin.trim))
 
+  /** RAKE-style keyphrase extraction (Rose et al. 2010), integer-exact:
+    * candidate phrases are maximal stopword-free token RUNS — carved
+    * out with the sessionization gap trick (`pos − row_number` over
+    * non-stop tokens constitutes a run id; a per-doc window, bounded by
+    * document length) — capped at 4 words; each word scores
+    * `deg·1000 DIV freq` where freq counts its occurrences inside
+    * candidates and deg sums the lengths of the phrases those
+    * occurrences sit in (co-occurrence-weighted rarity, the RAKE
+    * degree/frequency ratio in milli units); a phrase scores the sum
+    * over its word occurrences, so identical texts score identically
+    * and the rollup by phrase text is exact. Shape: token explode →
+    * per-doc run windows → content-keyed word aggregation (the
+    * vocabulary side, Zipf-bounded and broadcastable at 100 TB) → one
+    * join-back → phrase rollup; top-20 via TakeOrderedAndProject.
+    */
+  val rakeKeyphrases: QueryDef = QueryDef(
+    "text_rake_keyphrases",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+        .filter(!col("w").isin(enStops: _*))
+        .withColumn("run", col("p") - row_number().over(w))
+      val phrases = toks.groupBy("doc_id", "run")
+        .agg(
+          concat_ws(" ", expr("transform(sort_array(collect_list(struct(p, w))), x -> x.w)"))
+            .as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4)
+        .localCheckpoint(true) // feeds word stats AND the phrase rollup
+      val words = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("ratio_milli", expr(
+          "CAST((CAST(deg AS DECIMAL(38,0)) * 1000) DIV freq AS BIGINT)"))
+      phrases
+        .select(col("phrase"), col("plen"), explode(split(col("phrase"), " ")).as("w"))
+        .join(words.select("w", "ratio_milli"), "w")
+        .groupBy("phrase", "plen")
+        // k instances contribute k·plen rows: (Σratio·plen) DIV count =
+        // (k·Σ_words·plen) DIV (k·plen) = Σ_words exactly — the DIV has
+        // zero remainder by construction, so this stays integer-exact
+        .agg(expr("""CAST((CAST(SUM(ratio_milli) AS DECIMAL(38,0)) * plen)
+                     DIV COUNT(1) AS BIGINT)""").as("score_milli_x"))
+        .select(col("phrase"), col("plen").as("n_words"),
+          col("score_milli_x").as("score_milli"))
+        .orderBy(desc("score_milli"), asc("phrase"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, ts[CAST(p AS INT)] AS w
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t0) t
+        WHERE ts[CAST(p AS INT)] NOT IN ${sqlList(enStops)}),
+      runs AS (
+        SELECT doc_id, p, w,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+        FROM toks),
+      phrases AS (
+        SELECT doc_id, run, string_agg(w, ' ' ORDER BY p) AS phrase,
+               COUNT(*) AS plen
+        FROM runs GROUP BY 1, 2
+        HAVING COUNT(*) <= 4),
+      words AS (
+        SELECT w, COUNT(*) AS freq, SUM(plen) AS deg
+        FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phrases) t
+        GROUP BY 1),
+      rated AS (
+        SELECT w, CAST((CAST(deg AS HUGEINT) * 1000) // freq AS BIGINT) AS ratio_milli
+        FROM words),
+      scored AS (
+        SELECT p.phrase, p.plen,
+               CAST((CAST(SUM(r.ratio_milli) AS HUGEINT) * p.plen)
+                    // COUNT(*) AS BIGINT) AS score_milli
+        FROM (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+              FROM phrases) p
+        JOIN rated r USING (w)
+        GROUP BY 1, 2)
+      SELECT phrase, CAST(plen AS BIGINT) AS n_words, score_milli
+      FROM scored
+      ORDER BY score_milli DESC, phrase
+      LIMIT 20
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
       bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity, noveltyScore,
-      vocabGrowth)
+      vocabGrowth, rakeKeyphrases)
 }

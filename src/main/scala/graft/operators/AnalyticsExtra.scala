@@ -857,6 +857,53 @@ object AnalyticsExtra {
         FROM dev CROSS JOIN mad
         WHERE dev > 3 * mad
         ORDER BY d
+      """.stripMargin.trim)),
+
+    // ---- weekday seasonality index ---------------------------------------
+    /* Multiplicative day-of-week seasonal profile of daily revenue, the
+     * decomposition a forecast or anomaly pipeline divides out before
+     * trend analysis. Integer-exact end to end: revenue in cents, the
+     * weekday index is days-since-1995-01-01 MOD 7 (a pure integer both
+     * engines share — dayofweek() builtins disagree on Sunday=0 vs 1),
+     * per-weekday and overall means by integer DIV, and the seasonal
+     * factor mean_wd·10⁶ DIV mean_all widened to DECIMAL(38,0)/HUGEINT.
+     * Shape: one daily rollup (corpus-sized, map-side combinable), then
+     * everything runs over ≤ 7+1 rows.
+     */
+    QueryDef(
+      "ts_seasonal_weekday",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg((sum(col("o_totalprice").cast(D)) * 100).cast("long").as("rc"))
+          .withColumn("wd", expr("datediff(d, DATE '1995-01-01') % 7"))
+        val overall = daily.agg(
+          expr("SUM(rc) DIV COUNT(1)").as("mean_all_cents"))
+        daily.groupBy(col("wd").cast("long").as("weekday"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("SUM(rc) DIV COUNT(1)").as("mean_cents"))
+          .crossJoin(broadcast(overall))
+          .withColumn("seasonal_ppm", expr(
+            """CAST((CAST(mean_cents AS DECIMAL(38,0)) * 1000000)
+                    DIV mean_all_cents AS BIGINT)"""))
+          .select("weekday", "n_days", "mean_cents", "seasonal_ppm")
+          .orderBy("weekday")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
+          FROM orders GROUP BY 1),
+        keyed AS (
+          SELECT date_diff('day', DATE '1995-01-01', d) % 7 AS wd, rc FROM daily),
+        overall AS (SELECT SUM(rc) // COUNT(*) AS mean_all_cents FROM keyed)
+        SELECT CAST(wd AS BIGINT) AS weekday, COUNT(*) AS n_days,
+               CAST(SUM(rc) // COUNT(*) AS BIGINT) AS mean_cents,
+               CAST((CAST(SUM(rc) // COUNT(*) AS HUGEINT) * 1000000)
+                    // mean_all_cents AS BIGINT) AS seasonal_ppm
+        FROM keyed CROSS JOIN overall
+        GROUP BY wd, mean_all_cents
+        ORDER BY weekday
       """.stripMargin.trim))
   )
 }

@@ -295,5 +295,73 @@ object GraphIterative {
       FROM scal CROSS JOIN tri
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability, triangleCount)
+  /** 3-core peeling census over the pinned bipartite supplier↔part
+    * graph: each round drops every node with CURRENT degree < 3 and
+    * all its edges, and reports the surviving node count by type plus
+    * remaining edges — the degeneracy-ordering prefix a community or
+    * fraud pipeline uses to strip the periphery before expensive
+    * per-node work. Three unrolled supersteps (the pagerank/BFS
+    * discipline: fixed iterations, every step a keyed degree agg + a
+    * semi-join of the edge list against the survivor set, nothing
+    * corpus-sized beyond the edge scans). Probes [[graphSurface]] like
+    * BFS — pagerank remains the family's honest full-build carrier.
+    */
+  val kcorePeel: QueryDef = QueryDef(
+    "graph_kcore_peel",
+    (s, dir) => {
+      val k = 3
+      var edges = graphSurface(s, dir)
+      val rounds = (1 to 3).map { round =>
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select(col("src").as("v"))
+          .localCheckpoint(true)
+        edges = edges
+          .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        val stats = keep.agg(
+          count(when(col("v") % 2 === 0, 1)).as("n_suppliers"),
+          count(when(col("v") % 2 === 1, 1)).as("n_parts"))
+          .crossJoin(broadcast(edges.agg((count(lit(1)) / 2).cast("long")
+            .as("n_edges_remaining"))))
+          .select(lit(round.toLong).as("round"), col("n_suppliers"),
+            col("n_parts"), col("n_edges_remaining"))
+        stats
+      }
+      rounds.reduce(_.unionByName(_)).orderBy("round")
+    },
+    Some(s"""
+      WITH $edgesDuck,
+      d1 AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+      k1 AS (SELECT src AS v FROM d1 WHERE d >= 3),
+      e1 AS (SELECT e.src, e.dst FROM e
+             WHERE e.src IN (SELECT v FROM k1) AND e.dst IN (SELECT v FROM k1)),
+      d2 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY 1),
+      k2 AS (SELECT src AS v FROM d2 WHERE d >= 3),
+      e2 AS (SELECT e1.src, e1.dst FROM e1
+             WHERE e1.src IN (SELECT v FROM k2) AND e1.dst IN (SELECT v FROM k2)),
+      d3 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY 1),
+      k3 AS (SELECT src AS v FROM d3 WHERE d >= 3),
+      e3 AS (SELECT e2.src, e2.dst FROM e2
+             WHERE e2.src IN (SELECT v FROM k3) AND e2.dst IN (SELECT v FROM k3)),
+      rounds AS (
+        SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT COUNT(*) FROM k1 WHERE v % 2 = 0) AS n_suppliers,
+               (SELECT COUNT(*) FROM k1 WHERE v % 2 = 1) AS n_parts,
+               (SELECT COUNT(*) // 2 FROM e1) AS n_edges_remaining
+        UNION ALL
+        SELECT 2, (SELECT COUNT(*) FROM k2 WHERE v % 2 = 0),
+               (SELECT COUNT(*) FROM k2 WHERE v % 2 = 1),
+               (SELECT COUNT(*) // 2 FROM e2)
+        UNION ALL
+        SELECT 3, (SELECT COUNT(*) FROM k3 WHERE v % 2 = 0),
+               (SELECT COUNT(*) FROM k3 WHERE v % 2 = 1),
+               (SELECT COUNT(*) // 2 FROM e3))
+      SELECT round, n_suppliers, n_parts, CAST(n_edges_remaining AS BIGINT) AS n_edges_remaining
+      FROM rounds
+      ORDER BY round
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability, triangleCount, kcorePeel)
 }

@@ -796,8 +796,76 @@ ${AnnSearch.centroidSql("")},
       ORDER BY source
     """.stripMargin.trim))
 
+  /** Rank-position IR evaluation of the IVF arm: recall@k says WHETHER
+    * the true neighbor surfaces, MRR says WHERE — for each query, the
+    * exact top-1 neighbor (brute-force ground truth) is looked up in
+    * the IVF result list and scored 10⁶ DIV rank in integer ppm (0 when
+    * the cluster prune lost it entirely). The corpus-level MRR rides on
+    * every row as mrr_ppm = Σrr DIV n — the single number a recall/cost
+    * dial sweep optimizes next to the measured nprobe cost. Pure
+    * integer once the (hash-matching) cosine ranks are formed; the
+    * fusion join runs over 10 query rows.
+    */
+  val annMrr: QueryDef = QueryDef(
+    "ann_eval_mrr",
+    (s, dir) => {
+      val truth = AnnSearch.bruteForce.run(s, dir)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cand_id").as("true_top1"))
+      val approx = AnnSearch.ivfPrebuilt.run(s, dir)
+        .select(col("qid").as("aqid"), col("cand_id").as("acand"),
+          col("rank").as("arank"))
+      truth.join(approx,
+          col("qid") === col("aqid") && col("true_top1") === col("acand"),
+          "left_outer")
+        .select(col("qid"), col("true_top1"), col("arank").as("ivf_rank"),
+          coalesce(expr("1000000 DIV arank"), lit(0L)).as("rr_ppm"))
+        .withColumn("mrr_ppm", expr("SUM(rr_ppm) OVER () DIV COUNT(1) OVER ()"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+      truth AS (
+        SELECT qid, cand_id AS true_top1 FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM scored) t
+        WHERE rank = 1),
+      iscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id AND q.label = c.label),
+      approx AS (
+        SELECT qid, cand_id, rank FROM (
+          SELECT qid, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM iscored) t
+        WHERE rank <= 5),
+      fused AS (
+        SELECT t.qid, t.true_top1, a.rank AS ivf_rank,
+               COALESCE(1000000 // a.rank, 0) AS rr_ppm
+        FROM truth t LEFT JOIN approx a
+          ON t.qid = a.qid AND t.true_top1 = a.cand_id)
+      SELECT qid, true_top1, CAST(ivf_rank AS BIGINT) AS ivf_rank,
+             CAST(rr_ppm AS BIGINT) AS rr_ppm,
+             CAST(SUM(rr_ppm) OVER () // COUNT(*) OVER () AS BIGINT) AS mrr_ppm
+      FROM fused
+      ORDER BY qid
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
       annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
-      dataCard, splitLeakage, dedupFunnel, ruleVotes)
+      dataCard, splitLeakage, dedupFunnel, ruleVotes, annMrr)
 }

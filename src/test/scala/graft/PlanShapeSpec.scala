@@ -56,7 +56,10 @@ class PlanShapeSpec extends SparkSpec {
     "search_hybrid_rrf",              // 1-row query-embedding crossJoin feeding the semantic arm
     "sketch_join_size_estimate",      // 1-row sketch-estimate/count frames crossJoined into the summary row
     "text_vocab_growth",              // 1-row id-span crossJoin feeding the slice formula
-    "ts_anomaly_robust_mad")          // 1-row median/MAD crossJoins feeding the flag predicate
+    "ts_anomaly_robust_mad",          // 1-row median/MAD crossJoins feeding the flag predicate
+    "ts_seasonal_weekday",            // 1-row overall-mean crossJoin feeding the seasonal factor
+    "ann_eval_mrr",                   // composes the brute-force baseline (broadcast query set)
+    "graph_kcore_peel")               // per-round 1-row survivor/edge-count crossJoins
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
