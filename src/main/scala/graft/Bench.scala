@@ -51,7 +51,8 @@ object Bench {
     "pipeline_rule_votes_label", "er_customer_dedup",
     "event_attribution_position", "sketch_join_size_estimate",
     "ts_anomaly_robust_mad", "graph_kcore_peel", "ts_seasonal_weekday",
-    "ann_eval_mrr", "text_rake_keyphrases")
+    "ann_eval_mrr", "text_rake_keyphrases", "graph_link_prediction",
+    "stream_cdc_merge_live")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

@@ -213,16 +213,38 @@ object GraphIterative {
     * with out-degrees ≤ O(√m), never by the hub's full d². Every step
     * is an equi-join keyed by a vertex id.
     */
+  /** THE co-order parts edge list (a < b, distinct, materialized):
+    * shared by [[triangleCount]] (which builds it inline — the family's
+    * honest full-build carrier) and the pinned [[coOrderSurface]] that
+    * probes like [[linkPrediction]] read. */
+  private def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    sp.as("x").join(sp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      .localCheckpoint(true)
+  }
+
+  /** DuckDB twin of [[buildCoOrderEdges]]: CTEs `sp` + `und`. */
+  private val coOrderDuck: String =
+    """sp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |      und AS (
+      |        SELECT DISTINCT x.pk AS a, y.pk AS b
+      |        FROM sp x JOIN sp y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  private val coOrderCache = new graft.SessionCache[DataFrame]
+
+  private def coOrderSurface(s: SparkSession, dir: String): DataFrame =
+    coOrderCache.getOrElseUpdate(s, dir) {
+      graft.PinnedStorage.pin(s)(buildCoOrderEdges(s, dir))
+    }
+
   val triangleCount: QueryDef = QueryDef(
     "graph_triangle_count",
     (s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      // undirected co-order edges (a < b), one row per pair
-      val und = sp.as("x").join(sp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        .localCheckpoint(true)
+      // honest full build through the SAME shared definition
+      val und = buildCoOrderEdges(s, dir)
       val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
@@ -266,11 +288,8 @@ object GraphIterative {
           expr("""CAST((CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000)
                   DIV n_wedges AS BIGINT)""").as("closure_ppm"))
     },
-    Some("""
-      WITH sp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      und AS (
-        SELECT DISTINCT x.pk AS a, y.pk AS b
-        FROM sp x JOIN sp y ON x.ok = y.ok AND x.pk < y.pk),
+    Some(s"""
+      WITH $coOrderDuck,
       deg AS (
         SELECT v, COUNT(*) AS d
         FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) t
@@ -363,5 +382,81 @@ object GraphIterative {
       ORDER BY round
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(pagerank, bfsReachability, triangleCount, kcorePeel)
+  /** Link prediction for a seed set over the pinned co-order graph:
+    * for each seed part (node id < 10 — the deterministic "recommend
+    * for these entities" anchor), rank NON-neighbor parts two hops
+    * away by common-neighbor count and neighborhood Jaccard (integer
+    * ppm), top-3 per seed — the classic common-neighbors/Jaccard link
+    * predictor a recommender or substitute-part analysis runs.
+    *
+    * Scale shape: the ONLY per-corpus operand is the pinned edge list;
+    * every join is seeded — seed out-edges (Σ deg(seed) rows) expand
+    * one hop through an equi-join, so work is O(Σ_seed Σ_{v∈N(s)}
+    * deg(v)), never the global wedge count; the direct-neighbor
+    * exclusion is a seed-scoped anti-join and top-3 is a per-seed
+    * window over the seed's candidate set.
+    */
+  val linkPrediction: QueryDef = QueryDef(
+    "graph_link_prediction",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = coOrderSurface(s, dir)
+      // symmetric adjacency from the pinned (a < b) edge list
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+      val seedAdj = adj.filter(col("u") < 10)
+      val twoHop = seedAdj.as("e1")
+        .join(adj.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("seed"), col("e2.v").as("cand"))
+        .filter(col("seed") =!= col("cand"))
+      val cn = twoHop
+        .join(seedAdj.select(col("u").as("seed"), col("v").as("cand")),
+          Seq("seed", "cand"), "left_anti")
+        .groupBy("seed", "cand").agg(count(lit(1)).as("common_neighbors"))
+      val w = Window.partitionBy("seed")
+        .orderBy(desc("common_neighbors"), asc("cand"))
+      cn
+        .join(deg.select(col("u").as("seed"), col("d").as("ds")), "seed")
+        .join(deg.select(col("u").as("cand"), col("d").as("dc")), "cand")
+        .withColumn("jaccard_ppm", expr(
+          """CAST((CAST(common_neighbors AS DECIMAL(38,0)) * 1000000)
+                  DIV (ds + dc - common_neighbors) AS BIGINT)"""))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("seed"), col("rnk"), col("cand"),
+          col("common_neighbors"), col("jaccard_ppm"))
+        .orderBy("seed", "rnk")
+    },
+    Some(s"""
+      WITH $coOrderDuck,
+      adj AS (
+        SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+      deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+      seed_adj AS (SELECT u, v FROM adj WHERE u < 10),
+      two_hop AS (
+        SELECT e1.u AS seed, e2.v AS cand
+        FROM seed_adj e1 JOIN adj e2 ON e1.v = e2.u
+        WHERE e1.u <> e2.v),
+      cn AS (
+        SELECT seed, cand, COUNT(*) AS common_neighbors
+        FROM two_hop t
+        WHERE NOT EXISTS (SELECT 1 FROM seed_adj s
+                          WHERE s.u = t.seed AND s.v = t.cand)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT seed, cand, common_neighbors,
+               CAST((CAST(common_neighbors AS HUGEINT) * 1000000)
+                    // (ds.d + dc.d - common_neighbors) AS BIGINT) AS jaccard_ppm,
+               CAST(row_number() OVER (PARTITION BY seed
+                 ORDER BY common_neighbors DESC, cand ASC) AS BIGINT) AS rnk
+        FROM cn JOIN deg ds ON cn.seed = ds.u JOIN deg dc ON cn.cand = dc.u)
+      SELECT seed, rnk, cand, common_neighbors, jaccard_ppm
+      FROM ranked
+      WHERE rnk <= 3
+      ORDER BY seed, rnk
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(pagerank, bfsReachability, triangleCount, kcorePeel, linkPrediction)
 }

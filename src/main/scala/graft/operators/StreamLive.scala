@@ -148,6 +148,81 @@ object StreamLive {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+      """.stripMargin.trim)),
+
+    // ---- live CDC upsert via foreachBatch --------------------------------
+    // The lakehouse MERGE loop run as a real streaming query: the
+    // pre-cutoff events form the base snapshot (latest state per user);
+    // post-cutoff events arrive as file-source micro-batches and
+    // foreachBatch folds each into the table. The merge is the
+    // COMMUTATIVE form — every row carries its (ts, event_id) version
+    // and the winner per user is the max version, with post-cutoff
+    // `error` rows kept as TOMBSTONES until the final read filters
+    // them — so the result is identical under ANY micro-batch
+    // partitioning of the arrivals (the determinism the hash gate
+    // requires, and the reason real CDC merges are versioned rather
+    // than order-dependent). The batch sibling (`cdc_changelog_merge`)
+    // audits change kinds; this one runs the actual incremental fold
+    // through the streaming engine and checks the FINAL table.
+    QueryDef(
+      "stream_cdc_merge_live",
+      (s0, dir) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        import org.apache.spark.sql.expressions.Window
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        val mid2 = lit("2024-01-23").cast("timestamp")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+          .localCheckpoint(true)
+        def latestPerUser(df: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        }
+        val base = latestPerUser(ev.filter(col("ts") <= cutoff))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("state"), lit(false).as("tombstone"))
+        var table = base.localCheckpoint(true)
+        val delta = ev.filter(col("ts") > cutoff)
+        val staging = java.nio.file.Files.createTempDirectory("graft-cdc-live").toString
+        graft.ParallelStage(
+          () => delta.filter(col("ts") <= mid2).coalesce(1).write.parquet(s"$staging/in/d0"),
+          () => delta.filter(col("ts") > mid2).coalesce(1).write.parquet(s"$staging/in/d1"))
+        val arrivals = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$staging/in/*")
+        arrivals.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val upserts = latestPerUser(batch)
+              .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("state"),
+                (col("event_type") === "error").as("tombstone"))
+            table = latestPerUser(table.unionByName(upserts))
+              .localCheckpoint(true)
+            ()
+          }
+          .option("checkpointLocation", s"$staging/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        table.filter(!col("tombstone"))
+          .groupBy(col("state"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("state")
+      },
+      Some("""
+        WITH latest AS (
+          SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        winner AS (
+          SELECT user_id, event_type AS state, ts FROM latest WHERE rn = 1)
+        SELECT state, COUNT(*) AS n_users
+        FROM winner
+        WHERE NOT (state = 'error' AND ts > TIMESTAMP '2024-01-16 00:00:00')
+        GROUP BY state
+        ORDER BY state
       """.stripMargin.trim))
   )
 }
