@@ -114,6 +114,36 @@ object Multimodal {
     }
   }
 
+  case class FrameDiff(media_id: Long, frame_idx: Int, diff_energy: Long)
+
+  /** Adjacent-frame difference energy over the video payloads: frames
+    * are the FULL 16-byte blocks (the [[sampleFrames]] frame grid) and
+    * each frame f ≥ 1 reports Σ |b_i − b'_i| against frame f−1 — exact
+    * integers, so a scene-cut threshold downstream is a pure
+    * comparison. Partition-amortized like the other kernels: a real
+    * decoder would initialize once per partition and stream diffs.
+    */
+  def frameDiffs(media: Dataset[MediaRow], frameBytes: Int)(
+      implicit spark: SparkSession): Dataset[FrameDiff] = {
+    implicit val enc: Encoder[FrameDiff] = Encoders.product[FrameDiff]
+    media.filter(_.meta.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.content.length / frameBytes // full frames only
+        (1 until n).iterator.map { f =>
+          var d = 0L
+          var i = 0
+          while (i < frameBytes) {
+            val a = r.content((f - 1) * frameBytes + i) & 0xff
+            val b = r.content(f * frameBytes + i) & 0xff
+            d += math.abs(a - b)
+            i += 1
+          }
+          FrameDiff(r.media_id, f, d)
+        }
+      }
+    }
+  }
+
   case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int, sum_sq: Long)
 
   /** Windowed audio energy: the payload bytes are treated as 8-bit

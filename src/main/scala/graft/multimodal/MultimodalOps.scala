@@ -302,6 +302,57 @@ object MultimodalOps {
       ORDER BY media_id
     """.stripMargin.trim))
 
+  /** Scene-cut detection over the video payloads: adjacent-frame
+    * difference energy from the [[Multimodal.frameDiffs]] kernel
+    * (16-byte frame grid, Σ|Δbyte| per boundary), a boundary is a CUT
+    * iff its energy ≥ 400 (pure integer comparison), and each clip
+    * reports boundary/cut counts, the first cut position, and the
+    * hottest boundary — the shot-segmentation pass a video-training
+    * pipeline runs before frame sampling so clips are cut at scene
+    * boundaries instead of mid-shot. Kernel emits exact integers; the
+    * rest is one keyed aggregation, so the oracle recomputes it from
+    * the ASCII payload bytes (same [[audioVad]] convention, guarded by
+    * the syntheticMedia ASCII check).
+    */
+  val videoSceneCuts: QueryDef = QueryDef(
+    "mm_video_scene_cuts",
+    (s, dir) => {
+      implicit val spark = s
+      val cut = col("diff_energy") >= 400L
+      Multimodal.frameDiffs(Multimodal.syntheticMedia(s, dir), frameBytes = 16).toDF()
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).as("n_boundaries"),
+          count(when(cut, 1)).as("n_cuts"),
+          min(when(cut, col("frame_idx").cast("long"))).as("first_cut_idx"),
+          max(col("diff_energy")).as("max_diff_energy"))
+        .select(col("media_id"), col("n_boundaries"), col("n_cuts"),
+          coalesce(col("first_cut_idx"), lit(-1L)).as("first_cut_idx"),
+          col("max_diff_energy"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH frames AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) // 16 AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+      bounds AS (
+        SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+               (SELECT SUM(ABS(ascii(substr(text, CAST((f - 1) * 16 + i AS INT), 1))
+                            - ascii(substr(text, CAST(f * 16 + i AS INT), 1))))
+                FROM range(1, 17) r(i)) AS diff_energy
+        FROM (SELECT media_id, text, unnest(range(1, n_frames)) AS f
+              FROM frames WHERE n_frames >= 2) t)
+      SELECT media_id, COUNT(*) AS n_boundaries,
+             COUNT(*) FILTER (WHERE diff_energy >= 400) AS n_cuts,
+             CAST(COALESCE(MIN(frame_idx) FILTER (WHERE diff_energy >= 400), -1)
+                  AS BIGINT) AS first_cut_idx,
+             CAST(MAX(diff_energy) AS BIGINT) AS max_diff_energy
+      FROM bounds
+      GROUP BY media_id
+      ORDER BY media_id
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] = Seq(metadata, frameSample, features, resize, phashNearDup,
-    audioVad)
+    audioVad, videoSceneCuts)
 }

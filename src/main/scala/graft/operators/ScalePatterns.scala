@@ -445,7 +445,70 @@ object ScalePatterns {
       ORDER BY layout
     """.stripMargin.trim))
 
+  /** Join-key skew audit — the diagnosis a pipeline runs BEFORE a big
+    * join to decide between plain shuffle, AQE skew splitting, and
+    * explicit salting: per candidate key column, the per-key frequency
+    * distribution reduced to n_keys / mean / exact p99 / max and the
+    * max-to-mean skew ratio in ppm. Exact p99 is the value at rank
+    * ceil(0.99·n_keys) under the (count, key) total order — the
+    * quartiles-by-rank idiom, windowed over the KEY table (never the
+    * fact rows). One keyed count per column; everything after runs on
+    * |keys| rows.
+    */
+  val joinSkewAudit: QueryDef = QueryDef(
+    "scale_join_skew_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      def audit(keyCol: String) = {
+        val counts = li.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(asc("c"), asc("k"))
+        counts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+          .agg(
+            sum(col("c")).as("n_rows"),
+            max(col("nk")).as("n_keys"),
+            expr("SUM(c) DIV MAX(nk)").as("mean_rows_per_key"),
+            max(when(col("rn") === expr("CAST(CEIL(0.99 * nk) AS BIGINT)"), col("c")))
+              .as("p99_rows_per_key"),
+            max(col("c")).as("max_rows_per_key"))
+          .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+            col("mean_rows_per_key"), col("p99_rows_per_key"),
+            col("max_rows_per_key"),
+            expr("""CAST((CAST(MAX_ROWS_PER_KEY AS DECIMAL(38,0)) * 1000000)
+                    DIV mean_rows_per_key AS BIGINT)""").as("skew_ppm"))
+      }
+      audit("l_suppkey").unionByName(audit("l_partkey")).orderBy("key_col")
+    },
+    Some("""
+      WITH audits AS (
+        SELECT 'l_partkey' AS key_col, c, k FROM (
+          SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) t
+        UNION ALL
+        SELECT 'l_suppkey', c, k FROM (
+          SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) t),
+      ranked AS (
+        SELECT key_col, c,
+               row_number() OVER (PARTITION BY key_col ORDER BY c ASC, k ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY key_col) AS nk
+        FROM audits)
+      SELECT key_col,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(nk) AS BIGINT) AS n_keys,
+             CAST(SUM(c) // MAX(nk) AS BIGINT) AS mean_rows_per_key,
+             CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * nk) AS BIGINT) THEN c END)
+                  AS BIGINT) AS p99_rows_per_key,
+             CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+             CAST((CAST(MAX(c) AS HUGEINT) * 1000000)
+                  // (SUM(c) // MAX(nk)) AS BIGINT) AS skew_ppm
+      FROM ranked
+      GROUP BY key_col
+      ORDER BY key_col
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
-      twoStageCumsum, zonemapPrune)
+      twoStageCumsum, zonemapPrune, joinSkewAudit)
 }
