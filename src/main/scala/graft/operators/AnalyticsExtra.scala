@@ -904,6 +904,56 @@ object AnalyticsExtra {
         FROM keyed CROSS JOIN overall
         GROUP BY wd, mean_all_cents
         ORDER BY weekday
+      """.stripMargin.trim)),
+
+    // ---- exact OLS trend over the daily series ---------------------------
+    /* Least-squares revenue trend, closed form in exact wide integers:
+     * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over (day index, daily cents),
+     * emitted as slope_milli_cents_per_day = numerator·1000 DIV
+     * denominator plus the exact intercept at x=0 — the drift estimate a
+     * capacity forecast consumes next to the seasonal profile. Every sum
+     * is an integer aggregate of the day-grain table; the only
+     * corpus-sized step is the daily rollup. Products are widened to
+     * DECIMAL(38,0)/HUGEINT — n·Σxy overflows int64 on long horizons.
+     */
+    QueryDef(
+      "ts_trend_ols",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg((sum(col("o_totalprice").cast(D)) * 100).cast("long").as("rc"))
+          .withColumn("x", datediff(col("d"), lit("1995-01-01")).cast("long"))
+        daily.agg(
+          count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"),
+          sum(col("rc")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * rc")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+          .select(col("n_days"),
+            expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000
+                    DIV (CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                    AS BIGINT)""").as("slope_milli_cents_per_day"),
+            expr("""CAST((CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)
+                    DIV (CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                    AS BIGINT)""").as("intercept_cents"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        sums AS (
+          SELECT COUNT(*) AS n_days,
+                 CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(rc) AS HUGEINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * rc) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM daily)
+        SELECT n_days,
+               CAST((n_days * sxy - sx * sy) * 1000
+                    // (n_days * sxx - sx * sx) AS BIGINT) AS slope_milli_cents_per_day,
+               CAST((sy * sxx - sx * sxy)
+                    // (n_days * sxx - sx * sx) AS BIGINT) AS intercept_cents
+        FROM sums
       """.stripMargin.trim))
   )
 }

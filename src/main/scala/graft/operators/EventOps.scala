@@ -196,7 +196,49 @@ object EventOps {
       ORDER BY channel
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(cdcMerge, attribution) ++ Seq(
+  /** Cumulative unique users per day WITHOUT a running COUNT(DISTINCT)
+    * window (which would hold per-day distinct state over the whole
+    * horizon): each user is attributed to their FIRST-seen day by a
+    * content-keyed min aggregation — the vocab-growth shape on the
+    * events table — and the cumulative curve is a running sum over the
+    * day-grain table only. The audience-growth census every
+    * product/funnel review reads, in the only form that scales: the
+    * corpus is touched by exactly two keyed aggregations.
+    */
+  val cumulativeUniques: QueryDef = QueryDef(
+    "event_cumulative_uniques",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      val firstSeen = ev.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("f.ts").cast("date").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(firstSeen, Seq("d"), "left_outer")
+        .select(col("d"), col("n_events"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("d")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      first_seen AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d FROM events GROUP BY user_id),
+      news AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY 1)
+      SELECT daily.d, n_events,
+             CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+             CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY daily.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      FROM daily LEFT JOIN news ON daily.d = news.d
+      ORDER BY daily.d
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(cdcMerge, attribution, cumulativeUniques) ++ Seq(
 
     // ---- tumbling event-time window (§2.9 extension analytics) ----------
     QueryDef(
