@@ -53,7 +53,8 @@ object Bench {
     "ts_anomaly_robust_mad", "graph_kcore_peel", "ts_seasonal_weekday",
     "ann_eval_mrr", "text_rake_keyphrases", "graph_link_prediction",
     "stream_cdc_merge_live", "mm_video_scene_cuts", "scale_join_skew_audit",
-    "ts_trend_ols", "event_cumulative_uniques")
+    "ts_trend_ols", "event_cumulative_uniques",
+    "pipeline_quality_dup_calibration")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

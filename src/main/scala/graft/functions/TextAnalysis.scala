@@ -79,31 +79,42 @@ object TextAnalysis {
       ORDER BY doc_id
     """.stripMargin.trim))
 
-  /** Composite quality score: length saturation + type-token ratio +
-    * stopword ratio, combined left-to-right so both engines run the same
-    * IEEE op sequence.
+  /** THE composite quality definition (length saturation + type-token
+    * ratio + stopword ratio, combined left-to-right so both engines run
+    * the same IEEE op sequence) — shared by `text_quality_score` and
+    * the quality×dup calibration so the two can never drift. Adds a
+    * `quality` column to a frame that has `text`.
     */
-  val qualityScore: QueryDef = QueryDef(
-    "text_quality_score",
-    (s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("ts", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("ts")))
-        .withColumn("stop_hits",
-          size(expr(s"filter(ts, t -> t IN ${sqlList(enStops)})")))
-        .select(
-          col("doc_id"),
-          ((least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)) +
-            ((size(array_distinct(col("ts"))).cast("double") / col("n_tokens")) * lit(0.3)) +
-            ((col("stop_hits").cast("double") / col("n_tokens")) * lit(0.2))).as("quality"))
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      SELECT doc_id,
+  private[graft] def withQuality(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("ts", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ts")))
+      .withColumn("stop_hits",
+        size(expr(s"filter(ts, t -> t IN ${sqlList(enStops)})")))
+      .withColumn("quality",
+        (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5)) +
+          ((size(array_distinct(col("ts"))).cast("double") / col("n_tokens")) * lit(0.3)) +
+          ((col("stop_hits").cast("double") / col("n_tokens")) * lit(0.2)))
+      .drop("ts", "n_tokens", "stop_hits")
+
+  /** DuckDB twin of [[withQuality]]: a subquery over `documents`
+    * yielding (doc_id, source, quality). */
+  private[graft] val qualitySql: String = s"""
+      SELECT doc_id, source,
              (least(len(ts) / 100.0, 1.0) * 0.5)
              + ((CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.3)
              + ((CAST(len(list_filter(ts, t -> t IN ${sqlList(enStops)})) AS DOUBLE) / len(ts)) * 0.2) AS quality
-      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents) t"""
+
+  val qualityScore: QueryDef = QueryDef(
+    "text_quality_score",
+    (s, dir) => {
+      withQuality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, quality
+      FROM ($qualitySql) q
       ORDER BY doc_id
     """.stripMargin.trim))
 

@@ -864,8 +864,49 @@ ${AnnSearch.centroidSql("")},
       ORDER BY qid
     """.stripMargin.trim))
 
+  /** Quality×duplication calibration: the curation question "are my
+    * low-quality docs also my duplicated docs?" answered as a 10-band
+    * table — quality band = floor(quality·10) (value-based, NO global
+    * sort — the scale-safe histogram form), dup flag = membership in
+    * ≥1 LSH candidate pair from THE shared sketch surface (same
+    * definition `pipeline_dedup_rate_by_source` consumes). One scan +
+    * one semi-join + one rollup; if the dup_ppm curve falls with
+    * quality, the two filters are partially redundant and the cheaper
+    * one should run first in the cascade.
+    */
+  val qualityDupCalibration: QueryDef = QueryDef(
+    "pipeline_quality_dup_calibration",
+    (s, dir) => {
+      val dup = Dedup.dupDocIdsGuarded(s, dir)
+      graft.functions.TextAnalysis.withQuality(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          least(floor(col("quality") * 10).cast("long"), lit(9L)).as("band"))
+        .join(dup.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left_outer")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"))
+        .withColumn("dup_ppm", expr(
+          "CAST((CAST(n_dup AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH ${Dedup.lshCandsSql},
+      ${Dedup.dupDocsSql},
+      banded AS (
+        SELECT doc_id, LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS band
+        FROM (${graft.functions.TextAnalysis.qualitySql}) q)
+      SELECT band, COUNT(*) AS n_docs,
+             COUNT(d.doc_id) AS n_dup,
+             CAST((CAST(COUNT(d.doc_id) AS HUGEINT) * 1000000)
+                  // COUNT(*) AS BIGINT) AS dup_ppm
+      FROM banded b LEFT JOIN dupd d ON b.doc_id = d.doc_id
+      GROUP BY band
+      ORDER BY band
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(keepBest, crossSource, modalityAgreement, annRecall, annRecallIvf,
       annRecallIvfMultiprobe, annRecallInt8, sourceQuota, decontaminate,
-      dataCard, splitLeakage, dedupFunnel, ruleVotes, annMrr)
+      dataCard, splitLeakage, dedupFunnel, ruleVotes, annMrr,
+      qualityDupCalibration)
 }
