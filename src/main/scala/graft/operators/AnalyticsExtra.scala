@@ -764,12 +764,18 @@ object AnalyticsExtra {
           .agg(
             sum(col("g1")).as("n1"),
             expr("SUM(g - g1)").as("n2"),
-            expr("SUM(g1 * (2 * l + g + 1))").as("r1_x2"))
+            // rank sums are O(N²): widen BEFORE the per-group product and
+            // keep the whole U computation in DECIMAL(38,0) (HUGEINT in
+            // the twin) — the same wrap class fixed for the ppm sums
+            expr("SUM(CAST(g1 AS DECIMAL(38,0)) * (2 * l + g + 1))").as("r1_x2w"))
           .select(col("n1"), col("n2"),
-            expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
-            expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").as("u2_x2"),
-            expr("""CAST((CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) * 1000000)
-                    DIV (2 * n1 * n2) AS BIGINT)""").as("auc_ppm"))
+            expr("""CAST(r1_x2w - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                    AS BIGINT)""").as("u1_x2"),
+            expr("""CAST(CAST(2 AS DECIMAL(38,0)) * n1 * n2
+                    - (r1_x2w - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))
+                    AS BIGINT)""").as("u2_x2"),
+            expr("""CAST(((r1_x2w - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000)
+                    DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT)""").as("auc_ppm"))
       },
       Some("""
         WITH lens AS (
@@ -787,13 +793,14 @@ object AnalyticsExtra {
         agg AS (
           SELECT CAST(SUM(g1) AS BIGINT) AS n1,
                  CAST(SUM(g - g1) AS BIGINT) AS n2,
-                 CAST(SUM(g1 * (2 * l + g + 1)) AS BIGINT) AS r1_x2
+                 SUM(CAST(g1 AS HUGEINT) * (2 * l + g + 1)) AS r1_x2w
           FROM ranked)
         SELECT n1, n2,
-               r1_x2 - n1 * (n1 + 1) AS u1_x2,
-               2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
-               CAST((CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT) * 1000000)
-                    // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+               CAST(r1_x2w - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST(CAST(2 AS HUGEINT) * n1 * n2
+                    - (r1_x2w - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_x2,
+               CAST(((r1_x2w - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000)
+                    // (CAST(2 AS HUGEINT) * n1 * n2) AS BIGINT) AS auc_ppm
         FROM agg
       """.stripMargin.trim)),
 

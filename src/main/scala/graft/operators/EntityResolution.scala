@@ -37,6 +37,9 @@ object EntityResolution {
           levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
         .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
           col("b.c_nationkey").as("nation"))
+        // the blocked levenshtein join is the dominant kernel and feeds
+        // BOTH the survivorship agg and the pair rollup — build once
+        .localCheckpoint(true)
       // survivor = no smaller matching neighbor
       val dupOf = matches.groupBy(col("kb").as("c_custkey"))
         .agg(min(col("ka")).as("dup_of"))

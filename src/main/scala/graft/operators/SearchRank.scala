@@ -74,7 +74,7 @@ object SearchRank {
         .crossJoin(broadcast(scalars))
         .select(col("doc_id"), col("source"),
           expr("""CAST(
-                    (CAST((1000000 * (n_docs - df)) DIV (df + 1) AS DECIMAL(38,0))
+                    (((CAST(1000000 AS DECIMAL(38,0)) * (n_docs - df)) DIV (df + 1))
                      * ((CAST(22 AS DECIMAL(38,0)) * tf * avgdl * 1000000)
                         DIV (10 * tf * avgdl + 3 * avgdl + 9 * dl)))
                     DIV 1000000 AS BIGINT)""").as("term_score_ppm"))
@@ -97,7 +97,7 @@ object SearchRank {
       dfreq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY 1),
       scored AS (
         SELECT p.doc_id, d.source,
-               CAST((CAST((1000000 * (n_docs - df)) // (df + 1) AS HUGEINT)
+               CAST((((CAST(1000000 AS HUGEINT) * (n_docs - df)) // (df + 1))
                      * ((CAST(22 AS HUGEINT) * tf * avgdl * 1000000)
                         // (10 * tf * avgdl + 3 * avgdl + 9 * d.dl)))
                     // 1000000 AS BIGINT) AS term_score_ppm
@@ -133,6 +133,10 @@ object SearchRank {
       val armK = 100
       val rrfK = 60
       val kw = Tables.documents(s, dir)
+        // exclude the query document from BOTH arms (the semantic arm
+        // already drops vec_id 0); without this a term-bearing doc 0
+        // would fuse into its own result list
+        .filter(col("doc_id") =!= 0)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok").isin(terms: _*))
         .groupBy("doc_id").agg(count(lit(1)).as("tf_total"))
@@ -167,7 +171,8 @@ object SearchRank {
     Some(s"""
       WITH kw0 AS (
         SELECT doc_id, COUNT(*) AS tf_total
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id <> 0) t
         WHERE tok IN ($termList)
         GROUP BY 1
         ORDER BY tf_total DESC, doc_id

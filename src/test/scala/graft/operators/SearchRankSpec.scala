@@ -63,7 +63,10 @@ class SearchRankSpec extends SparkSpec {
     // doc 1 saturates the keyword arm (most term hits); embeddings make
     // vec 1 the closest to the query vec 0, vec 2 second, vec 3 opposite.
     val docs = Seq(
-      (0L, "alpha beta", "s"),
+      // doc 0 IS the query doc and has MORE term hits than anyone —
+      // the exclusion must keep it out of both arms, not just the
+      // semantic one (review fix: kw arm previously admitted it)
+      (0L, Seq.fill(7)("vector").mkString(" "), "s"),
       (1L, "vector stream spark vector stream spark", "s"),
       (2L, "vector alpha", "s"),
       (3L, "alpha beta gamma", "s"))
