@@ -280,7 +280,8 @@ object SketchOps {
           (col("est_a") + col("est_b") - col("est_union")).as("est_keys_common"),
           col("est_a"), col("est_b"), col("exact_join"))
         .withColumn("est_join", expr(
-          "est_keys_common * (rows_a DIV est_a) * (rows_b DIV est_b)"))
+          """CAST(CAST(est_keys_common AS DECIMAL(38,0))
+             * (rows_a DIV est_a) * (rows_b DIV est_b) AS BIGINT)"""))
         .withColumn("err_ppm", expr(
           """CAST((CAST(est_join - exact_join AS DECIMAL(38,0)) * 1000000)
                   DIV exact_join AS BIGINT)"""))
@@ -318,10 +319,12 @@ object SketchOps {
         FROM est_a CROSS JOIN est_b CROSS JOIN est_u
              CROSS JOIN counts CROSS JOIN exactj)
       SELECT rows_a, rows_b, est_keys_common,
-             CAST(est_keys_common * (rows_a // est_a) * (rows_b // est_b) AS BIGINT) AS est_join,
+             CAST(CAST(est_keys_common AS HUGEINT)
+                  * (rows_a // est_a) * (rows_b // est_b) AS BIGINT) AS est_join,
              exact_join,
-             CAST((CAST(est_keys_common * (rows_a // est_a) * (rows_b // est_b)
-                        - exact_join AS HUGEINT) * 1000000)
+             CAST(((CAST(est_keys_common AS HUGEINT)
+                    * (rows_a // est_a) * (rows_b // est_b)
+                    - exact_join) * 1000000)
                   // exact_join AS BIGINT) AS err_ppm
       FROM assembled
     """.stripMargin.trim))
