@@ -759,8 +759,13 @@ object TextAnalysis {
     * disk-resident index segments; when they come off a scan, the
     * selective `isin` filter IS the index probe.)
     */
+  /** THE fixed query-term set, shared by `text_search_conjunctive` and
+    * the SearchRank lexical operators so the three stay comparable on
+    * one vocabulary (shared-single-definition discipline). */
+  private[graft] val queryTerms = Seq("vector", "stream", "spark")
+
   val searchConjunctive: QueryDef = {
-    val terms = Seq("vector", "stream", "spark")
+    val terms = queryTerms
     QueryDef(
       "text_search_conjunctive",
       (s, dir) => {
@@ -965,17 +970,17 @@ object TextAnalysis {
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
       val span = docs.agg(min(col("doc_id")).as("lo"),
         (max(col("doc_id")) - min(col("doc_id")) + 1).as("span_w"))
-      def slice(c: org.apache.spark.sql.Column) =
-        expr(s"CAST((${c.toString} - lo) * 10 DIV span_w AS BIGINT)")
+      def slice(c: String) =
+        expr(s"CAST(($c - lo) * 10 DIV span_w AS BIGINT)")
       val perSlice = docs.crossJoin(broadcast(span))
-        .select(slice(col("doc_id")).as("slice"),
+        .select(slice("doc_id").as("slice"),
           size(col("ts")).cast("long").as("n_toks"))
         .groupBy("slice")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
       val firstSeen = docs.select(col("doc_id"), explode(col("ts")).as("w"))
         .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
         .crossJoin(broadcast(span))
-        .select(slice(col("first_doc")).as("slice"))
+        .select(slice("first_doc").as("slice"))
         .groupBy("slice").agg(count(lit(1)).as("new_words"))
       val win = Window.orderBy("slice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

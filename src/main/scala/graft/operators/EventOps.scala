@@ -31,6 +31,15 @@ object EventOps {
       .drop("prev_state")
   }
 
+  /** THE latest-row-per-user reduction under the (ts, event_id) total
+    * order — shared by the batch CDC merge and the live foreachBatch
+    * merge (StreamLive) so "latest" can never mean two different
+    * tie-breaks. */
+  private[operators] def latestPerUser(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** DuckDB twin of [[stateChanges]]: CTEs `ordered` + `changes`. */
   private[operators] val stateChangesSql: String = """
         ordered AS (
@@ -66,13 +75,9 @@ object EventOps {
     (s, dir) => {
       val cutoff = "TIMESTAMP '2024-01-16 00:00:00'"
       val ev = Tables.events(s, dir)
-      def latest(df: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-      }
-      val base = latest(ev.filter(expr(s"ts <= $cutoff")))
+      val base = latestPerUser(ev.filter(expr(s"ts <= $cutoff")))
         .select(col("user_id"), col("event_type").as("base_state"))
-      val delta = latest(ev.filter(expr(s"ts > $cutoff")))
+      val delta = latestPerUser(ev.filter(expr(s"ts > $cutoff")))
         .select(col("user_id"),
           when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
           col("event_type").as("delta_state"))

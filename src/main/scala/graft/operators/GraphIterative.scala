@@ -342,8 +342,8 @@ object GraphIterative {
         val stats = keep.agg(
           count(when(col("v") % 2 === 0, 1)).as("n_suppliers"),
           count(when(col("v") % 2 === 1, 1)).as("n_parts"))
-          .crossJoin(broadcast(edges.agg((count(lit(1)) / 2).cast("long")
-            .as("n_edges_remaining"))))
+          .crossJoin(broadcast(edges.agg(
+            expr("COUNT(1) DIV 2").as("n_edges_remaining"))))
           .select(lit(round.toLong).as("round"), col("n_suppliers"),
             col("n_parts"), col("n_edges_remaining"))
         stats

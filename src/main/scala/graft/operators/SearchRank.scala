@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -24,10 +25,10 @@ import graft.{QueryDef, Tables}
   */
 object SearchRank {
 
-  /** Fixed query terms — mid-frequency corpus words, same set as
-    * text_search_conjunctive so the two lexical operators are
-    * comparable. */
-  private val terms = Seq("vector", "stream", "spark")
+  /** Fixed query terms — THE shared set from
+    * [[graft.functions.TextAnalysis.queryTerms]], so the conjunctive
+    * search and both ranking operators stay comparable. */
+  private val terms = graft.functions.TextAnalysis.queryTerms
 
   private def termList = terms.map("'" + _ + "'").mkString(", ")
 
@@ -143,8 +144,7 @@ object SearchRank {
         .orderBy(desc("tf_total"), asc("doc_id"))
         .limit(armK)
         .withColumn("kw_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("tf_total"), asc("doc_id"))).cast("long"))
+          Window.orderBy(desc("tf_total"), asc("doc_id"))).cast("long"))
         .select("doc_id", "kw_rank")
       val e = Tables.embeddings(s, dir).select(
         col("vec_id"), col("embedding"),
@@ -158,8 +158,7 @@ object SearchRank {
         .orderBy(desc("cos"), asc("doc_id"))
         .limit(armK)
         .withColumn("sem_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("cos"), asc("doc_id"))).cast("long"))
+          Window.orderBy(desc("cos"), asc("doc_id"))).cast("long"))
         .select("doc_id", "sem_rank")
       kw.join(sem, Seq("doc_id"), "full_outer")
         .select(col("doc_id"), col("kw_rank"), col("sem_rank"),

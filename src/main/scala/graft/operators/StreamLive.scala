@@ -169,18 +169,15 @@ object StreamLive {
       (s0, dir) => {
         val s = s0.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        import org.apache.spark.sql.expressions.Window
         val cutoff = lit("2024-01-16").cast("timestamp")
         val mid2 = lit("2024-01-23").cast("timestamp")
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
             col("event_id"), col("event_type"))
           .localCheckpoint(true)
-        def latestPerUser(df: org.apache.spark.sql.DataFrame) = {
-          val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-        }
-        val base = latestPerUser(ev.filter(col("ts") <= cutoff))
+        // THE shared latest-per-user reduction (EventOps) — same
+        // tie-break as the batch CDC merge by construction
+        val base = EventOps.latestPerUser(ev.filter(col("ts") <= cutoff))
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type").as("state"), lit(false).as("tombstone"))
         var table = base.localCheckpoint(true)
@@ -193,11 +190,11 @@ object StreamLive {
           .option("maxFilesPerTrigger", "1").parquet(s"$staging/in/*")
         arrivals.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val upserts = latestPerUser(batch)
+            val upserts = EventOps.latestPerUser(batch)
               .select(col("user_id"), col("ts"), col("event_id"),
                 col("event_type").as("state"),
                 (col("event_type") === "error").as("tombstone"))
-            table = latestPerUser(table.unionByName(upserts))
+            table = EventOps.latestPerUser(table.unionByName(upserts))
               .localCheckpoint(true)
             ()
           }
