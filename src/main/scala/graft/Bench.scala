@@ -54,7 +54,8 @@ object Bench {
     "ann_eval_mrr", "text_rake_keyphrases", "graph_link_prediction",
     "stream_cdc_merge_live", "mm_video_scene_cuts", "scale_join_skew_audit",
     "ts_trend_ols", "event_cumulative_uniques",
-    "pipeline_quality_dup_calibration")
+    "pipeline_quality_dup_calibration", "graph_brand_modularity",
+    "audit_benford_first_digit")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

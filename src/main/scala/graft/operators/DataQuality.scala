@@ -93,5 +93,73 @@ object DataQuality {
       ORDER BY check_name
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(constraints)
+  /** Benford first-digit audit over order totals — the fraud /
+    * fabricated-data screen: naturally-grown multiplicative amounts
+    * follow log10(1+1/d); a synthesized or truncated column does not.
+    * Expected shares ride as the nine FIXED ppm constants of the
+    * Benford law (precomputed, so no runtime log and no float-library
+    * hazard); per digit the audit emits observed count, observed ppm
+    * (widened DIV), expected ppm, and the absolute deviation — the
+    * summary statistic (max deviation ≈ a discrete KS) rides on every
+    * row. One scan, first digit by string head (exact for the DECIMAL
+    * cents rendering both engines share), one 9-row rollup.
+    */
+  val benford: QueryDef = QueryDef(
+    "audit_benford_first_digit",
+    (s, dir) => {
+      import s.implicits._
+      // log10(1 + 1/d) in ppm, d = 1..9 — law constants, not computed
+      val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val expected = benfordPpm.zipWithIndex
+        .map { case (p, i) => (i + 1L, p) }
+        .toDF("digit", "expected_ppm")
+      val digits = Tables.orders(s, dir)
+        .select(substring(col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .filter(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      digits
+        .join(broadcast(expected), Seq("digit"), "right_outer")
+        .select(col("digit"),
+          coalesce(col("observed"), lit(0L)).as("observed"),
+          col("expected_ppm"))
+        .withColumn("n", expr("SUM(observed) OVER ()"))
+        .withColumn("observed_ppm", expr(
+          "CAST((CAST(observed AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT)"))
+        .withColumn("abs_dev_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+        .withColumn("max_dev_ppm", expr("MAX(abs_dev_ppm) OVER ()"))
+        .select("digit", "observed", "observed_ppm", "expected_ppm",
+          "abs_dev_ppm", "max_dev_ppm")
+        .orderBy("digit")
+    },
+    Some("""
+      WITH expected AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+          (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+          (9, 45757)) t(digit, expected_ppm)),
+      digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               COUNT(*) AS observed
+        FROM orders
+        WHERE CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS BIGINT) >= 1
+        GROUP BY 1),
+      joined AS (
+        SELECT e.digit, COALESCE(d.observed, 0) AS observed,
+               CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+        FROM expected e LEFT JOIN digits d ON e.digit = d.digit),
+      scored AS (
+        SELECT CAST(digit AS BIGINT) AS digit, CAST(observed AS BIGINT) AS observed,
+               CAST((CAST(observed AS HUGEINT) * 1000000)
+                    // SUM(observed) OVER () AS BIGINT) AS observed_ppm,
+               expected_ppm
+        FROM joined)
+      SELECT digit, observed, observed_ppm, expected_ppm,
+             ABS(observed_ppm - expected_ppm) AS abs_dev_ppm,
+             CAST(MAX(ABS(observed_ppm - expected_ppm)) OVER () AS BIGINT) AS max_dev_ppm
+      FROM scored
+      ORDER BY digit
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(constraints, benford)
 }

@@ -457,6 +457,72 @@ object GraphIterative {
       ORDER BY seed, rnk
     """.stripMargin.trim))
 
+  /** Modularity of the brand partition over the co-order parts graph:
+    * Q = Σ_c (e_c/m − (a_c/2m)²) for communities c = part brand,
+    * computed as ONE exact integer division —
+    * Q_ppm = 10⁶·(4m·Σe_c − Σa_c²) DIV (4m²) — so the score is
+    * bit-identical cross-engine (per-term divisions would each truncate
+    * and drift). Answers "do same-brand parts actually co-occur in
+    * orders more than chance?" — the community-quality check run before
+    * trusting any label-driven partitioning of a co-occurrence graph.
+    * Probes the pinned surface; per-community terms are two keyed aggs
+    * over edges and degrees joined with the (dimension-sized) brand map.
+    */
+  val modularity: QueryDef = QueryDef(
+    "graph_brand_modularity",
+    (s, dir) => {
+      val und = coOrderSurface(s, dir)
+      val brand = Tables.part(s, dir)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("c"))
+      val edges = und
+        .join(brand.select(col("pk").as("a"), col("c").as("ca")), "a")
+        .join(brand.select(col("pk").as("b"), col("c").as("cb")), "b")
+        .localCheckpoint(true) // feeds m, within-count, and degree sums
+      val m = edges.agg(count(lit(1)).as("m"))
+      val within = edges.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+      val degSum = edges.select(col("ca").as("c"))
+        .union(edges.select(col("cb").as("c")))
+        .groupBy("c").agg(count(lit(1)).as("a_c"))
+      val terms = degSum.join(within, Seq("c"), "left_outer")
+        .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("a_c"))
+      terms.agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("e_c")).as("within_edges"),
+        sum(expr("CAST(a_c AS DECIMAL(38,0)) * a_c")).as("sum_a_sq"))
+        .crossJoin(broadcast(m))
+        .select(col("n_communities"), col("m").as("n_edges"), col("within_edges"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                        * (CAST(4 AS DECIMAL(38,0)) * m * within_edges - sum_a_sq))
+                  DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)""").as("q_ppm"))
+    },
+    Some(s"""
+      WITH $coOrderDuck,
+      brand AS (SELECT p_partkey AS pk, p_brand AS c FROM part),
+      edges AS (
+        SELECT ba.c AS ca, bb.c AS cb
+        FROM und JOIN brand ba ON und.a = ba.pk JOIN brand bb ON und.b = bb.pk),
+      m AS (SELECT COUNT(*) AS m FROM edges),
+      within AS (
+        SELECT ca AS c, COUNT(*) AS e_c FROM edges WHERE ca = cb GROUP BY 1),
+      degsum AS (
+        SELECT c, COUNT(*) AS a_c
+        FROM (SELECT ca AS c FROM edges UNION ALL SELECT cb FROM edges) t
+        GROUP BY 1),
+      terms AS (
+        SELECT d.c, COALESCE(w.e_c, 0) AS e_c, d.a_c
+        FROM degsum d LEFT JOIN within w ON d.c = w.c)
+      SELECT COUNT(*) AS n_communities,
+             CAST(m AS BIGINT) AS n_edges,
+             CAST(SUM(e_c) AS BIGINT) AS within_edges,
+             CAST((CAST(1000000 AS HUGEINT)
+                   * (CAST(4 AS HUGEINT) * m * SUM(e_c) - SUM(CAST(a_c AS HUGEINT) * a_c)))
+                  // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_ppm
+      FROM terms CROSS JOIN m
+      GROUP BY m
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(pagerank, bfsReachability, triangleCount, kcorePeel, linkPrediction)
+    Seq(pagerank, bfsReachability, triangleCount, kcorePeel, linkPrediction,
+      modularity)
 }
