@@ -835,6 +835,79 @@ object TextAnalysis {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** One BPE TRAINING ITERATION applied corpus-wide — the step that
+    * makes [[bpeMergePairs]] a loop: take the top-ranked character
+    * pair, merge it in every word of the frequency dict (left-to-right
+    * non-overlapping `replace`, the same greedy scan both engines'
+    * library replace implements — Java String.replace and DuckDB
+    * replace verified to agree, e.g. 'aaaa'/'aa' → '@@'), and re-mine
+    * the pair table over the updated vocabulary. The merged token
+    * rides as the single sentinel char '@' (absent from the corpus),
+    * so post-merge pairs involving the new symbol surface exactly as
+    * BPE training sees them. Output: the new top-10 pairs with the
+    * applied merge and its replacement count alongside — iterating
+    * this query IS tokenizer training, and every iteration re-scans
+    * only the vocabulary, never the corpus.
+    */
+  val bpeApplyMerge: QueryDef = QueryDef(
+    "text_bpe_apply_merge",
+    (s, dir) => {
+      val wf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds the top-pair scan AND the apply
+      val top = wf.filter(length(col("w")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(1)
+        .select(col("pair").as("merged_pair"))
+      val applied = wf.crossJoin(broadcast(top))
+        .select(col("cnt"), col("merged_pair"),
+          expr("replace(w, merged_pair, '@')").as("w2"),
+          ((length(col("w")) - length(expr("replace(w, merged_pair, '@')")))
+            * col("cnt")).cast("long").as("repl"))
+      val nReplaced = applied.agg(sum(col("repl")).as("n_replaced"))
+      applied
+        .filter(length(col("w2")) >= 2)
+        .select(col("cnt"), col("merged_pair"), explode(expr(
+          "transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))")).as("pair"))
+        .groupBy("merged_pair", "pair").agg(sum(col("cnt")).as("n"))
+        .crossJoin(broadcast(nReplaced))
+        .select("merged_pair", "n_replaced", "pair", "n")
+        .orderBy(desc("n"), asc("pair"))
+        .limit(10)
+    },
+    Some("""
+      WITH wf AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        GROUP BY 1),
+      top AS (
+        SELECT pair AS merged_pair
+        FROM (SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
+              FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                    FROM wf WHERE len(w) >= 2) t0) t1
+        GROUP BY 1
+        ORDER BY SUM(cnt) DESC, pair ASC
+        LIMIT 1),
+      applied AS (
+        SELECT cnt, merged_pair, replace(w, merged_pair, '@') AS w2,
+               (len(w) - len(replace(w, merged_pair, '@'))) * cnt AS repl
+        FROM wf CROSS JOIN top),
+      nrep AS (SELECT CAST(SUM(repl) AS BIGINT) AS n_replaced FROM applied),
+      remined AS (
+        SELECT merged_pair, substr(w2, CAST(i AS INT), 2) AS pair, cnt
+        FROM (SELECT merged_pair, w2, cnt, unnest(range(1, len(w2))) AS i
+              FROM applied WHERE len(w2) >= 2) t)
+      SELECT merged_pair, n_replaced, pair, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM remined CROSS JOIN nrep
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, pair
+      LIMIT 10
+    """.stripMargin.trim))
+
   /** Vocabulary-concentration audit per source: Gini impurity of the
     * token distribution (1 − Σp²) and the top-token share, both in
     * integer ppm — Σ(c²) and n are exact BIGINTs, so
@@ -1109,6 +1182,6 @@ object TextAnalysis {
     Seq(tokenStats, bpeTokens, qualityScore, langId, langIdConfusion, fingerprint,
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
-      bigramLmQuality, searchConjunctive, bpeMergePairs, giniDiversity, noveltyScore,
-      vocabGrowth, rakeKeyphrases)
+      bigramLmQuality, searchConjunctive, bpeMergePairs, bpeApplyMerge,
+      giniDiversity, noveltyScore, vocabGrowth, rakeKeyphrases)
 }

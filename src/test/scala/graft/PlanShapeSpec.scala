@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkSpec {
     "ts_seasonal_weekday",            // 1-row overall-mean crossJoin feeding the seasonal factor
     "ann_eval_mrr",                   // composes the brute-force baseline (broadcast query set)
     "graph_kcore_peel",               // per-round 1-row survivor/edge-count crossJoins
-    "graph_brand_modularity")         // 1-row edge-count crossJoin feeding the Q division
+    "graph_brand_modularity",         // 1-row edge-count crossJoin feeding the Q division
+    "text_bpe_apply_merge")           // 1-row top-pair / replaced-count crossJoins
 
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
