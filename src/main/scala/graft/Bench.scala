@@ -55,7 +55,8 @@ object Bench {
     "stream_cdc_merge_live", "mm_video_scene_cuts", "scale_join_skew_audit",
     "ts_trend_ols", "event_cumulative_uniques",
     "pipeline_quality_dup_calibration", "graph_brand_modularity",
-    "audit_benford_first_digit", "text_bpe_apply_merge")
+    "audit_benford_first_digit", "text_bpe_apply_merge",
+    "er_customer_components")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

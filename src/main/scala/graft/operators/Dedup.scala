@@ -1076,7 +1076,19 @@ object Dedup {
   private[operators] def componentLabels(s: SparkSession, dir: String): DataFrame =
     componentLabelsOf(s, dir, pairsSurface(s, dir))
 
-  private[operators] def componentLabelsOf(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame = {
+  private[operators] def componentLabelsOf(s: SparkSession, dir: String, pairsIn: DataFrame): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(propagateMinLabels(pairsIn), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component_id"))
+
+  /** THE min-label propagation loop, universe-agnostic: labels ONLY the
+    * vertices that appear in an edge (isolated records are trivially
+    * their own component — callers patch them in against their own
+    * universe: [[componentLabelsOf]] joins the documents corpus, the ER
+    * census runs over matched customers directly). Returns
+    * (doc_id, comp).
+    */
+  private[operators] def propagateMinLabels(pairsIn: DataFrame): DataFrame = {
       val pairs = pairsIn.select("ia", "ib")
       // The propagation loop runs ONLY over vertices that appear in a
       // near-dup edge — |V(E)| is orders of magnitude smaller than the
@@ -1109,9 +1121,7 @@ object Dedup {
         changed = next.filter(col("comp") =!= col("prev")).count()
         labels = next.select("doc_id", "comp")
       }
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component_id"))
+      labels
   }
 
   /** SQL twin of [[componentLabels]]: the recursive-CTE fixpoint. Must be

@@ -24,22 +24,45 @@ import graft.{QueryDef, Tables}
   */
 object EntityResolution {
 
+  /** THE blocked-and-scored match-pair definition (ka < kb, same
+    * nation+prefix block, levenshtein ≤ 1), checkpointed — shared by
+    * the greedy survivorship query and the transitive-component census
+    * so the two survivorship policies are compared on the SAME pairs.
+    */
+  private def erMatches(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    val m = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+        col("a.blk") === col("b.blk") &&
+        col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
+        col("b.c_nationkey").as("nation"))
+      // the blocked levenshtein join is the dominant kernel and feeds
+      // multiple consumers — build once
+      .localCheckpoint(true)
+    (c, m)
+  }
+
+  /** DuckDB twin of [[erMatches]]: CTEs `c` + `matches`. */
+  private val erMatchesDuck: String =
+    """c AS (
+      |        SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 16) AS blk
+      |        FROM customer),
+      |      matches AS (
+      |        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |               b.c_nationkey AS nation
+      |        FROM c a JOIN c b
+      |          ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+      |         AND a.c_custkey < b.c_custkey
+      |         AND levenshtein(a.c_name, b.c_name) <= 1)""".stripMargin
+
   val customerDedup: QueryDef = QueryDef(
     "er_customer_dedup",
     (s, dir) => {
-      val c = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          substring(col("c_name"), 1, 16).as("blk"))
-      val matches = c.as("a").join(c.as("b"),
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-          col("a.blk") === col("b.blk") &&
-          col("a.c_custkey") < col("b.c_custkey") &&
-          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
-        .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
-          col("b.c_nationkey").as("nation"))
-        // the blocked levenshtein join is the dominant kernel and feeds
-        // BOTH the survivorship agg and the pair rollup — build once
-        .localCheckpoint(true)
+      val (c, matches) = erMatches(s, dir)
       // survivor = no smaller matching neighbor
       val dupOf = matches.groupBy(col("kb").as("c_custkey"))
         .agg(min(col("ka")).as("dup_of"))
@@ -56,17 +79,8 @@ object EntityResolution {
           col("n_dups_dropped"), col("n_survivors"))
         .orderBy("nation")
     },
-    Some("""
-      WITH c AS (
-        SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, 16) AS blk
-        FROM customer),
-      matches AS (
-        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
-               b.c_nationkey AS nation
-        FROM c a JOIN c b
-          ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
-         AND a.c_custkey < b.c_custkey
-         AND levenshtein(a.c_name, b.c_name) <= 1),
+    Some(s"""
+      WITH $erMatchesDuck,
       dup_of AS (
         SELECT kb AS c_custkey, MIN(ka) AS dup_of FROM matches GROUP BY 1),
       rolled AS (
@@ -86,5 +100,79 @@ object EntityResolution {
       ORDER BY r.nation
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(customerDedup)
+  /** Transitive survivorship census over the SAME match pairs: min-label
+    * connected components (the [[Dedup.componentLabelsOf]] propagation
+    * loop, convergence-bounded over edge vertices only) versus the
+    * greedy earliest-neighbor policy. Greedy keeps every record with no
+    * SMALLER match — on a chain a−b−c where a−c is no direct match,
+    * greedy keeps {a, c} while the true entity count is 1 — so
+    * `over_retained = greedy_kept − n_components` per nation is exactly
+    * the duplicate mass the cheap policy leaks; the number that decides
+    * whether the extra propagation passes are worth running.
+    */
+  val customerComponents: QueryDef = QueryDef(
+    "er_customer_components",
+    (s, dir) => {
+      val (_, matches) = erMatches(s, dir)
+      val comp = Dedup.propagateMinLabels(
+        matches.select(col("ka").as("ia"), col("kb").as("ib")))
+      val nations = matches.select(col("ka").as("doc_id"), col("nation"))
+        .union(matches.select(col("kb").as("doc_id"), col("nation")))
+        .distinct()
+      val greedy = matches.groupBy(col("kb").as("doc_id"))
+        .agg(count(lit(1)).as("n_smaller"))
+      val perRecord = nations
+        .join(comp, Seq("doc_id"))
+        .join(greedy, Seq("doc_id"), "left_outer")
+        .select(col("nation").cast("long").as("nation"), col("doc_id"),
+          col("comp"), col("n_smaller").isNull.as("greedy_kept"))
+      val compSizes = perRecord.groupBy("nation", "comp")
+        .agg(count(lit(1)).as("sz"))
+      perRecord.groupBy("nation")
+        .agg(count(lit(1)).as("n_matched"),
+          countDistinct(col("comp")).as("n_components"),
+          count(when(col("greedy_kept"), 1)).as("greedy_kept"))
+        .join(compSizes.groupBy("nation").agg(max(col("sz")).as("max_component_size")),
+          Seq("nation"))
+        .select(col("nation"), col("n_matched"), col("n_components"),
+          col("max_component_size"), col("greedy_kept"),
+          (col("greedy_kept") - col("n_components")).as("over_retained"))
+        .orderBy("nation")
+    },
+    Some(s"""
+      WITH RECURSIVE $erMatchesDuck,
+      edges AS (SELECT ka AS src, kb AS dst FROM matches
+                UNION ALL SELECT kb, ka FROM matches),
+      seeds AS (SELECT DISTINCT ka AS id FROM matches
+                UNION SELECT DISTINCT kb FROM matches),
+      reach(id, r) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst),
+      comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+      nations AS (
+        SELECT DISTINCT doc_id, nation FROM (
+          SELECT ka AS doc_id, nation FROM matches
+          UNION ALL SELECT kb, nation FROM matches) t),
+      greedy AS (SELECT kb AS doc_id, COUNT(*) AS n_smaller FROM matches GROUP BY 1),
+      per_record AS (
+        SELECT CAST(n.nation AS BIGINT) AS nation, n.doc_id, c.comp,
+               g.n_smaller IS NULL AS greedy_kept
+        FROM nations n JOIN comp c USING (doc_id)
+        LEFT JOIN greedy g USING (doc_id)),
+      sizes AS (
+        SELECT nation, comp, COUNT(*) AS sz FROM per_record GROUP BY 1, 2)
+      SELECT p.nation, COUNT(*) AS n_matched,
+             COUNT(DISTINCT p.comp) AS n_components,
+             (SELECT CAST(MAX(sz) AS BIGINT) FROM sizes s WHERE s.nation = p.nation)
+               AS max_component_size,
+             COUNT(*) FILTER (WHERE greedy_kept) AS greedy_kept,
+             COUNT(*) FILTER (WHERE greedy_kept)
+               - COUNT(DISTINCT p.comp) AS over_retained
+      FROM per_record p
+      GROUP BY p.nation
+      ORDER BY p.nation
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(customerDedup, customerComponents)
 }
