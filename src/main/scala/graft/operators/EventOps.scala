@@ -589,10 +589,14 @@ object EventOps {
       * SQL-standard given an identical order. Output is the segment
       * census (rfm_code = r·100 + f·10 + m): user counts and exact cent
       * mass per cell — the 64-cell behavioral map a lifecycle/marketing
-      * pipeline consumes. Shape: one per-user aggregation, three
-      * user-grain NTILE windows (the exact-quartile discipline: user
-      * grain, not event grain; two-stage at extreme cardinality), one
-      * 64-cell census agg.
+      * pipeline consumes. Shape: one per-user aggregation, then three
+      * DISTRIBUTED exact NTILEs ([[TwoStageOrder.ntileExact]]: range
+      * partition + per-partition rank + closed-form bucket) — the
+      * per-user table grows with the user base, so the r10 global
+      * `ntile(4)` windows were three single-partition sorts of it; the
+      * two-stage form is bit-identical under the same tie-broken total
+      * orders and keeps every pass full-width — then one 64-cell census
+      * agg.
       */
     QueryDef(
       "event_rfm_segments",
@@ -602,10 +606,18 @@ object EventOps {
           .agg(max(col("ts")).as("last_ts"),
             count(lit(1)).as("freq"),
             sum((col("value").cast(D) * 100).cast("long")).as("cents"))
-        perUser
-          .withColumn("r", ntile(4).over(Window.orderBy(asc("last_ts"), asc("user_id"))))
-          .withColumn("f", ntile(4).over(Window.orderBy(asc("freq"), asc("user_id"))))
-          .withColumn("m", ntile(4).over(Window.orderBy(asc("cents"), asc("user_id"))))
+          // materialized once: each ntileExact's range partitioner runs a
+          // sampling pass over its input — unpinned, that pass would
+          // re-execute the events scan+agg three more times
+          .localCheckpoint(true)
+        val scored = Seq(
+          ("r", Seq(asc("last_ts"), asc("user_id"))),
+          ("f", Seq(asc("freq"), asc("user_id"))),
+          ("m", Seq(asc("cents"), asc("user_id"))))
+          .foldLeft(perUser) { case (df, (c, ord)) =>
+            TwoStageOrder.ntileExact(df, 4, ord, c)
+          }
+        scored
           .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("rfm_code"))
           .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
           .orderBy("rfm_code")

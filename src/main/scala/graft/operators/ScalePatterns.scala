@@ -124,15 +124,16 @@ object ScalePatterns {
     * global range; scaled, it drops to ~0.3×). The scale stats are one
     * 4-value scalar aggregate broadcast to the row-level map stage.
     *
-    * Scale shape: the z-value is one codegen'd map-side expression. At
-    * 100 TB the bucket assignment is `repartitionByRange($"z")` +
-    * `sortWithinPartitions` at write time — sampled range boundaries,
-    * fully distributed, no global sort. The ntile(16) over a total
-    * order here is the deterministic oracle-checkable stand-in for
-    * those sampled boundaries at test scale (it pins equal-count
-    * buckets so both engines bucket identically); the audit a reader
-    * consumes is the grouped min/max, which is layout-independent of
-    * how the boundaries were found.
+    * Scale shape: the z-value is one codegen'd map-side expression, and
+    * the bucket assignment IS the write-time layout pass:
+    * [[TwoStageOrder.ntileExact]] range-partitions on (z, orderkey)
+    * (sampled boundaries, fully distributed), ranks within partitions,
+    * and derives the equal-count bucket from the closed-form NTILE
+    * formula — deterministic and oracle-checkable (both engines bucket
+    * identically) with no single-partition sort anywhere (the r10 form
+    * still carried a global `ntile(16)` window here). The audit a
+    * reader consumes is the grouped min/max, which is
+    * layout-independent of how the boundaries were found.
     */
   val zorderLayout: QueryDef = QueryDef(
     "scale_zorder_layout",
@@ -151,10 +152,18 @@ object ScalePatterns {
         .withColumn("os", floor((col("oday") - col("odmin")) * lit(1023.0)
           / (col("odmax") - col("odmin"))).cast("bigint"))
         .withColumn("z", expr(zSpark("cs", "os", 10)))
-      val zb = base.withColumn("layout", lit("zorder"))
-        .withColumn("bucket", ntile(16).over(Window.orderBy(col("z"), col("o_orderkey"))))
-      val db = base.withColumn("layout", lit("datesort"))
-        .withColumn("bucket", ntile(16).over(Window.orderBy(col("oday"), col("o_orderkey"))))
+        // materialized once: feeds both layout arms, and each arm's range
+        // sampling pass would otherwise re-run the scan + scalar join
+        .localCheckpoint(true)
+      // distributed exact NTILE (TwoStageOrder): the bucket assignment
+      // is now itself the range-partition + local-rank layout pass the
+      // scaladoc promises at write time — no single-partition sort
+      val zb = TwoStageOrder.ntileExact(
+        base.withColumn("layout", lit("zorder")), 16,
+        Seq(asc("z"), asc("o_orderkey")), "bucket")
+      val db = TwoStageOrder.ntileExact(
+        base.withColumn("layout", lit("datesort")), 16,
+        Seq(asc("oday"), asc("o_orderkey")), "bucket")
       zb.unionByName(db)
         .groupBy(col("layout"), col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -385,13 +394,17 @@ object ScalePatterns {
       val raw = Tables.orders(s, dir)
         .select(col("o_orderkey"),
           datediff(col("o_orderdate"), lit("1995-01-01")).cast("bigint").as("oday"))
+        // materialized once: feeds the hash arm AND the two-stage ntile's
+        // sampling + shuffle passes
+        .localCheckpoint(true)
       val hashed = raw.withColumn("layout", lit("hash16"))
         .withColumn("shard",
           substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1))
-      val sorted = raw.withColumn("layout", lit("datesort16"))
-        .withColumn("shard",
-          ntile(16).over(Window.orderBy(col("oday"), col("o_orderkey")))
-            .cast("string"))
+      val sorted = TwoStageOrder.ntileExact(
+          raw.withColumn("layout", lit("datesort16")), 16,
+          Seq(asc("oday"), asc("o_orderkey")), "shard16")
+        .withColumn("shard", col("shard16").cast("string"))
+        .drop("shard16")
       val zones = hashed.unionByName(sorted)
         .groupBy("layout", "shard")
         .agg(count(lit(1)).as("n_rows"),
@@ -463,10 +476,14 @@ object ScalePatterns {
       def audit(keyCol: String) = {
         val counts = li.groupBy(col(keyCol).as("k"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(asc("c"), asc("k"))
-        counts
-          .withColumn("rn", row_number().over(w))
-          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+          // materialized once: the two-stage rank's range sampling pass
+          // would otherwise re-run the fact-table count
+          .localCheckpoint(true)
+        // |keys| grows with the fact table, so the rank runs two-stage
+        // (TwoStageOrder: range partition + local rank + offsets) — the
+        // r10 global row_number/COUNT() OVER () pair was two
+        // single-partition passes over the key table
+        TwoStageOrder.withGlobalRank(counts, Seq(asc("c"), asc("k")), "rn", "nk")
           .agg(
             sum(col("c")).as("n_rows"),
             max(col("nk")).as("n_keys"),

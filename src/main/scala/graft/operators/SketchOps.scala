@@ -122,13 +122,12 @@ object SketchOps {
         .select(col("event_type"), expr(hex12Spark(
           "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
         .distinct()
-      val w = Window.partitionBy("event_type").orderBy(asc("h"))
-      val kth = hashed
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= K)
-        .groupBy("event_type")
-        .agg(max(when(col("r") === K, col("h"))).as("vk"),
-          count(lit(1)).as("n_kept"))
+      // per-type K smallest via the bounded two-stage fold — event_type
+      // has a handful of values, so the r10 rank-within-type window was
+      // one data-proportional sort per type; TwoStageOrder.kSmallest
+      // keeps K per (type, input partition) then pools, which is the
+      // sketch-merge algebra itself and exact by construction
+      val kth = TwoStageOrder.kSmallest(hashed, Seq("event_type"), "h", K)
       val exact = Tables.events(s, dir)
         .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
       kth.join(exact, "event_type")
@@ -187,15 +186,12 @@ object SketchOps {
         .localCheckpoint(true) // feeds both per-set and merged rankings
       // expects an already-distinct h column: the per-type slices of
       // `hashed` are distinct by construction; only the union across
-      // types re-dedups (r9 review: two redundant exchanges dropped)
-      def est(df: org.apache.spark.sql.DataFrame, tag: String) = {
-        val w = Window.orderBy(asc("h"))
-        df.withColumn("r", row_number().over(w))
-          .filter(col("r") <= K)
-          .agg(max(when(col("r") === K, col("h"))).as("vk"),
-            count(lit(1)).as("n_kept"))
+      // types re-dedups (r9 review: two redundant exchanges dropped).
+      // K-smallest via the bounded two-stage fold (TwoStageOrder): the
+      // r10 global row_number ranked EVERY distinct hash to keep 64
+      def est(df: org.apache.spark.sql.DataFrame, tag: String) =
+        TwoStageOrder.kSmallest(df, Nil, "h", K)
           .select(expr(kmvEstSpark("n_kept", "vk")).as(s"est_$tag"))
-      }
       val exact = ev.agg(
         countDistinct(when(col("event_type") === "view", col("user_id"))).as("exact_a"),
         countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_b"),
@@ -255,14 +251,10 @@ object SketchOps {
           "md5(CAST(CAST(user_id AS STRING) AS BINARY))")).as("h"))
         .distinct()
         .localCheckpoint(true)
-      def est(df: org.apache.spark.sql.DataFrame, tag: String) = {
-        val w = Window.orderBy(asc("h"))
-        df.withColumn("r", row_number().over(w))
-          .filter(col("r") <= K)
-          .agg(max(when(col("r") === K, col("h"))).as("vk"),
-            count(lit(1)).as("n_kept"))
+      // bounded two-stage K-smallest, same contract as [[kmvSetOps]]
+      def est(df: org.apache.spark.sql.DataFrame, tag: String) =
+        TwoStageOrder.kSmallest(df, Nil, "h", K)
           .select(expr(kmvEstSpark("n_kept", "vk")).as(s"est_$tag"))
-      }
       val rowCounts = ev.agg(
         count(when(col("event_type") === "click", 1)).as("rows_a"),
         count(when(col("event_type") === "view", 1)).as("rows_b"))

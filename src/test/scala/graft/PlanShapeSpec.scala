@@ -63,6 +63,50 @@ class PlanShapeSpec extends SparkSpec {
     "graph_brand_modularity",         // 1-row edge-count crossJoin feeding the Q division
     "text_bpe_apply_merge")           // 1-row top-pair / replaced-count crossJoins
 
+  /** Queries where an unpartitioned logical Window is over a PROVABLY
+    * BOUNDED frame — an aggregate whose grain is constant-cardinality
+    * (days/months of a fixed date span, top-k slices, per-round scalar
+    * frames), so "all data to one partition" is a few hundred rows at
+    * any corpus size. Everything else must rank through TwoStageOrder
+    * (range partition + local rank + offset join) — the r10 audit found
+    * four data-proportional global windows that had accumulated
+    * unnoticed; this guard makes the class a build failure.
+    */
+  private val globalWindowBounded: Set[String] = Set(
+    "ann_eval_mrr",              // OVER () on the 10-row fixed query-set frame
+    "audit_benford_first_digit", // OVER () on the 9-row first-digit frame
+    "event_cumulative_uniques",  // cumsum over the DAY grain (fixed date span)
+    "pipeline_dedup_funnel",     // OVER () on the ~6-row stage-census frame
+    "pipeline_epoch_mixture",    // OVER () on the per-source frame (~5 sources)
+    "pipeline_temperature_mixture", // OVER () on the same per-source frame
+    "scale_two_stage_cumsum",    // stage-2 prefix over the MONTH frame — the
+                                 // bounded half of the two-stage pattern itself
+    "search_hybrid_rrf",         // arm ranks AFTER .limit(armK=100) — both
+                                 // windows run over ≤100-row arm lists
+    "stats_chi2_independence",   // OVER () on the contingency-cell frame
+    "stats_ks_drift",            // CDF over DISTINCT cents values — bounded by
+                                 // value resolution, not row count (scaladoc)
+    "stats_rank_sum_u",          // prefix over DISTINCT length values — same
+                                 // value-domain bound (scaladoc)
+    "text_vocab_growth",         // cumsum over the 10-row slice frame
+    "ts_anomaly_daily_revenue",  // day-grain median-by-rank frames
+    "ts_anomaly_robust_mad")     // day-grain median/MAD frames (6 windows)
+
+  test("no unpartitioned Window over an unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0 && !globalWindowBounded(name)) Some(s"$name ($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over unbounded input (single-partition sort " +
+        s"at scale) in: ${offenders.mkString(", ")} — rank through " +
+        "TwoStageOrder or whitelist with a boundedness argument")
+  }
+
   test("no query plans a CartesianProduct; NestedLoop only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)

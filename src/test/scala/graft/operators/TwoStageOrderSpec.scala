@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins [[TwoStageOrder]]'s exactness against the single-partition
+  * window forms it replaces: same rank, same NTILE bucket, same KMV
+  * boundary — on adversarial shapes (n < t, n < K, n % t ≠ 0, skewed
+  * values, single row) as well as bulk random data. The point of the
+  * suite: the seven rewritten queries keep their oracle hashes because
+  * these primitives are BIT-identical, not approximately right.
+  */
+class TwoStageOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDf(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    // duplicate-heavy v so tie-breaking via id is load-bearing
+    (1 to n).map(i => (i.toLong, rnd.nextInt(n / 4 + 1).toLong))
+      .toDF("id", "v").repartition(7)
+  }
+
+  test("withGlobalRank matches global row_number under the same total order") {
+    for ((n, seed) <- Seq((1, 1L), (5, 2L), (257, 3L), (1000, 4L))) {
+      val df = randomDf(n, seed)
+      val expected = df.withColumn("rk",
+          row_number().over(Window.orderBy(asc("v"), asc("id"))))
+        .select("id", "rk")
+      val got = TwoStageOrder
+        .withGlobalRank(df, Seq(asc("v"), asc("id")), "rk", "nt")
+        .select("id", "rk", "nt")
+      assert(got.select("nt").distinct().as[Long].collect().toSeq == Seq(n.toLong))
+      val diff = got.select("id", "rk").except(expected)
+        .union(expected.except(got.select("id", "rk")))
+      assert(diff.isEmpty, s"rank mismatch at n=$n")
+    }
+  }
+
+  test("ntileExact matches ntile() for every t, including t > n") {
+    val df = randomDf(103, 7L) // 103 % t != 0 for all tested t
+    for (t <- Seq(2, 4, 7, 16, 103, 200)) {
+      val expected = df.withColumn("b",
+          ntile(t).over(Window.orderBy(asc("v"), asc("id"))))
+        .select("id", "b")
+      val got = TwoStageOrder
+        .ntileExact(df, t, Seq(asc("v"), asc("id")), "b")
+        .select("id", "b")
+      val diff = got.except(expected).union(expected.except(got))
+      assert(diff.isEmpty, s"ntile mismatch at t=$t")
+    }
+  }
+
+  test("kSmallest matches rank-then-boundary, grouped and global") {
+    val rnd = new scala.util.Random(11L)
+    val hashed = (1 to 500).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        f"${rnd.nextLong().abs}%016x")
+    }.distinct.toDF("g", "h").repartition(7)
+    for (k <- Seq(1, 16, 64, 1000)) {
+      val expected = hashed
+        .withColumn("r", row_number().over(
+          Window.partitionBy("g").orderBy(asc("h"))))
+        .filter(col("r") <= k)
+        .groupBy("g")
+        .agg(max(when(col("r") === k, col("h"))).as("vk"),
+          count(lit(1)).as("n_kept"))
+      val got = TwoStageOrder.kSmallest(hashed, Seq("g"), "h", k)
+      val diff = got.except(expected).union(expected.except(got))
+      assert(diff.isEmpty, s"grouped kSmallest mismatch at k=$k")
+
+      val expGlobal = hashed
+        .withColumn("r", row_number().over(Window.orderBy(asc("h"))))
+        .filter(col("r") <= k)
+        .agg(max(when(col("r") === k, col("h"))).as("vk"),
+          count(lit(1)).as("n_kept"))
+      val gotGlobal = TwoStageOrder.kSmallest(hashed.select("h"), Nil, "h", k)
+      val dg = gotGlobal.except(expGlobal).union(expGlobal.except(gotGlobal))
+      assert(dg.isEmpty, s"global kSmallest mismatch at k=$k")
+    }
+  }
+
+  test("the primitives plan no unpartitioned Window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = randomDf(100, 13L)
+    Seq(
+      TwoStageOrder.withGlobalRank(df, Seq(asc("v"), asc("id")), "rk", "nt"),
+      TwoStageOrder.ntileExact(df, 4, Seq(asc("v"), asc("id")), "b"),
+      TwoStageOrder.kSmallest(df.select(col("v").cast("string").as("h")).distinct(),
+        Nil, "h", 16)
+    ).foreach { out =>
+      val bad = out.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, "TwoStageOrder itself planned a global window")
+    }
+  }
+}
