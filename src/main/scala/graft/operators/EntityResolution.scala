@@ -29,7 +29,7 @@ object EntityResolution {
     * the greedy survivorship query and the transitive-component census
     * so the two survivorship policies are compared on the SAME pairs.
     */
-  private def erMatches(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[operators] def erMatches(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         substring(col("c_name"), 1, 16).as("blk"))
@@ -39,7 +39,7 @@ object EntityResolution {
         col("a.c_custkey") < col("b.c_custkey") &&
         levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
       .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
-        col("b.c_nationkey").as("nation"))
+        col("b.c_nationkey").as("nation"), col("a.blk").as("blk"))
       // the blocked levenshtein join is the dominant kernel and feeds
       // multiple consumers — build once
       .localCheckpoint(true)
@@ -114,8 +114,21 @@ object EntityResolution {
     "er_customer_components",
     (s, dir) => {
       val (_, matches) = erMatches(s, dir)
-      val comp = Dedup.propagateMinLabels(
-        matches.select(col("ka").as("ia"), col("kb").as("ib")))
+      // ZERO-ROUND components: the match join requires equal
+      // (nation, blk), so a component can never span two blocks — the
+      // global connected components ARE the per-block components, and a
+      // per-block union-find aggregation replaces the driver-scheduled
+      // fixpoint loop entirely (r10 verdict item 3: the ~10 serial
+      // rounds ARE the cost at local scale, and O(log d) rounds of
+      // cluster barriers at 100 TB). One shuffle on the block key,
+      // map-side combinable, state bounded by the block width the
+      // blocked levenshtein join already commits to (Σ block² pairs).
+      // The attach-under-smaller-root invariant makes every tree root
+      // the component minimum, so labels are bit-identical to the
+      // propagation fixpoint (BlockUnionFindSpec fuzzes the equality;
+      // graphs whose components DO span blocking keys — the document
+      // near-dup graph — keep using Dedup.propagateMinLabels).
+      val comp = blockComponents(matches)
       val nations = matches.select(col("ka").as("doc_id"), col("nation"))
         .union(matches.select(col("kb").as("doc_id"), col("nation")))
         .distinct()
@@ -173,6 +186,83 @@ object EntityResolution {
       GROUP BY p.nation
       ORDER BY p.nation
     """.stripMargin.trim))
+
+  /** Connected-component labels of a BLOCK-CONFINED pair graph as one
+    * keyed aggregation: pairs grouped by their blocking key, union-find
+    * within each group, labels exploded back out as (doc_id, comp).
+    * Correct ONLY when edges cannot span blocks (true here by the match
+    * join's equality on nation+blk); the payoff is zero driver-scheduled
+    * fixpoint rounds. Returns one row per matched vertex.
+    */
+  private[operators] def blockComponents(
+      matches: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val pairEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    matches
+      .select(concat_ws("|", col("nation"), col("blk")).as("bk"),
+        col("ka"), col("kb"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(BlockUnionFind.toColumn.name("labels"))
+      .flatMap(_._2)
+      .toDF("doc_id", "comp")
+  }
+
+  /** Union-find over the pairs of ONE block (§2.10 typed-Aggregator
+    * surface, like npm.LatestPerPackage): buffer = parent-pointer
+    * forest; union attaches the LARGER root under the smaller, so every
+    * final root is its component's minimum id — the same label the
+    * min-propagation fixpoint converges to. Merge replays the smaller
+    * side's parent edges (each connects two same-component vertices),
+    * so partial map-side buffers combine associatively and the result
+    * is placement-independent. State is O(block vertices) — bounded by
+    * the same block width that bounds the candidate join.
+    */
+  private[operators] object BlockUnionFind
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Map[Long, Long], Seq[(Long, Long)]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    private def root(p: Map[Long, Long], x: Long): Long = {
+      var r = x
+      while (p.getOrElse(r, r) != r) r = p(r)
+      r
+    }
+
+    private def union(p: Map[Long, Long], a: Long, b: Long): Map[Long, Long] = {
+      val ra = root(p, a)
+      val rb = root(p, b)
+      if (ra == rb) p
+      else if (ra < rb) p + (rb -> ra)
+      else p + (ra -> rb)
+    }
+
+    override def reduce(p: Map[Long, Long], pair: (Long, Long)): Map[Long, Long] =
+      // self-entries keep vertices visible even when they end up as a
+      // tree root that never appears on the child side of an edge
+      union(p + (pair._1 -> root(p, pair._1)) + (pair._2 -> root(p, pair._2)),
+        pair._1, pair._2)
+
+    override def merge(l: Map[Long, Long], r: Map[Long, Long]): Map[Long, Long] =
+      r.foldLeft(l) { case (acc, (k, v)) =>
+        union(acc + (k -> root(acc, k)), k, v)
+      }
+
+    override def finish(p: Map[Long, Long]): Seq[(Long, Long)] =
+      p.keysIterator.map(v => v -> root(p, v)).toSeq
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      Encoders.kryo[Map[Long, Long]]
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      Encoders.kryo[Seq[(Long, Long)]]
+  }
 
   val defs: Seq[QueryDef] = Seq(customerDedup, customerComponents)
 }

@@ -217,7 +217,7 @@ object GraphIterative {
     * shared by [[triangleCount]] (which builds it inline — the family's
     * honest full-build carrier) and the pinned [[coOrderSurface]] that
     * probes like [[linkPrediction]] read. */
-  private def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     sp.as("x").join(sp.as("y"),
