@@ -243,7 +243,13 @@ object GraphIterative {
   val triangleCount: QueryDef = QueryDef(
     "graph_triangle_count",
     (s, dir) => {
-      // honest full build through the SAME shared definition
+      // honest full build through the SAME shared definition. Cost
+      // attribution (r11 Profile `tri`, sf0.1 warm): the ~5.5 s bench
+      // entry is ~2.7 s SURFACE BUILD (edge list 2.0 + degrees 0.4 +
+      // orientation 0.4) vs ~2.5 s census (bloom + SHJ closure over
+      // 49M wedges) — the build half is exactly what the pinned
+      // coOrderSurface consumers (k-core, link prediction, modularity)
+      // amortize away; this query carries it once per session by design.
       val und = buildCoOrderEdges(s, dir)
       val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
