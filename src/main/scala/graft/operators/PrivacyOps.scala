@@ -188,5 +188,107 @@ object PrivacyOps {
       ORDER BY l
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(piiScan, pseudonymizeAudit, kAnonymity, lDiversity)
+  /** t-closeness over the same quasi-identifier classes — the third
+    * rung of the anonymity ladder: a class can be k-anonymous AND
+    * l-diverse while its sensitive-attribute DISTRIBUTION still leaks
+    * (e.g. 90% of one class in the lowest balance band vs 20%
+    * globally). Distance is the Earth Mover's Distance for ordered
+    * categories — EMD(P,Q) = Σ_b |cumP(b) − cumQ(b)| / (m−1) over the
+    * m balance bands — computed EXACTLY in integers: per-band
+    * cumulative counts cross-multiplied against class size k and
+    * corpus size n (|cumP·n − cumQ·k| in DECIMAL(38,0): cum·n reaches
+    * n², the rank-sum overflow class), normalized to ppm with one
+    * final integer division. Output is the t-decile census (classes,
+    * rows, worst t per decile) with t > 0.3 flagged — the release
+    * gate's one-glance artifact, like the k/l histograms.
+    *
+    * Scale shape: one keyed (QI, band) count, a broadcast dense-band
+    * grid (bands are a fixed value domain — ⌊acctbal/2000⌋ spans ~6
+    * values at any corpus size), per-CLASS cumulative windows
+    * (partitioned, never global), and the global cumulative ALSO
+    * derives from the class cums by re-aggregation (Σ_c cumP(c,b) =
+    * cumQ(b)) — so no unpartitioned window exists anywhere; the final
+    * census aggregates |classes| rows.
+    */
+  val tCloseness: QueryDef = QueryDef(
+    "privacy_t_closeness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cellCounts = Tables.customer(s, dir)
+        .withColumn("band", expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)"))
+        .groupBy(quasiIds.map(col) :+ col("band"): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds classes, the band list and the grid
+      val classes = cellCounts.groupBy(quasiIds.map(col): _*)
+        .agg(sum(col("cnt")).as("k"))
+      val bands = cellCounts.select("band").distinct()
+      val wc = Window.partitionBy(quasiIds.map(col): _*).orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = classes
+        .crossJoin(broadcast(bands)) // dense grid: every class × every band
+        .join(cellCounts, quasiIds :+ "band", "left")
+        .select(quasiIds.map(col) ++ Seq(col("band"), col("k"),
+          coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+        .withColumn("cumc", sum(col("cnt")).over(wc))
+      val gcum = cum.groupBy("band").agg(sum(col("cumc")).as("cumq"))
+      val tot = classes.agg(sum(col("k")).as("n"))
+      cum
+        .join(broadcast(gcum), "band")
+        .crossJoin(broadcast(tot))
+        .groupBy(quasiIds.map(col) :+ col("k"): _*)
+        .agg(count(lit(1)).as("m"),
+          max(col("n")).as("n"),
+          sum(expr("ABS(CAST(cumc AS DECIMAL(38,0)) * n - CAST(cumq AS DECIMAL(38,0)) * k)"))
+            .as("emd_num"))
+        .withColumn("t_ppm", expr(
+          """CAST(CAST(emd_num * 1000000 AS DECIMAL(38,0))
+             DIV (GREATEST(m - 1, 1) * CAST(k AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+        .groupBy(expr("t_ppm DIV 100000").as("t_decile"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_customers"),
+          max(col("t_ppm")).as("max_t_ppm"))
+        .withColumn("violates", col("t_decile") >= 3)
+        .orderBy("t_decile")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT $quasiIdsSql, CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band,
+               COUNT(*) AS cnt
+        FROM customer GROUP BY $quasiIdsSql, band),
+      classes AS (
+        SELECT $quasiIdsSql, CAST(SUM(cnt) AS BIGINT) AS k
+        FROM cells GROUP BY $quasiIdsSql),
+      bands AS (SELECT DISTINCT band FROM cells),
+      grid AS (
+        SELECT c.*, b.band, COALESCE(x.cnt, 0) AS cnt
+        FROM classes c CROSS JOIN bands b
+        LEFT JOIN cells x USING ($quasiIdsSql, band)),
+      cums AS (
+        SELECT *, SUM(cnt) OVER (PARTITION BY $quasiIdsSql ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        FROM grid),
+      gcum AS (SELECT band, CAST(SUM(cumc) AS BIGINT) AS cumq FROM cums GROUP BY band),
+      tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM classes),
+      scored AS (
+        SELECT $quasiIdsSql, k, COUNT(*) AS m, MAX(n) AS n,
+               SUM(ABS(CAST(cumc AS HUGEINT) * n - CAST(cumq AS HUGEINT) * k)) AS emd_num
+        FROM cums JOIN gcum USING (band) CROSS JOIN tot
+        GROUP BY $quasiIdsSql, k),
+      t AS (
+        SELECT k, t_ppm, CAST(t_ppm // 100000 AS BIGINT) AS t_decile
+        FROM (SELECT k, CAST(emd_num * 1000000
+                // (GREATEST(m - 1, 1) * CAST(k AS HUGEINT) * n) AS BIGINT) AS t_ppm
+              FROM scored) s)
+      SELECT t_decile,
+             COUNT(*) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_customers,
+             MAX(t_ppm) AS max_t_ppm,
+             t_decile >= 3 AS violates
+      FROM t
+      GROUP BY t_decile
+      ORDER BY t_decile
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(piiScan, pseudonymizeAudit, kAnonymity, lDiversity, tCloseness)
 }

@@ -525,7 +525,60 @@ object ScalePatterns {
       ORDER BY key_col
     """.stripMargin.trim))
 
+  /** Exact tail quantiles (p50/p90/p99/p99.9) of per-order revenue —
+    * the latency/size-distribution readout every pipeline SLO dashboard
+    * needs EXACT at the tail, where approx-percentile sketches are
+    * loosest. Rank-definition: value at rank ⌈q·n⌉ under the
+    * (cents, orderkey) total order — the same quartiles-by-rank idiom
+    * as the skew audit's p99, generalized to a quantile VECTOR from ONE
+    * ranking pass. The ranking is [[TwoStageOrder.withGlobalRank]]
+    * (range partition + local rank + offset fold), so no
+    * single-partition sort exists at any input size; the final agg
+    * probes four ranks from the same ranked frame. Integer cents
+    * throughout — bit-identical across engines.
+    */
+  val exactQuantiles: QueryDef = QueryDef(
+    "scale_exact_quantiles",
+    (s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(D) * 100).cast("long").as("vc"))
+        // materialized once: the two-stage rank's range sampling pass
+        // would otherwise re-run the scan+projection
+        .localCheckpoint(true)
+      TwoStageOrder.withGlobalRank(cents, Seq(asc("vc"), asc("o_orderkey")), "rn", "n")
+        .agg(
+          max(col("n")).as("n_orders"),
+          max(when(col("rn") === expr("CAST(CEIL(0.5 * n) AS BIGINT)"), col("vc")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("CAST(CEIL(0.9 * n) AS BIGINT)"), col("vc")))
+            .as("p90_cents"),
+          max(when(col("rn") === expr("CAST(CEIL(0.99 * n) AS BIGINT)"), col("vc")))
+            .as("p99_cents"),
+          max(when(col("rn") === expr("CAST(CEIL(0.999 * n) AS BIGINT)"), col("vc")))
+            .as("p999_cents"),
+          max(when(col("rn") === col("n"), col("vc"))).as("max_cents"))
+    },
+    Some("""
+      WITH cents AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        FROM orders),
+      ranked AS (
+        SELECT vc,
+               ROW_NUMBER() OVER (ORDER BY vc ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cents)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+             MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN vc END) AS p50_cents,
+             MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN vc END) AS p90_cents,
+             MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN vc END) AS p99_cents,
+             MAX(CASE WHEN rn = CAST(CEIL(0.999 * n) AS BIGINT) THEN vc END) AS p999_cents,
+             MAX(CASE WHEN rn = n THEN vc END) AS max_cents
+      FROM ranked
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
-      twoStageCumsum, zonemapPrune, joinSkewAudit)
+      twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles)
 }

@@ -53,14 +53,18 @@ object TwoStageOrder {
     // materialized ONCE: the range partitioner SAMPLES its boundaries per
     // execution, and this frame feeds two consumers (the count frame and
     // the rank join) — re-executing the exchange could hand them two
-    // different placements and corrupt the offsets. A write-time layout
-    // job has the same shape: it writes the ranged files exactly once.
+    // different placements and corrupt the offsets (caught bit-for-bit by
+    // the r11 rewrite harness: 17 unequal zorder buckets). A write-time
+    // layout job has the same shape: it writes the ranged files exactly
+    // once. LAZY checkpoint: the offsets broadcast build below is the
+    // first consumer and materializes it — one job instead of an eager
+    // checkpoint job plus the broadcast job (the ER-loop fold, reused).
     val local = df
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrank", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(order: _*)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
       // single-valued join key DERIVED from __pid (pmod, not a literal):
       // a lit(1) key constant-folds out of the join condition and the

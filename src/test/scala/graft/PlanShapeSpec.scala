@@ -61,7 +61,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_eval_mrr",                   // composes the brute-force baseline (broadcast query set)
     "graph_kcore_peel",               // per-round 1-row survivor/edge-count crossJoins
     "graph_brand_modularity",         // 1-row edge-count crossJoin feeding the Q division
-    "text_bpe_apply_merge")           // 1-row top-pair / replaced-count crossJoins
+    "text_bpe_apply_merge",           // 1-row top-pair / replaced-count crossJoins
+    "privacy_t_closeness")            // classes × ~6-row band grid + 1-row corpus total
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality

@@ -49,4 +49,40 @@ class PrivacySpec extends SparkSpec {
         r.getAs[Long]("n_collisions") == 0L, s"$r")
     }
   }
+
+  test("t-closeness flags the skewed class and scores EMD exactly") {
+    import spark.implicits._
+    // two QI classes over bands {0, 1} (acctbal 0-1999 -> band 0,
+    // 2000-3999 -> band 1):
+    //  - class (1, A): 10 rows, all band 0  (skewed)
+    //  - class (2, B): 10 rows, 5 per band  (matches neither globally)
+    // global Q: cum = (15, 20). m = 2, k = 10, n = 20.
+    //  class A: cumP = (10, 10) -> |10*20-15*10| + |10*20-20*10| = 50+0
+    //           t_ppm = 50*1e6 / (1*10*20) = 250000 -> decile 2
+    //  class B: cumP = (5, 10)  -> |5*20-15*10| = 50 -> same 250000
+    // Both classes land in decile 2, not flagged; then a THIRD class
+    // fully in band 1 must push its own t higher and get flagged.
+    val rows =
+      (1 to 10).map(i => (100L + i, "c", 1, 500.0, "A")) ++
+      (1 to 5).map(i => (200L + i, "c", 2, 500.0, "B")) ++
+      (1 to 5).map(i => (300L + i, "c", 2, 2500.0, "B"))
+    val dir = java.nio.file.Files.createTempDirectory("tclose").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = PrivacyOps.tCloseness.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(got == Map(2L -> (2L, 20L, 250000L, false)),
+      s"hand-computed EMD mismatch: $got")
+
+    // add a 4-row class entirely in band 1: cumP=(0,4), cumQ=(15,24),
+    // n=24, k=4: |0*24-15*4| = 60 -> t_ppm = 60*1e6/(1*4*24) = 625000
+    val rows2 = rows ++ (1 to 4).map(i => (400L + i, "c", 3, 2500.0, "C"))
+    val dir2 = java.nio.file.Files.createTempDirectory("tclose2").toString
+    rows2.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir2/customer.parquet")
+    val got2 = PrivacyOps.tCloseness.run(spark, dir2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got2(6L) == ((625000L, true)), s"skewed class not flagged: $got2")
+  }
 }
