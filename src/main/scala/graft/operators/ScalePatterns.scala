@@ -578,7 +578,56 @@ object ScalePatterns {
       FROM ranked
     """.stripMargin.trim))
 
+  /** The ACTION the skew audit feeds — a deterministic per-key salting
+    * plan for the l_partkey join side: every key whose row count
+    * exceeds τ = 4× the mean gets `splits = ⌈rows/τ⌉` salt buckets
+    * (the explicit form of what AQE's skew-join split does at runtime,
+    * as a PLANNABLE artifact a pipeline can bake into a bucketed write).
+    * Output is the one-row plan summary: hot-key census, total splits,
+    * and the max single-reducer row count BEFORE vs AFTER — the number
+    * that decides whether the shuffle fits executor memory. Everything
+    * derives from one keyed count; the plan math runs on |keys| rows
+    * and the summary on one. Integer-exact: τ via integer DIV, AFTER =
+    * ⌈rows/splits⌉ per key.
+    */
+  val skewSaltPlan: QueryDef = QueryDef(
+    "scale_skew_salt_plan",
+    (s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val tau = counts.agg(
+        expr("GREATEST(4 * (SUM(c) DIV COUNT(1)), 1)").as("tau"))
+      counts.crossJoin(broadcast(tau))
+        .withColumn("splits", expr("(c + tau - 1) DIV tau"))
+        .agg(
+          max(col("tau")).as("tau_rows"),
+          count(lit(1)).as("n_keys"),
+          count(when(col("splits") > 1, 1)).as("n_hot_keys"),
+          coalesce(sum(when(col("splits") > 1, col("c"))), lit(0L)).as("hot_rows"),
+          coalesce(sum(when(col("splits") > 1, col("splits"))), lit(0L)).as("n_splits"),
+          max(col("c")).as("max_before"),
+          max(expr("(c + splits - 1) DIV splits")).as("max_after"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      tau AS (
+        SELECT GREATEST(4 * (SUM(c) // COUNT(*)), 1) AS tau FROM counts),
+      plan AS (
+        SELECT c, tau, (c + tau - 1) // tau AS splits
+        FROM counts CROSS JOIN tau)
+      SELECT CAST(MAX(tau) AS BIGINT) AS tau_rows,
+             COUNT(*) AS n_keys,
+             COUNT(*) FILTER (WHERE splits > 1) AS n_hot_keys,
+             CAST(COALESCE(SUM(c) FILTER (WHERE splits > 1), 0) AS BIGINT) AS hot_rows,
+             CAST(COALESCE(SUM(splits) FILTER (WHERE splits > 1), 0) AS BIGINT) AS n_splits,
+             CAST(MAX(c) AS BIGINT) AS max_before,
+             CAST(MAX((c + splits - 1) // splits) AS BIGINT) AS max_after
+      FROM plan
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
-      twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles)
+      twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles, skewSaltPlan)
 }

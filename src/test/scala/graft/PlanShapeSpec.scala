@@ -62,7 +62,8 @@ class PlanShapeSpec extends SparkSpec {
     "graph_kcore_peel",               // per-round 1-row survivor/edge-count crossJoins
     "graph_brand_modularity",         // 1-row edge-count crossJoin feeding the Q division
     "text_bpe_apply_merge",           // 1-row top-pair / replaced-count crossJoins
-    "privacy_t_closeness")            // classes × ~6-row band grid + 1-row corpus total
+    "privacy_t_closeness",            // classes × ~6-row band grid + 1-row corpus total
+    "scale_skew_salt_plan")           // 1-row threshold (τ) crossJoin into the key census
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality

@@ -81,6 +81,22 @@ class TwoStageOrderSpec extends SparkSpec {
     }
   }
 
+  test("repeated rank runs agree (sampled range boundaries cannot leak)") {
+    // the r11 rewrite's one real bug class: the range partitioner samples
+    // boundaries per execution, so the count frame and the rank join must
+    // observe ONE materialized placement — without the checkpoint this
+    // produced 17 unequal zorder buckets. Two full runs plus an internal
+    // consistency check (rank is a permutation of 1..n) pin it.
+    val df = randomDf(1201, 17L)
+    def run() = TwoStageOrder
+      .withGlobalRank(df, Seq(asc("v"), asc("id")), "rk", "nt")
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    val b = run()
+    assert(a == b, "two executions disagree on ranks")
+    assert(a.values.toSeq.sorted == (1L to 1201L), "rank is not a permutation of 1..n")
+  }
+
   test("the primitives plan no unpartitioned Window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = randomDf(100, 13L)
