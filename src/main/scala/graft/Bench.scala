@@ -56,7 +56,9 @@ object Bench {
     "ts_trend_ols", "event_cumulative_uniques",
     "pipeline_quality_dup_calibration", "graph_brand_modularity",
     "audit_benford_first_digit", "text_bpe_apply_merge",
-    "er_customer_components")
+    "er_customer_components", "privacy_t_closeness", "scale_exact_quantiles",
+    "scale_skew_salt_plan", "sample_uniform_fixed_k",
+    "stream_kmv_distinct_live")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

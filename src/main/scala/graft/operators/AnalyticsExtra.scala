@@ -159,6 +159,29 @@ object AnalyticsExtra {
         ORDER BY o_orderpriority
       """.stripMargin.trim)),
 
+    // ---- deterministic FIXED-SIZE uniform sample: K smallest hashes ------
+    // Rate sampling (above) can't promise an exact row budget; eval sets
+    // and human-review queues need EXACTLY K. "ORDER BY md5(id) LIMIT K"
+    // is the uniform choice but plans a corpus-wide TopK sort at scale —
+    // TwoStageOrder.kSmallestRows keeps K per input partition and takes
+    // K of the pooled ≤ P·K survivors: same rows, bit-deterministic at
+    // any parallelism, no data-proportional single-partition stage.
+    QueryDef(
+      "sample_uniform_fixed_k",
+      (s, dir) => {
+        val hashed = Tables.documents(s, dir)
+          .select(md5(col("doc_id").cast("string").cast("binary")).as("h"),
+            col("doc_id"), col("source"), col("n_chars"))
+        TwoStageOrder.kSmallestRows(hashed, "h", 200)
+          .select("doc_id", "source", "n_chars")
+      },
+      Some("""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR))
+        LIMIT 200
+      """.stripMargin.trim)),
+
     // ---- TF-IDF-surrogate argmax term per document -----------------------
     // score = tf * N / df : exact integers + one IEEE division, so it ranks
     // identically to tf-idf on this corpus without log() portability risk.

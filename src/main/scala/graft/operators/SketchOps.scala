@@ -321,5 +321,120 @@ object SketchOps {
       FROM assembled
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate)
+  /** The KMV sketch maintained LIVE over a stream — the sketch-merge
+    * algebra ("union = K smallest of the pooled hashes") executed
+    * incrementally instead of asserted: the events feed replays as real
+    * file-source micro-batches, and each `foreachBatch` folds the
+    * batch's distinct user-hashes into a persisted per-type sketch
+    * table by union + K-smallest (TwoStageOrder.kSmallest's
+    * per-partition prefilter + bounded pooled fold, so no batch ever
+    * ranks more than (types × P × K) + |batch| rows). Because the merge
+    * is ASSOCIATIVE and IDEMPOTENT, the final sketch equals the batch
+    * KMV of the whole table regardless of how the feed was
+    * micro-batched — and a replayed batch (failure/retry) cannot change
+    * it, the exactly-once-by-algebra property the replay family proves
+    * for counts, here proved for sketch state. The oracle recomputes
+    * the KMV from scratch in DuckDB: the STREAMING path must land on
+    * the identical estimate bit-for-bit.
+    *
+    * At 100 TB the per-batch cost is |batch| + sketch (K rows/type);
+    * corpus size only ever enters through the one-time exact audit
+    * column, exactly as in [[kmvDistinct]].
+    */
+  /** THE per-type KMV merge: union two (event_type, h) hash sets and
+    * keep the K smallest per type — associative, commutative and
+    * idempotent (KmvLiveSpec pins all three), which is what makes the
+    * live maintenance below batching-independent and replay-safe. The
+    * rank runs per (type, input-partition) then over the pooled ≤ P·K
+    * survivors — TwoStageOrder.kSmallest's shape, row-retrieving.
+    */
+  private[operators] def mergeKmvSketch(
+      sketch: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sketch.unionByName(batch).distinct()
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "__pid").orderBy(asc("h"))))
+      .filter(col("__r") <= K)
+      .groupBy("event_type")
+      .agg(slice(sort_array(collect_list(col("h"))), 1, K).as("__pool"))
+      .select(col("event_type"), explode(col("__pool")).as("h"))
+
+  val kmvDistinctLive: QueryDef = QueryDef(
+    "stream_kmv_distinct_live",
+    (s0, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).localCheckpoint(true)
+      val base = java.nio.file.Files.createTempDirectory("graft-kmv-live").toString
+      val sketchDir = s"$base/sketch"
+      // two feed drops = two micro-batches under maxFilesPerTrigger=1
+      graft.ParallelStage(
+        () => ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/d0"),
+        () => ev.filter(col("user_id") % 2 === 1).coalesce(1).write.parquet(s"$base/in/d1"))
+      val hashOf = expr(hex12Spark(
+        "md5(CAST(CAST(user_id AS STRING) AS BINARY))"))
+      // seed an empty sketch so every batch is the same read-merge-write
+      ev.limit(0).select(col("event_type"), hashOf.as("h"))
+        .write.parquet(sketchDir)
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sb = batch.sparkSession
+          val bh = batch.select(col("event_type"), hashOf.as("h")).distinct()
+          val merged = mergeKmvSketch(sb.read.parquet(sketchDir), bh)
+            // materialized BEFORE the overwrite of the table it reads
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(sketchDir)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // vk = the K-th smallest = the sketch maximum when the sketch is
+      // full, null when the type has fewer than K distinct users
+      val sketch = s.read.parquet(sketchDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          when(count(lit(1)) === K, max(col("h"))).as("vk"))
+      val exact = Tables.events(s, dir)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      sketch.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          expr(kmvEstSpark("n_kept", "vk")).as("kmv_est"))
+        .withColumn("within_20pct",
+          abs(col("kmv_est") - col("n_exact")) * 5 <= col("n_exact"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ${hex12Duck("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events),
+      ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+        FROM hashed),
+      kth AS (
+        SELECT event_type, MAX(CASE WHEN r = $K THEN h END) AS vk,
+               COUNT(*) AS n_kept
+        FROM ranked WHERE r <= $K GROUP BY 1),
+      exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT k.event_type AS event_type, e.n_exact AS n_exact,
+             ${kmvEstDuck("k.n_kept", "k.vk")} AS kmv_est,
+             ABS(${kmvEstDuck("k.n_kept", "k.vk")} - e.n_exact) * 5
+               <= e.n_exact AS within_20pct
+      FROM kth k JOIN exact e USING (event_type)
+      ORDER BY event_type
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate, kmvDistinctLive)
 }

@@ -118,6 +118,31 @@ object TwoStageOrder {
     * rank + a bounded ≤ P·K pooled fold. `groupCols` empty = one global
     * sketch row.
     */
+  /** The K whole ROWS with the smallest `hCol` (which must be unique —
+    * a hash of a key column — so the selection is deterministic):
+    * per-partition K-smallest prefilter, then the K smallest of the
+    * pooled ≤ P·K survivors via one bounded sort_array/slice/explode
+    * aggregation — the row-retrieving sibling of [[kSmallest]], and the
+    * scale shape of a deterministic fixed-size uniform sample
+    * (`ORDER BY hash LIMIT K` without the single-partition TopK sort
+    * over the corpus). Column order is preserved; `hCol` must be the
+    * FIRST column of `df` so the pooled struct sort orders by it.
+    */
+  def kSmallestRows(df: DataFrame, hCol: String, k: Int): DataFrame = {
+    require(df.columns.head == hCol, s"$hCol must be df's first column")
+    val pruned = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(asc(hCol))))
+      .filter(col("__r") <= k)
+      .drop("__pid", "__r")
+    pruned
+      .agg(slice(sort_array(collect_list(struct(df.columns.map(col): _*))), 1, k)
+        .as("__smp"))
+      .select(explode(col("__smp")).as("__e"))
+      .select(df.columns.map(c => col(s"__e.$c")): _*)
+  }
+
   def kSmallest(df: DataFrame, groupCols: Seq[String], hCol: String,
                 k: Int): DataFrame = {
     val pruned = df

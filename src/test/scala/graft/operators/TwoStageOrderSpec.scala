@@ -81,6 +81,20 @@ class TwoStageOrderSpec extends SparkSpec {
     }
   }
 
+  test("kSmallestRows equals ORDER BY h LIMIT k, for k below and above n") {
+    val df = randomDf(300, 23L)
+      .select(md5(col("id").cast("string").cast("binary")).as("h"), col("id"), col("v"))
+      .repartition(7)
+    for (k <- Seq(1, 50, 1000)) {
+      val got = TwoStageOrder.kSmallestRows(df, "h", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = df.orderBy(asc("h")).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"kSmallestRows mismatch at k=$k")
+      assert(got.size == math.min(k, 300))
+    }
+  }
+
   test("repeated rank runs agree (sampled range boundaries cannot leak)") {
     // the r11 rewrite's one real bug class: the range partitioner samples
     // boundaries per execution, so the count frame and the rank join must
