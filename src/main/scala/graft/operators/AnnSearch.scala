@@ -644,8 +644,127 @@ object AnnSearch {
       LEFT JOIN capped_edges c ON x.qid = c.qid AND x.cand_id = c.cand_id
     """.stripMargin.trim))
 
+  /** IVF coarse-quantizer TRAINING — the step every other IVF query
+    * assumes done (their `label` comes precomputed): Lloyd's k-means as
+    * unrolled keyed stages, bit-reproducible across engines so the
+    * trained quantizer is a deterministic artifact, not a seed lottery.
+    *
+    *  - seeding: the k=8 vectors with the smallest md5(vec_id)
+    *    ([[TwoStageOrder.kSmallestRows]] — hash-uniform, orderless,
+    *    reproducible at any parallelism); cid = rank under the hash.
+    *  - assign: vector × broadcast 8-row centroid frame, squared-L2 by
+    *    the index-ordered left fold both engines share (`aggregate`/
+    *    `zip_with` vs `list_reduce`), argmin = min(struct(dist2, cid))
+    *    with cid tiebreak.
+    *  - update: per-dimension mean under the centroid discipline
+    *    (DECIMAL(20,10) sums, one final IEEE division).
+    *
+    * Two full update rounds + a final assignment; output is the
+    * per-cluster census (size, integer-micro inertia) — the artifact
+    * that decides whether the quantizer is balanced enough to ship.
+    * Scale shape: each round is one broadcast nested-loop over k=8
+    * centroids (map-side) + two keyed aggs; nothing is ever ranked
+    * globally and the only iteration state is the 8-row centroid frame.
+    */
+  val kmeansTrain: QueryDef = QueryDef(
+    "ann_ivf_kmeans_train",
+    (s, dir) => {
+      val kC = 8
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .localCheckpoint(true) // seed pass + three assignment passes
+      val seeds = TwoStageOrder.kSmallestRows(
+          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+            col("vec_id"), col("v")), "h", kC)
+        // rank over the k=8-row seed frame (bounded by construction)
+        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+        .select(col("cid"), col("v").as("c"))
+      def assign(cents: DataFrame): DataFrame =
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("dist2", expr(
+            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned.join(vecs, "vec_id")
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+            .as("cx"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+            .as("c"))
+      val c1 = update(assign(seeds))
+      val c2 = update(assign(c1))
+      assign(c2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"),
+          // Σ ⌊dist2·10⁶⌋: FLOOR of a bit-identical double is exact on
+          // both engines, where a double→DECIMAL cast exposed the two
+          // engines' different rounding rules in the 12th digit
+          sum(expr("CAST(FLOOR(dist2 * 1000000.0D) AS BIGINT)")).as("inertia_e6"))
+        .select(col("cid").as("cluster"), col("n_vectors"), col("inertia_e6"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      seeds AS (
+        SELECT cid, v AS c FROM (
+          SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid, v
+          FROM v) s
+        WHERE cid <= 8),
+      a1 AS (
+        SELECT vec_id, cid, dist2 FROM (
+          SELECT vv.vec_id, s.cid, ${kmDist2Duck("vv.v", "s.c")} AS dist2,
+                 ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                   ORDER BY ${kmDist2Duck("vv.v", "s.c")}, s.cid) AS rn
+          FROM v vv CROSS JOIN seeds s) d
+        WHERE rn = 1),
+      c1 AS (${kmUpdateDuck("a1")}),
+      a2 AS (
+        SELECT vec_id, cid, dist2 FROM (
+          SELECT vv.vec_id, s.cid, ${kmDist2Duck("vv.v", "s.c")} AS dist2,
+                 ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                   ORDER BY ${kmDist2Duck("vv.v", "s.c")}, s.cid) AS rn
+          FROM v vv CROSS JOIN c1 s) d
+        WHERE rn = 1),
+      c2 AS (${kmUpdateDuck("a2")}),
+      a3 AS (
+        SELECT vec_id, cid, dist2 FROM (
+          SELECT vv.vec_id, s.cid, ${kmDist2Duck("vv.v", "s.c")} AS dist2,
+                 ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                   ORDER BY ${kmDist2Duck("vv.v", "s.c")}, s.cid) AS rn
+          FROM v vv CROSS JOIN c2 s) d
+        WHERE rn = 1)
+      SELECT cid AS cluster, COUNT(*) AS n_vectors,
+             CAST(SUM(CAST(FLOOR(dist2 * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_e6
+      FROM a3
+      GROUP BY cid
+      ORDER BY cluster
+    """.stripMargin.trim))
+
+  /** DuckDB twins of the trainer's two kernels, emitted once: the
+    * index-ordered squared-L2 fold and the decimal-mean update. */
+  private def kmDist2Duck(v: String, c: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $Dim),
+       |              i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+       |                   * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+       |            (a, b) -> a + b)""".stripMargin
+  private def kmUpdateDuck(a: String): String =
+    s"""SELECT cid, list(cx ORDER BY pos) AS c FROM (
+       |          SELECT $a.cid, CAST(i.range AS INT) + 1 AS pos,
+       |                 CAST(SUM(CAST(v.v[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
+       |                   / COUNT(*) AS cx
+       |          FROM $a JOIN v USING (vec_id) CROSS JOIN range(0, $Dim) i
+       |          GROUP BY 1, 2) m
+       |        GROUP BY cid""".stripMargin
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
-      knnGraphCapped, recallKnnCapped)
+      knnGraphCapped, recallKnnCapped, kmeansTrain)
 }

@@ -627,7 +627,49 @@ object ScalePatterns {
       FROM plan
     """.stripMargin.trim))
 
+  /** Salted REPLICATED join — the execution twin of
+    * [[skewSaltPlan]] and the join-side sibling of
+    * [[saltedAgg]]: the fact side adds a row-hash salt ∈ [0, S), the
+    * dimension side replicates ×S via explode(sequence), and the join
+    * key becomes (key, salt) — one hot key's rows now land on S
+    * reducers instead of one. The result is EXACTLY the plain join's
+    * (the oracle is the unsalted SQL): salting only re-partitions the
+    * work. Decimal revenue keeps the aggregation bit-identical. At
+    * 100 TB the S factor comes from the salt plan's per-key `splits`;
+    * the uniform S here keeps the demonstration oracle-checkable while
+    * exercising the identical physical shape.
+    */
+  val saltedJoin: QueryDef = QueryDef(
+    "scale_salted_replicated_join",
+    (s, dir) => {
+      val S = 8
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount")), lit(S)).cast("int"))
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim,
+          fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(D) *
+            (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
-      twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles, skewSaltPlan)
+      twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles, skewSaltPlan,
+      saltedJoin)
 }

@@ -63,7 +63,8 @@ class PlanShapeSpec extends SparkSpec {
     "graph_brand_modularity",         // 1-row edge-count crossJoin feeding the Q division
     "text_bpe_apply_merge",           // 1-row top-pair / replaced-count crossJoins
     "privacy_t_closeness",            // classes × ~6-row band grid + 1-row corpus total
-    "scale_skew_salt_plan")           // 1-row threshold (τ) crossJoin into the key census
+    "scale_skew_salt_plan",           // 1-row threshold (τ) crossJoin into the key census
+    "ann_ivf_kmeans_train")           // 8-row centroid frame crossJoined per Lloyd pass
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality
@@ -92,7 +93,8 @@ class PlanShapeSpec extends SparkSpec {
                                  // value-domain bound (scaladoc)
     "text_vocab_growth",         // cumsum over the 10-row slice frame
     "ts_anomaly_daily_revenue",  // day-grain median-by-rank frames
-    "ts_anomaly_robust_mad")     // day-grain median/MAD frames (6 windows)
+    "ts_anomaly_robust_mad",     // day-grain median/MAD frames (6 windows)
+    "ann_ivf_kmeans_train")      // seed-rank window over the k=8-row seed frame
 
   test("no unpartitioned Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
