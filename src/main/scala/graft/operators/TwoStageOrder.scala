@@ -47,8 +47,14 @@ object TwoStageOrder {
     * tied rows would depend on partition placement, exactly like
     * `row_number` under a non-total order.
     */
+  private val Reserved =
+    Seq("__pid", "__lrank", "__offset", "__one", "__pcnt", "__r",
+      "__npool", "__pool", "__smp", "__e", "__rank", "__ntot")
+
   def withGlobalRank(df: DataFrame, order: Seq[Column],
                      rankCol: String, totalCol: String): DataFrame = {
+    require(df.columns.intersect(Reserved).isEmpty,
+      s"input uses a reserved TwoStageOrder column: ${df.columns.intersect(Reserved).mkString(",")}")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // materialized ONCE: the range partitioner SAMPLES its boundaries per
     // execution, and this frame feeds two consumers (the count frame and

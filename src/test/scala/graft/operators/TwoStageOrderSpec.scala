@@ -38,6 +38,23 @@ class TwoStageOrderSpec extends SparkSpec {
     }
   }
 
+  test("ntileExact matches ntile() across random (n, t) pairs") {
+    val rnd = new scala.util.Random(41L)
+    for (_ <- 1 to 6) {
+      val n = 1 + rnd.nextInt(500)
+      val t = 1 + rnd.nextInt(40)
+      val df = randomDf(n, rnd.nextLong())
+      val expected = df.withColumn("b",
+          ntile(t).over(Window.orderBy(asc("v"), asc("id"))))
+        .select("id", "b")
+      val got = TwoStageOrder
+        .ntileExact(df, t, Seq(asc("v"), asc("id")), "b")
+        .select("id", "b")
+      val diff = got.except(expected).union(expected.except(got))
+      assert(diff.isEmpty, s"ntile mismatch at n=$n t=$t")
+    }
+  }
+
   test("ntileExact matches ntile() for every t, including t > n") {
     val df = randomDf(103, 7L) // 103 % t != 0 for all tested t
     for (t <- Seq(2, 4, 7, 16, 103, 200)) {
