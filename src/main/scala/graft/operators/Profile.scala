@@ -122,6 +122,62 @@ object Profile {
       }
     }
 
+    if (what == "rank") {
+      import org.apache.spark.sql.expressions.Window
+      val D = org.apache.spark.sql.types.DecimalType(12, 2)
+      for (pass <- 1 to 3) {
+        println(s"-- rank pass $pass")
+        val perUser = graft.Tables.events(spark, dir)
+          .groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+            sum((col("value").cast(D) * 100).cast("long")).as("cents"))
+          .localCheckpoint(true)
+        val order = Seq(asc("cents"), asc("user_id"))
+        t("rank A: pid-window") {
+          val parts = 32
+          val local = perUser
+            .repartitionByRange(parts, order: _*)
+            .withColumn("__pid", spark_partition_id())
+            .withColumn("__lrank", row_number().over(
+              Window.partitionBy(col("__pid")).orderBy(order: _*)))
+            .localCheckpoint(false)
+          val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
+            .withColumn("__one", pmod(col("__pid"), lit(1)))
+          val offsets = counts.as("a")
+            .join(broadcast(counts.as("b")), col("a.__one") === col("b.__one"))
+            .groupBy(col("a.__pid").as("__pid"))
+            .agg(coalesce(sum(when(col("b.__pid") < col("a.__pid"), col("b.__pcnt"))), lit(0L)).as("__offset"),
+              sum(col("b.__pcnt")).as("nt"))
+          local.join(broadcast(offsets), "__pid")
+            .withColumn("rk", col("__offset") + col("__lrank"))
+            .agg(sum("rk")).head()
+        }
+        t("rank B: sort+mid") {
+          val parts = 32
+          val local = perUser
+            .repartitionByRange(parts, order: _*)
+            .sortWithinPartitions(order: _*)
+            .withColumn("__mid", monotonically_increasing_id())
+            .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+            .withColumn("__lrank", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+            .drop("__mid")
+            .localCheckpoint(false)
+          val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
+            .withColumn("__one", pmod(col("__pid"), lit(1)))
+          val offsets = counts.as("a")
+            .join(broadcast(counts.as("b")), col("a.__one") === col("b.__one"))
+            .groupBy(col("a.__pid").as("__pid"))
+            .agg(coalesce(sum(when(col("b.__pid") < col("a.__pid"), col("b.__pcnt"))), lit(0L)).as("__offset"),
+              sum(col("b.__pcnt")).as("nt"))
+          local.join(broadcast(offsets), "__pid")
+            .withColumn("rk", col("__offset") + col("__lrank"))
+            .agg(sum("rk")).head()
+        }
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      }
+    }
+
     if (what == "all" || what == "tri") {
       // --- triangle: surface build vs closure census ------------------
       graft.functions.BloomExpressions.register(spark)

@@ -65,11 +65,20 @@ object TwoStageOrder {
     // once. LAZY checkpoint: the offsets broadcast build below is the
     // first consumer and materializes it — one job instead of an eager
     // checkpoint job plus the broadcast job (the ER-loop fold, reused).
+    //
+    // (__pid, __lrank) derive from monotonically_increasing_id over the
+    // range-partitioned, partition-sorted rows — the documented id
+    // layout (partition index in the upper 31 bits, row number in the
+    // lower 33) yields both WITHOUT the hash-exchange a
+    // Window.partitionBy(__pid) would add: the only full-data shuffle in
+    // a rank is the range exchange itself, locally and at cluster scale.
     val local = df
       .repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrank", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__lrank", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+      .drop("__mid")
       .localCheckpoint(false)
     val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
       // single-valued join key DERIVED from __pid (pmod, not a literal):
