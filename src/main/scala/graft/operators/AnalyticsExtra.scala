@@ -26,6 +26,10 @@ object AnalyticsExtra {
 
   private val D = DecimalType(12, 2)
 
+  /** B resamples; ranks 2 and B−1 of the sorted means are the ~5/95%
+    * bootstrap bounds at B=32. */
+  private val BootB = 32
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- co-supplier graph: suppliers sharing a part with supplier 1 ----
@@ -984,6 +988,90 @@ object AnalyticsExtra {
                CAST((sy * sxx - sx * sxy)
                     // (n_days * sxx - sx * sx) AS BIGINT) AS intercept_cents
         FROM sums
+      """.stripMargin.trim)),
+
+    // ---- deterministic Poisson bootstrap CI --------------------------
+    // THE distributed bootstrap (Chamandy et al.): resample b gives row
+    // i the weight w ~ Poisson(1), approximating sampling-with-
+    // replacement without materializing resamples — one map-side
+    // explode(×B) + B keyed sums. The weights are DETERMINISTIC: a
+    // 6-hex-digit md5 uniform over [0, 16⁶) cut at the fixed integer
+    // Poisson(1) CDF thresholds (tail mass ≥7 ≈ 8·10⁻⁵ folded into 7),
+    // so both engines draw the identical 32 resamples. Each resample
+    // mean is exact-integer sums + ONE IEEE division; the CI bounds are
+    // order statistics (ranks 2 and 31 of B=32) of bit-identical
+    // doubles — a fully reproducible uncertainty estimate, which a
+    // pipeline needs when it gates on "did the metric move
+    // significantly".
+    QueryDef(
+      "stats_bootstrap_ci_poisson",
+      (s, dir) => {
+        val cents = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+        val expanded = cents
+          .select(col("o_orderkey"), col("vc"),
+            explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+          .withColumn("u", expr(hex6Spark(
+            "md5(CAST(CONCAT(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING)) AS BINARY))")))
+          .withColumn("w", expr(poissonW("u")))
+        val means = expanded.groupBy("b")
+          .agg(sum(col("w") * col("vc")).as("swx"), sum(col("w")).as("sw"))
+          .select((col("swx").cast("double") / col("sw")).as("m"))
+        val ci = means.agg(sort_array(collect_list(col("m"))).as("ms"))
+          .select(element_at(col("ms"), 2).as("boot_p05"),
+            element_at(col("ms"), BootB - 1).as("boot_p95"))
+        cents.agg(count(lit(1)).as("n_rows"),
+            (sum(col("vc")).cast("double") / count(lit(1))).as("est_mean_cents"))
+          .crossJoin(broadcast(ci))
+          .select(col("n_rows"), col("est_mean_cents"),
+            col("boot_p05"), col("boot_p95"),
+            lit(BootB.toLong).as("n_resamples"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM orders),
+        ex AS (
+          SELECT vc,
+                 CAST(b.range AS BIGINT) AS b,
+                 ${hex6Duck(s"md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.range AS VARCHAR))")} AS u
+          FROM cents CROSS JOIN range(0, $BootB) b),
+        means AS (
+          SELECT b, CAST(SUM(${poissonW("u")} * vc) AS DOUBLE)
+                      / SUM(${poissonW("u")}) AS m
+          FROM ex GROUP BY b),
+        ci AS (SELECT list_sort(list(m)) AS ms FROM means),
+        est AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(vc) AS DOUBLE) / COUNT(*) AS est_mean_cents
+          FROM cents)
+        SELECT n_rows, est_mean_cents,
+               ms[2] AS boot_p05, ms[${BootB - 1}] AS boot_p95,
+               CAST($BootB AS BIGINT) AS n_resamples
+        FROM est CROSS JOIN ci
       """.stripMargin.trim))
   )
+
+  /** 6-hex-digit md5 prefix as an integer uniform over [0, 16⁶) — the
+    * positional-digit construction the KMV sketches use, emitted for
+    * both dialects from one definition. */
+  private def hex6Spark(h: String): String =
+    (1 to 6).map(i =>
+      s"(position(substring($h, $i, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (6 - i))}L")
+      .mkString(" + ")
+  private def hex6Duck(h: String): String =
+    (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+      .mkString(" + ")
+
+  /** Poisson(1) draw from the uniform `u`: fixed integer CDF thresholds
+    * over 16⁶ (⌊16⁶·P(X≤k)⌋ for k=0..6; the ≥7 tail keeps mass
+    * ~8·10⁻⁵), identical text in both dialects. */
+  private def poissonW(u: String): String =
+    s"""CASE WHEN $u < 6171992 THEN 0 WHEN $u < 12343985 THEN 1
+       | WHEN $u < 15429982 THEN 2 WHEN $u < 16458647 THEN 3
+       | WHEN $u < 16715813 THEN 4 WHEN $u < 16767247 THEN 5
+       | WHEN $u < 16775819 THEN 6 ELSE 7 END""".stripMargin.replace("\n", "")
 }

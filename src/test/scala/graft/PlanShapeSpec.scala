@@ -64,7 +64,8 @@ class PlanShapeSpec extends SparkSpec {
     "text_bpe_apply_merge",           // 1-row top-pair / replaced-count crossJoins
     "privacy_t_closeness",            // classes × ~6-row band grid + 1-row corpus total
     "scale_skew_salt_plan",           // 1-row threshold (τ) crossJoin into the key census
-    "ann_ivf_kmeans_train")           // 8-row centroid frame crossJoined per Lloyd pass
+    "ann_ivf_kmeans_train",           // 8-row centroid frame crossJoined per Lloyd pass
+    "stats_bootstrap_ci_poisson")     // 1-row CI-bounds frame crossJoined into the summary row
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality
