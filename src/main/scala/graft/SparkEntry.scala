@@ -30,6 +30,7 @@ object SparkEntry {
     operators.SearchRank.defs ++
     operators.EntityResolution.defs ++
     operators.SketchOps.defs ++
+    operators.StatsExtra.defs ++
     operators.PrivacyOps.defs ++
     multimodal.MultimodalOps.defs ++
     npm.NpmReplayOps.defs

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Fourth analytics tranche: econometrics + recommendation shapes the
+  * earlier tranches didn't cover, each under the house exactness
+  * discipline (integer/decimal arithmetic end-to-end, DECIMAL(38,0)/
+  * HUGEINT for wide products, FLOOR-division ppm outputs — computed
+  * doubles are never cast to decimal).
+  *
+  *  - exact Gini coefficient over a data-proportional unit table, ranked
+  *    through [[TwoStageOrder.withGlobalRank]] (the sanctioned global-
+  *    window replacement — a naive `row_number() OVER (ORDER BY spend)`
+  *    here is exactly the single-partition sort PlanShapeSpec bans);
+  *  - market-basket co-occurrence lift (self-join keyed on the order —
+  *    pair count is Σ k² over basket sizes k, bounded by the basket
+  *    grain, never all-pairs over the catalog);
+  *  - dyadic-weight EWMA over the day grain (α = 1/2 makes every weight
+  *    a power of two, so the smoothing is EXACT integer arithmetic —
+  *    no float pow, no cross-engine rounding surface).
+  */
+object StatsExtra {
+
+  /** Exact Gini coefficient of per-customer order spend — the standard
+    * rank formula G = (2·Σᵢ rᵢ·sᵢ − (n+1)·Σᵢ sᵢ) / (n·Σᵢ sᵢ) with
+    * rank ascending and ties broken by custkey (a total order, required
+    * by the two-stage rank contract). All arithmetic is integer cents;
+    * the wide Σ r·s product runs in DECIMAL(38,0) (HUGEINT in the
+    * oracle) because rank × cents × n overflows BIGINT at cluster
+    * scale; the headline is the FLOOR-ppm quotient.
+    *
+    * Scale shape: one range-partitioned two-stage rank over the
+    * customer-grain frame (full-width parallel, no WindowExec) + one
+    * scalar aggregation. At 100 TB the unit table is per-customer
+    * aggregates — orders-of-magnitude smaller than the fact table the
+    * groupBy reduces.
+    */
+  val giniRevenue: QueryDef = QueryDef(
+    "stats_gini_revenue",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("s_cents"))
+      TwoStageOrder.withGlobalRank(spend,
+          Seq(col("s_cents").asc, col("o_custkey").asc), "r", "n")
+        .agg(
+          max(col("n")).as("n_customers"),
+          sum(col("s_cents")).as("total_cents"),
+          sum(col("r").cast(DecimalType(38, 0)) * col("s_cents")).as("rs"))
+        .select(
+          col("n_customers"),
+          col("total_cents"),
+          expr("""CAST(((2 * rs - (n_customers + 1) * CAST(total_cents AS DECIMAL(38,0)))
+                       * 1000000)
+                      DIV (n_customers * CAST(total_cents AS DECIMAL(38,0)))
+                      AS BIGINT)""").as("gini_ppm"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents
+        FROM orders GROUP BY 1),
+      ranked AS (
+        SELECT s_cents,
+               ROW_NUMBER() OVER (ORDER BY s_cents, o_custkey) AS r,
+               COUNT(*) OVER () AS n
+        FROM spend)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+             CAST(SUM(s_cents) AS BIGINT) AS total_cents,
+             CAST(((2 * SUM(CAST(r AS HUGEINT) * s_cents)
+                    - (MAX(n) + 1) * CAST(SUM(s_cents) AS HUGEINT)) * 1000000)
+                  // (MAX(n) * CAST(SUM(s_cents) AS HUGEINT)) AS BIGINT) AS gini_ppm
+      FROM ranked
+    """.stripMargin.trim))
+
+  /** Market-basket lift: parts co-purchased within the same order,
+    * scored by lift = P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) in exact
+    * FLOOR-ppm (DECIMAL(38,0) numerator — n_ab·N·10⁶ overflows BIGINT
+    * once order counts pass ~10⁹). Top-20 by support then lift with a
+    * full key tiebreak (TakeOrdered, no global window).
+    *
+    * Scale shape: the pair generator is a self-equi-join on the ORDER
+    * key — work is Σ_orders k², bounded by basket size (k ≈ 4-7 here),
+    * never catalog × catalog; the per-part frame and the 1-row order
+    * count broadcast into the scoring join.
+    */
+  val copurchaseLift: QueryDef = QueryDef(
+    "rec_copurchase_lift",
+    (s, dir) => {
+      val basket = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(false)
+      val pairs = basket.as("a")
+        .join(basket.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val partOrders = basket.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      val nOrders = basket.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_a")
+          .withColumnRenamed("n_part", "n_a")), "part_a")
+        .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_b")
+          .withColumnRenamed("n_part", "n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)
+                      DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+            .as("lift_ppm"))
+        .orderBy(desc("n_ab"), desc("lift_ppm"), asc("part_a"), asc("part_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      part_orders AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM basket GROUP BY 1),
+      n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket)
+      SELECT part_a, part_b, n_ab,
+             pa.n_part AS n_a, pb.n_part AS n_b,
+             CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000)
+                  // (CAST(pa.n_part AS HUGEINT) * pb.n_part) AS BIGINT) AS lift_ppm
+      FROM pairs
+      JOIN part_orders pa ON pairs.part_a = pa.l_partkey
+      JOIN part_orders pb ON pairs.part_b = pb.l_partkey
+      CROSS JOIN n
+      ORDER BY n_ab DESC, lift_ppm DESC, part_a, part_b
+      LIMIT 20
+    """.stripMargin.trim))
+
+  /** Dyadic EWMA: the 20-lag weight ladder for num/den terms, shared
+    * verbatim between the Spark and DuckDB dialects (only the wide-int
+    * type name differs). Weight of lag k is 2^(19−k) — α = 1/2 — so
+    * every term is an exact integer product; missing lags (series
+    * head) drop out of numerator AND denominator, which renormalizes
+    * the truncated window exactly.
+    */
+  private val EwmaLags = 20
+  private def ewmaNum(wide: String): String =
+    (0 until EwmaLags).map { k =>
+      s"COALESCE(CAST(lag(rev_cents, $k) OVER (ORDER BY day) AS $wide), 0) * ${1L << (EwmaLags - 1 - k)}"
+    }.mkString(" + ")
+  private def ewmaDen: String =
+    (0 until EwmaLags).map { k =>
+      s"CASE WHEN lag(rev_cents, $k) OVER (ORDER BY day) IS NULL THEN 0 ELSE ${1L << (EwmaLags - 1 - k)} END"
+    }.mkString(" + ")
+
+  /** EWMA-smoothed daily revenue with α = 1/2 over a 20-observation
+    * window: weights 2^19 … 2^0 are exact powers of two, so the entire
+    * smoother is integer arithmetic — the one α for which EWMA has NO
+    * cross-engine float surface (pow/exp implementations differ in the
+    * last ulp between libm and the JVM; dyadic weights sidestep the
+    * whole class, the same reasoning as the k-means Σ⌊·10⁶⌋ trick).
+    * Truncating at 20 lags discards < 2⁻²⁰ of the mass and is
+    * renormalized by the matching denominator.
+    *
+    * The unpartitioned 20-lag window runs over the DAY grain — bounded
+    * by the fixed 1992-1998 calendar (~2.4k rows at any corpus size),
+    * whitelisted in PlanShapeSpec like the other day-grain frames. The
+    * data-proportional work is the groupBy that builds the grain.
+    */
+  val ewmaDyadic: QueryDef = QueryDef(
+    "ts_ewma_dyadic",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("rev_cents"))
+        .selectExpr("day", "rev_cents",
+          s"CAST((${ewmaNum("DECIMAL(38,0)")}) DIV ($ewmaDen) AS BIGINT) AS ewma_cents")
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1)
+      SELECT day, rev_cents,
+             CAST((${ewmaNum("HUGEINT")}) // ($ewmaDen) AS BIGINT) AS ewma_cents
+      FROM daily
+      ORDER BY day
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(giniRevenue, copurchaseLift, ewmaDyadic)
+}

@@ -65,7 +65,8 @@ class PlanShapeSpec extends SparkSpec {
     "privacy_t_closeness",            // classes × ~6-row band grid + 1-row corpus total
     "scale_skew_salt_plan",           // 1-row threshold (τ) crossJoin into the key census
     "ann_ivf_kmeans_train",           // 8-row centroid frame crossJoined per Lloyd pass
-    "stats_bootstrap_ci_poisson")     // 1-row CI-bounds frame crossJoined into the summary row
+    "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
+    "rec_copurchase_lift")            // 1-row order-count crossJoin feeding the lift denominator
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality
@@ -95,7 +96,8 @@ class PlanShapeSpec extends SparkSpec {
     "text_vocab_growth",         // cumsum over the 10-row slice frame
     "ts_anomaly_daily_revenue",  // day-grain median-by-rank frames
     "ts_anomaly_robust_mad",     // day-grain median/MAD frames (6 windows)
-    "ann_ivf_kmeans_train")      // seed-rank window over the k=8-row seed frame
+    "ann_ivf_kmeans_train",      // seed-rank window over the k=8-row seed frame
+    "ts_ewma_dyadic")            // 20-lag ladder over the DAY grain (fixed date span)
 
   test("no unpartitioned Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
