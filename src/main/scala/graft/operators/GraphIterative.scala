@@ -528,7 +528,106 @@ object GraphIterative {
       GROUP BY m
     """.stripMargin.trim))
 
+  /** PERSONALIZED PageRank: same damping/superstep/integer-fixed-point
+    * scheme as [[pagerank]], but the teleport mass is concentrated on a
+    * SEED SET (suppliers 1-5 — non-empty at every SF, incl. the
+    * sf0.001 smoke slice where nation-1 has no suppliers) instead
+    * of spread uniformly — the "similar items to THESE" primitive
+    * behind seeded recommendation and contamination-neighborhood
+    * scoring. r₀ = teleport; each superstep spreads 85% of mass along
+    * out-edges and re-injects the full 15%·N teleport budget into the
+    * seeds (per-seed share = 150000·N DIV |S|, all integer DIV).
+    *
+    * Scale shape: probes the PINNED surface (a consumer like BFS — the
+    * honest full-build cost stays attributed to pagerank); per
+    * superstep one edges⋈contrib join on the pre-partitioned src key +
+    * one node-sized full-outer with the seed frame. Mass never leaves
+    * the reached neighborhood, so early iterations touch only the
+    * seeds' component.
+    */
+  val pprSeeded: QueryDef = QueryDef(
+    "graph_ppr_seeded",
+    (s, dir) => {
+      val edges = graphSurface(s, dir)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint(false)
+      val scalars = deg.agg(count(lit(1)).as("ntot")).crossJoin(
+        broadcast(deg.join(Tables.supplier(s, dir)
+            .filter(col("s_suppkey") <= 5)
+            .select((col("s_suppkey") * 2).as("node")), "node")
+          .agg(count(lit(1)).as("nseeds"))))
+      val tele = deg.join(Tables.supplier(s, dir)
+          .filter(col("s_suppkey") <= 5)
+          .select((col("s_suppkey") * 2).as("node")), "node")
+        .crossJoin(broadcast(scalars))
+        .select(col("node"), expr("(150000 * ntot) DIV nseeds").as("t"))
+        .localCheckpoint(false)
+      var ranks = tele.select(col("node"), col("t").as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = ranks.join(deg, "node")
+          .select(col("node"), expr("rank DIV deg").as("c"))
+        val spread = edges.join(contrib, edges("src") === contrib("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("(85 * SUM(c)) DIV 100").as("sp"))
+        ranks = tele.join(spread, Seq("node"), "full_outer")
+          .select(col("node"),
+            (coalesce(col("t"), lit(0L)) + coalesce(col("sp"), lit(0L))).as("rank"))
+      }
+      ranks
+        .select(
+          when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("node_type"),
+          expr("node DIV 2").as("key"),
+          col("node").as("node_id"),
+          col("rank"))
+        .orderBy(desc("rank"), asc("node_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $edgesDuck,
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+      n AS (SELECT COUNT(*) AS ntot FROM deg),
+      seeds AS (
+        SELECT d.node FROM deg d
+        JOIN supplier s ON d.node = s.s_suppkey * 2
+        WHERE s.s_suppkey <= 5),
+      ns AS (SELECT COUNT(*) AS nseeds FROM seeds),
+      tele AS (
+        SELECT node, CAST((150000 * ntot) // nseeds AS BIGINT) AS t
+        FROM seeds CROSS JOIN n CROSS JOIN ns),
+      r0 AS (SELECT node, t AS rank FROM tele),
+      sp1 AS (
+        SELECT e.dst AS node, (85 * SUM(r.rank // d.deg)) // 100 AS sp
+        FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY 1),
+      r1 AS (
+        SELECT COALESCE(t.node, s.node) AS node,
+               CAST(COALESCE(t.t, 0) + COALESCE(s.sp, 0) AS BIGINT) AS rank
+        FROM tele t FULL JOIN sp1 s ON t.node = s.node),
+      sp2 AS (
+        SELECT e.dst AS node, (85 * SUM(r.rank // d.deg)) // 100 AS sp
+        FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY 1),
+      r2 AS (
+        SELECT COALESCE(t.node, s.node) AS node,
+               CAST(COALESCE(t.t, 0) + COALESCE(s.sp, 0) AS BIGINT) AS rank
+        FROM tele t FULL JOIN sp2 s ON t.node = s.node),
+      sp3 AS (
+        SELECT e.dst AS node, (85 * SUM(r.rank // d.deg)) // 100 AS sp
+        FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY 1),
+      r3 AS (
+        SELECT COALESCE(t.node, s.node) AS node,
+               CAST(COALESCE(t.t, 0) + COALESCE(s.sp, 0) AS BIGINT) AS rank
+        FROM tele t FULL JOIN sp3 s ON t.node = s.node)
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+             node // 2 AS key, node AS node_id, rank
+      FROM r3
+      ORDER BY rank DESC, node_id
+      LIMIT 20
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(pagerank, bfsReachability, triangleCount, kcorePeel, linkPrediction,
-      modularity)
+      modularity, pprSeeded)
 }

@@ -289,6 +289,68 @@ object PrivacyOps {
       ORDER BY t_decile
     """.stripMargin.trim))
 
+  /** Number of leading zero BITS of a 24-bit hex-uniform value v — a
+    * Geometric(1/2) draw by inverse CDF, computed as a pure integer
+    * threshold ladder (identical text in both dialects): P(lz ≥ k) =
+    * P(v < 2^(24−k)) = 2^(−k). No log(), no float — the geometric
+    * mechanism with ZERO cross-engine rounding surface.
+    */
+  private def geoLadder(v: String): String =
+    (0 to 23).map(k => s"WHEN $v >= ${1L << (23 - k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 24 END")
+
+  /** Differentially-private release of per-nation customer counts under
+    * the GEOMETRIC MECHANISM (the discrete Laplace): noise = G₁ − G₂
+    * with G ~ Geometric(1/2) gives the two-sided geometric distribution
+    * that satisfies ε-DP for counts at ε = ln 2 (Ghosh-Roughgarden-
+    * Sundararajan's universally-optimal integer mechanism). The draws
+    * are seeded from the group key via the house md5 hex-uniform and a
+    * leading-zero-bit ladder — all-integer inverse-CDF sampling, so the
+    * "noise" is deterministic for the oracle while having exactly the
+    * two-sided-geometric marginals a production run would draw fresh.
+    * Released counts are clamped at 0 (post-processing preserves DP).
+    *
+    * Scale shape: one broadcast dimension join + keyed count; the noise
+    * is a per-GROUP scalar expression — no extra pass, no shuffle
+    * beyond the aggregation, mergeable map-side like any count.
+    */
+  val dpGeometricCounts: QueryDef = QueryDef(
+    "privacy_dp_geometric_counts",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("v1", expr(ScalePatterns.hexIntSpark(
+          "md5(CAST(CONCAT('dp1:', n_name) AS BINARY))")))
+        .withColumn("v2", expr(ScalePatterns.hexIntSpark(
+          "md5(CAST(CONCAT('dp2:', n_name) AS BINARY))")))
+        .withColumn("noise",
+          expr(geoLadder("v1")) - expr(geoLadder("v2")))
+        .withColumn("n_released", greatest(col("n_exact") + col("noise"), lit(0L)))
+        .select("n_name", "n_exact", "noise", "n_released")
+        .orderBy("n_name")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+      seeded AS (
+        SELECT n_name, n_exact,
+               ${ScalePatterns.hexIntDuck("md5('dp1:' || n_name)")} AS v1,
+               ${ScalePatterns.hexIntDuck("md5('dp2:' || n_name)")} AS v2
+        FROM counts)
+      SELECT n_name, n_exact,
+             CAST((${geoLadder("v1")}) - (${geoLadder("v2")}) AS INT) AS noise,
+             GREATEST(n_exact + (${geoLadder("v1")}) - (${geoLadder("v2")}), 0) AS n_released
+      FROM seeded
+      ORDER BY n_name
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(piiScan, pseudonymizeAudit, kAnonymity, lDiversity, tCloseness)
+    Seq(piiScan, pseudonymizeAudit, kAnonymity, lDiversity, tCloseness,
+      dpGeometricCounts)
 }

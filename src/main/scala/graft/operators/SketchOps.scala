@@ -435,6 +435,125 @@ object SketchOps {
       ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Subsample-merge quantile summary — the rank-subsampling sketch
+    * (every QM-th row of each deterministic partition's sorted run)
+    * with its merge = plain UNION of the per-partition summaries, plus
+    * the exact audit: a merged summary of P partitions with stride QM
+    * answers any rank query within ±QM·P, so each released quantile
+    * ships its measured rank error against the exact global rank and an
+    * `ok` flag for the theoretical bound. All ranking runs through the
+    * two-stage pattern (per-partition windows + TwoStageOrder) — no
+    * global WindowExec despite three distinct rank computations.
+    *
+    * Scale shape: partitions are DETERMINISTIC (content-hash % P, not
+    * spark_partition_id), so the summary is reproducible at any
+    * parallelism; the summary is n/QM rows, the query frame is 5 rows,
+    * and the one full-data rank is the exact-audit column — a
+    * production rollout drops the audit and keeps the n/QM-row sketch,
+    * which merges across shards/days by union exactly as built here.
+    */
+  private val QP = 32  // deterministic summary partitions
+  private val QM = 64  // subsample stride: keep every QM-th row per partition
+
+  val quantileSubsampleMerge: QueryDef = QueryDef(
+    "sketch_quantile_subsample_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v"),
+          col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+        .localCheckpoint(false)
+      val pidded = base.withColumn("pid", expr(ScalePatterns.hexIntSpark(
+        "md5(CAST(CONCAT(CAST(okey AS STRING), ':', CAST(lnum AS STRING)) AS BINARY))"))
+        % QP)
+      val kept = pidded
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("pid").orderBy(asc("v"), asc("okey"), asc("lnum"))))
+        .filter(expr(s"(lrank - 1) % $QM = 0"))
+        .select("v", "okey", "lnum")
+      val pooled = TwoStageOrder.withGlobalRank(kept,
+        Seq(col("v").asc, col("okey").asc, col("lnum").asc), "j", "k_tot")
+      val qFrame = base.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          explode(array(Seq(25, 50, 75, 90, 99).map(lit): _*)).as("q_pct"))
+        .withColumn("target_rank", expr("(q_pct * n_rows + 99) DIV 100"))
+        .withColumn("j_star", expr(s"(target_rank + $QM - 2) DIV $QM + 1"))
+      val sel = pooled.join(broadcast(qFrame),
+          col("j") === least(col("j_star"), col("k_tot")))
+        .withColumn("est_rank", expr(s"(j - 1) * $QM + 1"))
+      // (v, okey, lnum) need not be UNIQUE in the fact table (the
+      // synthetic lineitem duplicates line numbers), so the audit join
+      // matches on the full tuple and takes MIN(g): tied duplicates get
+      // a contiguous rank run, so min = |{rows < tuple}| + 1 — a
+      // placement-independent, deterministic exact rank.
+      val exact = TwoStageOrder.withGlobalRank(base,
+        Seq(col("v").asc, col("okey").asc, col("lnum").asc), "g", "ntot")
+      exact.join(broadcast(sel.select(col("q_pct"), col("n_rows"),
+          col("target_rank"), col("j").as("kept_rank"), col("est_rank"),
+          col("v").as("s_v"), col("okey").as("s_okey"), col("lnum").as("s_lnum"))),
+          col("v") === col("s_v") && col("okey") === col("s_okey")
+            && col("lnum") === col("s_lnum"))
+        .groupBy(col("q_pct"), col("n_rows"), col("target_rank"),
+          col("kept_rank"), col("est_rank"), col("s_v"))
+        .agg(min(col("g")).as("exact_rank"))
+        .select(col("q_pct").cast("long").as("q_pct"), col("n_rows"),
+          col("target_rank"), col("kept_rank"), col("est_rank"),
+          col("s_v").as("value_cents"), col("exact_rank"),
+          abs(col("exact_rank") - col("est_rank")).as("rank_err"),
+          lit(QM.toLong * QP).as("err_bound"),
+          (abs(col("exact_rank") - col("est_rank")) <= QM.toLong * QP).as("ok"))
+        .orderBy("q_pct")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+               l_orderkey AS okey, l_linenumber AS lnum
+        FROM lineitem),
+      pidded AS (
+        SELECT *, (${ScalePatterns.hexIntDuck(
+          "md5(CAST(okey AS VARCHAR) || ':' || CAST(lnum AS VARCHAR))")}) % $QP AS pid
+        FROM base),
+      kept AS (
+        SELECT v, okey, lnum FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY v, okey, lnum) AS lrank
+          FROM pidded)
+        WHERE (lrank - 1) % $QM = 0),
+      pooled AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY v, okey, lnum) AS j,
+               COUNT(*) OVER () AS k_tot
+        FROM kept),
+      q AS (
+        SELECT n_rows, q_pct,
+               (q_pct * n_rows + 99) // 100 AS target_rank,
+               ((q_pct * n_rows + 99) // 100 + $QM - 2) // $QM + 1 AS j_star
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base)
+        CROSS JOIN (VALUES (25), (50), (75), (90), (99)) t(q_pct)),
+      sel AS (
+        SELECT q.q_pct, q.n_rows, q.target_rank, p.j AS kept_rank,
+               (p.j - 1) * $QM + 1 AS est_rank, p.v, p.okey, p.lnum
+        FROM pooled p JOIN q ON p.j = LEAST(q.j_star, p.k_tot)),
+      exact AS (
+        SELECT v, okey, lnum, ROW_NUMBER() OVER (ORDER BY v, okey, lnum) AS g
+        FROM base),
+      audited AS (
+        SELECT s.q_pct, s.n_rows, s.target_rank, s.kept_rank, s.est_rank,
+               s.v, MIN(e.g) AS exact_rank
+        FROM sel s JOIN exact e
+          ON s.v = e.v AND s.okey = e.okey AND s.lnum = e.lnum
+        GROUP BY 1, 2, 3, 4, 5, 6)
+      SELECT CAST(q_pct AS BIGINT) AS q_pct, n_rows, target_rank,
+             CAST(kept_rank AS BIGINT) AS kept_rank,
+             CAST(est_rank AS BIGINT) AS est_rank,
+             v AS value_cents, CAST(exact_rank AS BIGINT) AS exact_rank,
+             CAST(ABS(exact_rank - est_rank) AS BIGINT) AS rank_err,
+             CAST(${QM.toLong * QP} AS BIGINT) AS err_bound,
+             ABS(exact_rank - est_rank) <= ${QM.toLong * QP} AS ok
+      FROM audited
+      ORDER BY q_pct
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate, kmvDistinctLive)
+    Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate, kmvDistinctLive,
+      quantileSubsampleMerge)
 }

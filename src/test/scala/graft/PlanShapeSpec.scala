@@ -66,7 +66,9 @@ class PlanShapeSpec extends SparkSpec {
     "scale_skew_salt_plan",           // 1-row threshold (τ) crossJoin into the key census
     "ann_ivf_kmeans_train",           // 8-row centroid frame crossJoined per Lloyd pass
     "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
-    "rec_copurchase_lift")            // 1-row order-count crossJoin feeding the lift denominator
+    "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
+    "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
+    "sketch_quantile_subsample_merge") // 5-row quantile frame broadcast into the summary probe
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality
