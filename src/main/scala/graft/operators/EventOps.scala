@@ -703,6 +703,102 @@ object EventOps {
         WHERE run = peak
         GROUP BY state
         ORDER BY state
+      """.stripMargin.trim)),
+
+    // ---- session path mining: top behavior trigrams ---------------------
+    // The sequence-mining primitive behind behavioral-corpus building:
+    // sessionize by 30-minute gap (the stream_sessionization_30m rule,
+    // batch form), then count ordered event-type TRIGRAMS within each
+    // session and release the global top-20. Every window is partitioned
+    // by user (sessionization) — per-user event counts are bounded by
+    // activity, not corpus size — and the trigram count is a keyed
+    // aggregation; the final top-20 is a TakeOrdered, not a global
+    // window. Tie-breaks: (ts, event_id) total order inside sessions,
+    // (count desc, trigram asc) on release.
+    QueryDef(
+      "event_session_path_trigrams",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables.events(s, dir)
+          .withColumn("gap_us", unix_micros(col("ts").cast("timestamp"))
+            - lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+          .withColumn("is_new", when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("is_new")).over(cum))
+        val bySess = Window.partitionBy("user_id", "session_id")
+          .orderBy(asc("ts"), asc("event_id"))
+        sess
+          .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+          .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))
+          .limit(20)
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, event_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        grams AS (
+          SELECT event_type AS e1,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id, session_id
+                   ORDER BY ts ASC, event_id ASC) AS e2,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id, session_id
+                   ORDER BY ts ASC, event_id ASC) AS e3
+          FROM sess)
+        SELECT e1, e2, e3, COUNT(*) AS n
+        FROM grams
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, e1, e2, e3
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // ---- per-key fixed-size reservoir (deterministic K per stratum) -----
+    // sample_uniform_fixed_k's per-GROUP sibling: exactly K docs per
+    // source, chosen by K-smallest content hash — the per-stratum
+    // eval-set / human-review-queue builder. The rank is two-stage PER
+    // GROUP: a (source, content-pid) window keeps ≤K per partition (each
+    // partition's cut preserves every global-top-K row), then the pooled
+    // ≤P·K survivors per source — a BOUNDED frame — take the final K.
+    // No per-source single-partition pass over the full stratum: the
+    // big table is touched only by the first, fully-parallel window.
+    QueryDef(
+      "sample_reservoir_per_key",
+      (s, dir) => {
+        val K = 25
+        val hashed = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+          .withColumn("pid", expr(ScalePatterns.hexIntSpark(
+            "md5(CAST(CAST(doc_id AS STRING) AS BINARY))")) % 32)
+        val local = Window.partitionBy("source", "pid").orderBy(asc("h"), asc("doc_id"))
+        val pooled = Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))
+        hashed
+          .withColumn("lr", row_number().over(local)).filter(col("lr") <= K)
+          .withColumn("r", row_number().over(pooled)).filter(col("r") <= K)
+          .select(col("source"), col("r").cast("long").as("r"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("source", "r")
+      },
+      Some("""
+        SELECT source, CAST(r AS BIGINT) AS r, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS r
+          FROM documents) t
+        WHERE r <= 25
+        ORDER BY source, r
       """.stripMargin.trim))
   )
 }

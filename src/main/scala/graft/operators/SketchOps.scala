@@ -435,6 +435,86 @@ object SketchOps {
       ORDER BY event_type
     """.stripMargin.trim))
 
+  /** The count-min sketch maintained LIVE over a stream — the additive
+    * counterpart of [[kmvDistinctLive]]: count-min's merge is cell-wise
+    * SUM, associative and commutative, so the final sketch equals the
+    * batch-built sketch of the whole feed REGARDLESS of micro-batch
+    * boundaries or order. Unlike KMV union, addition is NOT idempotent
+    * — a replayed batch would double-count — so the fold guards each
+    * epoch with a batch-id marker (the standard idempotent-foreachBatch
+    * recipe: check applied/<batchId> before merging, record it with the
+    * write). The oracle is the same SQL as the batch sketch audit
+    * ([[countMin]]): the streaming path must land on bit-identical cell
+    * totals, proving the mergeability claim by execution.
+    *
+    * At 100 TB the per-batch cost is |batch| keyed aggregation + a
+    * d·w-cell merge; the corpus only enters through the one-time exact
+    * audit probe, exactly as in [[kmvDistinctLive]].
+    */
+  val countMinLive: QueryDef = QueryDef(
+    "stream_countmin_live",
+    (s0, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id")).localCheckpoint(true)
+      val base = java.nio.file.Files.createTempDirectory("graft-cm-live").toString
+      val sketchDir = s"$base/sketch"
+      graft.ParallelStage(
+        () => ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/d0"),
+        () => ev.filter(col("user_id") % 2 === 1).coalesce(1).write.parquet(s"$base/in/d1"))
+      def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .select(col("user_id"), col("c"),
+          explode(array((0 until D).map(lit): _*)).as("j"))
+        .withColumn("h", expr(ScalePatterns.hexIntSpark(
+          "md5(CAST(CONCAT(CAST(j AS STRING), ':', CAST(user_id AS STRING)) AS BINARY))")) % W)
+        .groupBy("j", "h").agg(sum(col("c")).as("cell_total"))
+      // seed the d×w state empty so every batch is the same read-merge-write
+      cellsOf(ev.limit(0)).write.parquet(sketchDir)
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val marker = java.nio.file.Paths.get(s"$base/applied/$bid")
+          if (!java.nio.file.Files.exists(marker)) {
+            val sb = batch.sparkSession
+            val merged = cellsOf(batch.toDF())
+              .unionByName(sb.read.parquet(sketchDir))
+              .groupBy("j", "h").agg(sum(col("cell_total")).as("cell_total"))
+              .localCheckpoint(true) // materialized BEFORE overwriting its own input
+            merged.write.mode("overwrite").parquet(sketchDir)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.createFile(marker)
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // probe the LIVE-built sketch with the batch audit: exact top-20
+      // heavy hitters vs their count-min estimates
+      val cells = s.read.parquet(sketchDir)
+      val exact = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val expl = exact.select(col("user_id"), col("c"),
+          explode(array((0 until D).map(lit): _*)).as("j"))
+        .withColumn("h", expr(ScalePatterns.hexIntSpark(
+          "md5(CAST(CONCAT(CAST(j AS STRING), ':', CAST(user_id AS STRING)) AS BINARY))")) % W)
+      expl.join(cells, Seq("j", "h"))
+        .groupBy("user_id")
+        .agg(min(col("cell_total")).as("cm_est"), min(col("c")).as("n_exact"))
+        .select(col("user_id"), col("n_exact"), col("cm_est"),
+          (col("cm_est") - col("n_exact")).as("overestimate"))
+        .orderBy(desc("n_exact"), asc("user_id"))
+        .limit(20)
+    },
+    // bit-identical to the batch-built sketch by merge algebra — the
+    // oracle IS the batch audit's SQL
+    countMin.oracle)
+
   /** Subsample-merge quantile summary — the rank-subsampling sketch
     * (every QM-th row of each deterministic partition's sorted run)
     * with its merge = plain UNION of the per-partition summaries, plus
@@ -555,5 +635,5 @@ object SketchOps {
 
   val defs: Seq[QueryDef] =
     Seq(countMin, kmvDistinct, kmvSetOps, joinSizeEstimate, kmvDistinctLive,
-      quantileSubsampleMerge)
+      quantileSubsampleMerge, countMinLive)
 }
