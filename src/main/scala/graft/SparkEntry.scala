@@ -25,6 +25,7 @@ object SparkEntry {
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++
     operators.ScalePatterns.defs ++
+    operators.ScaleStorage.defs ++
     operators.DataQuality.defs ++
     operators.GraphIterative.defs ++
     operators.SearchRank.defs ++

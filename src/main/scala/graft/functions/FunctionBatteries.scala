@@ -267,7 +267,51 @@ object FunctionBatteries {
       ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Spark 4 VARIANT round-trip: build a nested JSON document from
+    * typed columns, `parse_json` it into a VARIANT, and extract typed
+    * leaves back out with `variant_get` (path navigation into objects,
+    * arrays, and nested structs) plus `try_variant_get` for a
+    * type-mismatch → NULL probe. VARIANT is the semi-structured scale
+    * path (binary-encoded, shredder-friendly — no per-query string
+    * re-parse), and the oracle closes the loop end-to-end: every
+    * extracted leaf must equal the source column it was serialized
+    * from, so a DuckDB match proves the whole
+    * struct→JSON→VARIANT→typed-leaf chain is lossless. Projection-only
+    * — whole-stage codegen, no shuffle beyond the final ORDER BY.
+    */
+  val variantBattery: QueryDef = QueryDef(
+    "func_variant_battery",
+    (s, dir) => {
+      val v = parse_json(to_json(struct(
+        col("l_orderkey").as("k"), col("l_quantity").as("q"),
+        array(col("l_returnflag"), col("l_linestatus")).as("flags"),
+        struct(col("l_suppkey").as("s")).as("nest"))))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          variant_get(v, "$.k", "bigint").as("vk"),
+          variant_get(v, "$.q", "double").as("vq"),
+          variant_get(v, "$.flags[1]", "string").as("vflag2"),
+          variant_get(v, "$.nest.s", "bigint").as("vnest"),
+          variant_get(v, "$.missing", "string").as("vmissing"),
+          try_variant_get(v, "$.flags", "bigint").as("vbadtype"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the full value tuple makes the emitted order total up to
+        // identical rows (where order cannot matter)
+        .orderBy("l_orderkey", "l_linenumber", "vnest", "vq", "vflag2")
+    },
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_orderkey AS vk,
+             l_quantity AS vq,
+             l_linestatus AS vflag2,
+             l_suppkey AS vnest,
+             CAST(NULL AS VARCHAR) AS vmissing,
+             CAST(NULL AS BIGINT) AS vbadtype
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, vnest, vq, vflag2
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stringBattery, datetimeBattery, arrayBattery, hofBattery, rankBattery,
-      jsonBattery, regexpBattery, argAggBattery)
+      jsonBattery, regexpBattery, argAggBattery, variantBattery)
 }

@@ -799,6 +799,48 @@ object EventOps {
           FROM documents) t
         WHERE r <= 25
         ORDER BY source, r
+      """.stripMargin.trim)),
+
+    // ---- native session_window (batch) ----------------------------------
+    // The same 30-minute gap rule as stream_sessionization_30m, but
+    // through Spark's NATIVE session_window aggregation — a keyed
+    // aggregate (merge-sessions exec partitioned by user_id), no window
+    // function at all, so it scales as an ordinary groupBy. The oracle
+    // independently re-derives Spark's merge rule: two events share a
+    // session iff gap < 30 min STRICTLY ([t, t+gap) interval overlap —
+    // note the boundary differs from the lag-based analog's `> gap`
+    // split), and session_end = last event + gap. A DuckDB match here
+    // pins the native operator's exact boundary semantics against an
+    // independent engine.
+    QueryDef(
+      "event_session_window_native",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
       """.stripMargin.trim))
   )
 }

@@ -193,5 +193,86 @@ object StatsExtra {
       ORDER BY day
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(giniRevenue, copurchaseLift, ewmaDyadic)
+  /** Theil–Sen robust slope + Mann–Kendall trend test over daily
+    * revenue — the nonparametric drift detector for corpus/ingest
+    * monitoring (robust to the outlier days that wreck the OLS slope in
+    * `ts_trend_ols`). Both statistics are functions of the DAY-PAIR
+    * frame: the day grain is bounded by the fixed date span (a few
+    * thousand rows at ANY corpus size), so the pairwise self-join is a
+    * broadcast over a constant-size frame — ~n²/2 ≈ 3M pair rows of two
+    * columns, constant in the data — not an all-pairs join over data
+    * (whitelisted in PlanShapeSpec with exactly that boundedness
+    * argument). The exact median of the pair slopes ranks through
+    * [[TwoStageOrder.withGlobalRank]]; with ties in `slope` the rank of
+    * an individual row is placement-dependent but the VALUE at any rank
+    * is the multiset order statistic — deterministic, which is all the
+    * median selection reads.
+    *
+    * Exactness: slopes are DOUBLE division of an exact DECIMAL revenue
+    * difference by an exact integer day difference — both engines
+    * evaluate the identical IEEE expression. Mann–Kendall S is integer;
+    * Var(S) = n(n−1)(2n+5)/18 stays in BIGINT until the one final
+    * /18.0; z applies the standard ±1 continuity correction.
+    */
+  val theilSenMk: QueryDef = QueryDef(
+    "stats_theil_sen_mann_kendall",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+        .select(datediff(col("d"), lit("1992-01-01")).cast("long").as("di"),
+          col("rev"))
+        .localCheckpoint(true) // bounded day frame, feeds both arms twice
+      val pairs = daily.as("a")
+        .join(broadcast(daily.as("b")), col("a.di") < col("b.di"))
+        .select(
+          ((col("b.rev") - col("a.rev")).cast("double")
+            / (col("b.di") - col("a.di")).cast("double")).as("slope"),
+          signum((col("b.rev") - col("a.rev")).cast("double")).cast("long").as("sgn"))
+      val med = TwoStageOrder.withGlobalRank(
+          pairs.select("slope"), Seq(asc("slope")), "r", "tot")
+        .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
+        .agg(avg(col("slope")).as("theil_sen_slope"))
+      val stat = pairs
+        .agg(sum(col("sgn")).as("mk_s"))
+        .crossJoin(daily.agg(count(lit(1)).as("n_days")))
+        .withColumn("var_s",
+          (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5))
+            .cast("double") / 18.0)
+        .withColumn("mk_z",
+          when(col("mk_s") > 0, (col("mk_s") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("mk_s") < 0, (col("mk_s") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(0.0))
+      stat.crossJoin(med)
+        .select(col("n_days"), col("mk_s"), col("mk_z"), col("theil_sen_slope"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1),
+      pairs AS (
+        SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope,
+               CAST(sign(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT) AS sgn
+        FROM daily a JOIN daily b ON a.di < b.di),
+      ranked AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope ASC) AS r, COUNT(*) OVER () AS tot
+        FROM pairs),
+      med AS (
+        SELECT AVG(slope) AS theil_sen_slope FROM ranked
+        WHERE r = (tot + 1) // 2 OR r = (tot + 2) // 2),
+      stat AS (
+        SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+               CAST(SUM(sgn) AS BIGINT) AS mk_s FROM pairs)
+      SELECT n_days, mk_s,
+             CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)
+                    / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
+                  WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)
+                    / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
+                  ELSE 0.0 END AS mk_z,
+             theil_sen_slope
+      FROM stat, med
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(giniRevenue, copurchaseLift, ewmaDyadic, theilSenMk)
 }

@@ -220,6 +220,87 @@ object StreamLive {
         WHERE NOT (state = 'error' AND ts > TIMESTAMP '2024-01-16 00:00:00')
         GROUP BY state
         ORDER BY state
+      """.stripMargin.trim)),
+
+    // ---- native session_window under REAL streaming execution ------------
+    // The streaming twin of `event_session_window_native`: the same
+    // 30-minute session aggregation run through the merging-sessions
+    // state store across two event-time-ordered micro-batches, append
+    // mode. Two deliberate protocol choices make the streamed result
+    // equal the batch result row-for-row:
+    //  - watermark delay = the session gap (30 min): a session the
+    //    watermark has finalized has last-event < cutoff − delay, and a
+    //    batch-2 event (ts > cutoff) could only merge into a session
+    //    with last-event > cutoff − gap — an empty intersection, so no
+    //    finalized session can ever need reopening. (The feed must
+    //    arrive in event-time-ordered batches for this, which is why
+    //    the two drops are staged SEQUENTIALLY — the file source orders
+    //    batches by file modification time.)
+    //  - a far-future sentinel row (user −1, filtered from the final
+    //    read) rides in the last batch so the closing watermark passes
+    //    every real session's end — append mode emits them all.
+    // The oracle is the batch query's SQL verbatim: the state-store
+    // path must land on the identical session set.
+    QueryDef(
+      "stream_session_window_live",
+      (s0, dir) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+          .localCheckpoint(true)
+        val base = java.nio.file.Files.createTempDirectory("graft-sess-live").toString
+        // ordered staging (NOT ParallelStage): batch 2 must carry the
+        // later event-time range, see the watermark argument above
+        ev.filter(col("ts") <= cutoff).coalesce(1).write.parquet(s"$base/in/d0")
+        ev.filter(col("ts") > cutoff)
+          .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+            lit("2024-06-01").cast("timestamp").as("ts"), lit(0.0).as("value")))
+          .coalesce(1).write.parquet(s"$base/in/d1")
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+          .withWatermark("ts", "30 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(D)).cast("double").as("session_value"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$base/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("sw.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_start")
+      },
+      // bit-identical to the batch session_window by the protocol above —
+      // the oracle IS the batch query's SQL
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
       """.stripMargin.trim))
   )
 }

@@ -68,7 +68,10 @@ class PlanShapeSpec extends SparkSpec {
     "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
-    "sketch_quantile_subsample_merge") // 5-row quantile frame broadcast into the summary probe
+    "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
+    "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
+                                      // grain is bounded by the fixed date span, so the
+                                      // broadcast NL pair join is over a constant-size frame
 
   /** Queries where an unpartitioned logical Window is over a PROVABLY
     * BOUNDED frame — an aggregate whose grain is constant-cardinality
