@@ -763,8 +763,163 @@ object AnnSearch {
        |          GROUP BY 1, 2) m
        |        GROUP BY cid""".stripMargin
 
+  /** Squared-L2 fold over a `len`-element slice, index-ordered — the
+    * subspace sibling of [[kmDist2Duck]]. */
+  private def pqDist2Duck(v: String, c: String, len: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $len),
+       |              i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+       |                   * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+       |            (a, b) -> a + b)""".stripMargin
+
+  /** Product quantization with asymmetric-distance (ADC) top-k — the
+    * memory-compressed ANN arm: the 64-dim space splits into M=8
+    * 8-dim subspaces, each with its own K=16-centroid codebook
+    * (seeded by content hash, one Lloyd pass — the
+    * [[kmeansTrain]] recipe per subspace), every vector compresses to
+    * 8 four-bit codes (the classic PQ8x4 layout), and a query scans CODES ONLY: its
+    * per-subspace distance table (M·K = 128 cells) is broadcast and the
+    * approximate distance is Σₛ table[s][code(v,s)] — a 128-row
+    * broadcast-hash join + keyed sum instead of any float vector math
+    * on the corpus. The output carries the exact distance and an
+    * exact-top-10 membership flag per returned row, so the recall of
+    * the compressed scan is part of the checked result.
+    *
+    * At 100 TB: the corpus side holds 4 bytes/vector (a 64× memory
+    * reduction at this dim) and the scan is pure integer joins; train
+    * and encode are the same keyed/broadcast shapes as the IVF arm.
+    * Every summed double is FLOOR(·1e6)-quantized BEFORE the sum
+    * (associative integer addition — the [[kmeansTrain]] exactness
+    * discipline), so both engines order identically.
+    *
+    * Public-knowledge provenance: Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 (the
+    * ADC variant).
+    */
+  val pqAdcTopk: QueryDef = QueryDef(
+    "ann_pq_adc_topk",
+    (s, dir) => {
+      val M = 8; val SD = 8; val KC = 16; val QID = 1L; val TOPK = 10
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .localCheckpoint(true) // seeds + subspace explode + exact arm
+      val sub = vecs.select(col("vec_id"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("vs"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.s").as("s"), col("e.vs").as("vs"))
+        .localCheckpoint(true) // assign ×2 + update + query slice
+      val seeds = TwoStageOrder.kSmallestRows(
+          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+            col("vec_id"), col("v")), "h", KC)
+        // rank over the K=4-row seed frame (bounded by construction)
+        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+      val cb0 = seeds.select(col("cid"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("c"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
+      def assign(cb: DataFrame): DataFrame =
+        sub.join(broadcast(cb), "s")
+          .withColumn("dist2", expr(
+            "aggregate(zip_with(vs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+      val cb1 = assign(cb0).join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("pos", "x")))
+        .groupBy("s", "cid", "pos")
+        .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+          .as("cx"))
+        .groupBy("s", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
+          .as("c"))
+        .localCheckpoint(true) // encode pass + distance table
+      val codes = assign(cb1)
+      val qsub = sub.filter(col("vec_id") === QID).select(col("s"), col("vs").as("qs"))
+      val dtab = cb1.join(broadcast(qsub), "s")
+        .withColumn("d", expr(
+          "aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+        .select(col("s"), col("cid"), col("d"))
+      val approx = codes.filter(col("vec_id") =!= QID)
+        .join(broadcast(dtab), Seq("s", "cid"))
+        .groupBy("vec_id")
+        .agg(sum(expr("CAST(FLOOR(d * 1000000.0D) AS BIGINT)")).as("adc_e6"))
+        .orderBy(asc("adc_e6"), asc("vec_id")).limit(TOPK)
+      val qfull = vecs.filter(col("vec_id") === QID).select(col("v").as("q"))
+      val exact = vecs.filter(col("vec_id") =!= QID).crossJoin(broadcast(qfull))
+        .withColumn("exact_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .select(col("vec_id"), col("exact_e6"))
+        .localCheckpoint(true) // joined by the top-10 AND its own top-10 cut
+      val exTop = exact.orderBy(asc("exact_e6"), asc("vec_id")).limit(TOPK)
+        .select(col("vec_id").as("evid"))
+      approx.join(exact, "vec_id")
+        .join(broadcast(exTop), col("vec_id") === col("evid"), "left")
+        .withColumn("in_exact_top10", col("evid").isNotNull)
+        // rank over the 10-row TakeOrdered frame (bounded by limit)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(asc("adc_e6"), asc("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("adc_e6"), col("exact_e6"),
+          col("in_exact_top10"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, CAST(m.range AS INT) AS s,
+               list_slice(v, CAST(m.range AS INT) * 8 + 1, CAST(m.range AS INT) * 8 + 8) AS vs
+        FROM v CROSS JOIN range(0, 8) m),
+      seeds AS (
+        SELECT cid, v FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS cid, v
+          FROM v) t WHERE cid <= 16),
+      cb0 AS (
+        SELECT CAST(m.range AS INT) AS s, cid,
+               list_slice(v, CAST(m.range AS INT) * 8 + 1, CAST(m.range AS INT) * 8 + 8) AS c
+        FROM seeds CROSS JOIN range(0, 8) m),
+      a0 AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT sub.vec_id, sub.s, cb0.cid,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ${pqDist2Duck("sub.vs", "cb0.c", 8)}, cb0.cid) AS rn
+          FROM sub JOIN cb0 USING (s)) t WHERE rn = 1),
+      cb1 AS (
+        SELECT s, cid, list(cx ORDER BY pos) AS c FROM (
+          SELECT a0.s, a0.cid, CAST(i.range AS INT) + 1 AS pos,
+                 CAST(SUM(CAST(sub.vs[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*) AS cx
+          FROM a0 JOIN sub USING (vec_id, s) CROSS JOIN range(0, 8) i
+          GROUP BY 1, 2, 3) m GROUP BY s, cid),
+      codes AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT sub.vec_id, sub.s, cb1.cid,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ${pqDist2Duck("sub.vs", "cb1.c", 8)}, cb1.cid) AS rn
+          FROM sub JOIN cb1 USING (s)) t WHERE rn = 1),
+      qsub AS (SELECT s, vs AS qs FROM sub WHERE vec_id = 1),
+      dtab AS (
+        SELECT cb1.s, cb1.cid, ${pqDist2Duck("qsub.qs", "cb1.c", 8)} AS d
+        FROM cb1 JOIN qsub USING (s)),
+      approx AS (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(d * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM codes JOIN dtab USING (s, cid)
+        WHERE vec_id <> 1
+        GROUP BY vec_id
+        ORDER BY adc_e6, vec_id LIMIT 10),
+      qfull AS (SELECT v AS q FROM v WHERE vec_id = 1),
+      exact AS (
+        SELECT vec_id,
+               CAST(FLOOR(${pqDist2Duck("v.v", "qfull.q", 64)} * 1000000.0) AS BIGINT) AS exact_e6
+        FROM v CROSS JOIN qfull WHERE vec_id <> 1),
+      extop AS (SELECT vec_id FROM exact ORDER BY exact_e6, vec_id LIMIT 10)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.adc_e6, a.vec_id) AS BIGINT) AS rank,
+             a.vec_id, a.adc_e6, e.exact_e6,
+             (a.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
+      FROM approx a JOIN exact e USING (vec_id)
+      ORDER BY rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
-      knnGraphCapped, recallKnnCapped, kmeansTrain)
+      knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk)
 }

@@ -132,8 +132,8 @@ object ScaleStorage {
     * the thresholds down to local data volumes (the defaults assume
     * 10 GB scans — exactly the 100 TB regime where this fires on its
     * own) and disables broadcast so the shuffle join genuinely needs
-    * the reduction. WaveESpec asserts `bloom_filter_might_contain` is
-    * present in the optimized plan.
+    * the reduction. WaveESpec asserts the `might_contain` probe (fed by
+    * a `bloom_filter_agg` scalar subquery) is in the optimized plan.
     */
   val runtimeBloom: QueryDef = QueryDef(
     "scale_runtime_bloom_filter",

@@ -69,6 +69,7 @@ class PlanShapeSpec extends SparkSpec {
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
     "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
+    "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
                                       // grain is bounded by the fixed date span, so the
                                       // broadcast NL pair join is over a constant-size frame
@@ -102,6 +103,8 @@ class PlanShapeSpec extends SparkSpec {
     "ts_anomaly_daily_revenue",  // day-grain median-by-rank frames
     "ts_anomaly_robust_mad",     // day-grain median/MAD frames (6 windows)
     "ann_ivf_kmeans_train",      // seed-rank window over the k=8-row seed frame
+    "ann_pq_adc_topk",           // seed-rank over the k=16-row seed frame + final rank
+                                 // over the 10-row TakeOrdered result
     "ts_ewma_dyadic")            // 20-lag ladder over the DAY grain (fixed date span)
 
   test("no unpartitioned Window over an unbounded input") {
