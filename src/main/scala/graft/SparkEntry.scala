@@ -21,6 +21,7 @@ object SparkEntry {
     operators.EventOps.defs ++
     operators.StreamAnalogs.defs ++
     operators.StreamLive.defs ++
+    operators.StateV2Live.defs ++
     operators.RelationalExtra.defs ++
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++

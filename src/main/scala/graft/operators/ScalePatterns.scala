@@ -668,8 +668,69 @@ object ScalePatterns {
       ORDER BY p_brand
     """.stripMargin.trim))
 
+  /** AQE skew-join splitting — the RUNTIME leg of the skew family
+    * ([[skewSaltPlan]] plans the salt, [[saltedJoin]] executes a manual
+    * salt; this lets the engine split the hot partition itself). The
+    * fact side funnels ~30% of lineitem rows onto one hot product key
+    * (the canonical best-seller skew), broadcast is disabled so the
+    * sort-merge join genuinely shuffles by the skewed key, and the AQE
+    * thresholds are scoped to local volumes (the defaults assume the
+    * 256 MB-partition regime where this fires on its own at 100 TB).
+    * `OptimizeSkewedJoin` then rewrites the hot partition into N
+    * sub-partitions joined against a replicated dim slice — exactly the
+    * salted-replicated plan, but decided from runtime statistics with
+    * zero query rewrite. WaveFSpec asserts `isSkew=true` on the
+    * executed SMJ and that row-level results equal the plain join.
+    *
+    * At 100 TB this is the default posture: leave AQE skew handling on
+    * and reserve manual salting for skew the optimizer cannot see
+    * (e.g. post-filter explosion). Same aggregate oracle as the manual
+    * salt twin, so the two plans are provably interchangeable.
+    */
+  val aqeSkewJoin: QueryDef = QueryDef(
+    "scale_aqe_skew_join",
+    (s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // a skewed reduce partition is split along MAPPER block boundaries,
+      // and the local testdata is ONE parquet row group = one map task =
+      // one unsplittable block; the round-robin repartition stands in for
+      // the multi-mapper scan a real table has (at 100 TB the scan itself
+      // produces thousands of map outputs and this line is dropped)
+      val fact = Tables.lineitem(s, dir)
+        .select(
+          when(pmod(col("l_partkey"), lit(10)) < 3, lit(1L))
+            .otherwise(col("l_partkey")).as("hot_key"),
+          col("l_extendedprice").cast(D).as("price"))
+        .repartition(8)
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))
+      fact.join(dim, col("hot_key") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("total_price"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      FROM (SELECT CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_partkey END AS hot_key,
+                   l_extendedprice
+            FROM lineitem) f
+      JOIN part ON hot_key = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, bloomPruneJoin, zorderLayout, incrementalAggMerge, weightedPps,
       twoStageCumsum, zonemapPrune, joinSkewAudit, exactQuantiles, skewSaltPlan,
-      saltedJoin)
+      saltedJoin, aqeSkewJoin)
 }

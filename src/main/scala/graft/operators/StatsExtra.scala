@@ -274,5 +274,99 @@ object StatsExtra {
       FROM stat, med
     """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(giniRevenue, copurchaseLift, ewmaDyadic, theilSenMk)
+  // ---- closed-form multiple regression: shared formula text ------------
+  // The normal-equation solve is pure double arithmetic over ten
+  // integer-decimal moments; both engines evaluate the SAME expression
+  // text (interpolated into selectExpr here and into the oracle SQL
+  // below), so cross-engine float equality holds by construction — the
+  // stats_corr_qty_price discipline extended from 1 to 2 regressors.
+  private def d(c: String) = s"CAST($c AS DOUBLE)"
+  private val (rNN, rX1, rX2, rSY) = (d("n"), d("sx1"), d("sx2"), d("sy"))
+  private val (rS11, rS22, rS12) = (d("s11"), d("s22"), d("s12"))
+  private val (rS1Y, rS2Y, rSYY) = (d("s1y"), d("s2y"), d("syy"))
+  private val regDet =
+    s"($rNN * ($rS11 * $rS22 - $rS12 * $rS12) - $rX1 * ($rX1 * $rS22 - $rS12 * $rX2) + $rX2 * ($rX1 * $rS12 - $rS11 * $rX2))"
+  private val regDetB0 =
+    s"($rSY * ($rS11 * $rS22 - $rS12 * $rS12) - $rX1 * ($rS1Y * $rS22 - $rS12 * $rS2Y) + $rX2 * ($rS1Y * $rS12 - $rS11 * $rS2Y))"
+  private val regDetB1 =
+    s"($rNN * ($rS1Y * $rS22 - $rS12 * $rS2Y) - $rSY * ($rX1 * $rS22 - $rS12 * $rX2) + $rX2 * ($rX1 * $rS2Y - $rS1Y * $rX2))"
+  private val regDetB2 =
+    s"($rNN * ($rS11 * $rS2Y - $rS1Y * $rS12) - $rX1 * ($rX1 * $rS2Y - $rS1Y * $rX2) + $rSY * ($rX1 * $rS12 - $rS11 * $rX2))"
+  private val regB0c = s"($regDetB0 / $regDet)"
+  private val regB1 = s"($regDetB1 / $regDet)"
+  private val regB2 = s"($regDetB2 / $regDet)"
+  private val regSse =
+    s"($rSYY - $regB0c * $rSY - $regB1 * $rS1Y - $regB2 * $rS2Y)"
+  private val regSst = s"($rSYY - $rSY * $rSY / $rNN)"
+  private val regR2 = s"(1.0 - $regSse / $regSst)"
+
+  /** Closed-form two-regressor OLS (price ~ quantity + discount per
+    * return flag) via the normal equations and Cramer's rule — the
+    * distributed-ML primitive that needs exactly ONE pass: the ten
+    * moment sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²)
+    * are a keyed aggregation with map-side partial merge, and the 3×3
+    * solve is per-group scalar arithmetic. No gradient iterations, no
+    * driver loop — at 100 TB this is a single shuffle of 10 numbers
+    * per group, the shape feature-quality calibration jobs want.
+    *
+    * Exactness: inputs scale to integer cents (scale-0 decimals — the
+    * only decimal→double cast both engines round identically, see
+    * stats_corr_qty_price), and the double formula text is SHARED
+    * between Spark and the oracle. Slopes are scale-invariant under
+    * the ×100 (both axes scale together); the intercept divides back
+    * once. R² = 1 − SSE/SST with SSE from the moment identity
+    * Σy² − b·(Σy, Σx₁y, Σx₂y).
+    */
+  val olsMultiple: QueryDef = QueryDef(
+    "stats_ols_multiple_regression",
+    (s, dir) => {
+      val d12 = DecimalType(12, 2)
+      val qc = (col("l_quantity").cast(d12) * 100).cast(DecimalType(14, 0))
+      val dc = (col("l_discount").cast(d12) * 100).cast(DecimalType(14, 0))
+      val pc = (col("l_extendedprice").cast(d12) * 100).cast(DecimalType(16, 0))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(qc).as("sx1"), sum(dc).as("sx2"), sum(pc).as("sy"),
+          sum(qc * qc).as("s11"), sum(dc * dc).as("s22"),
+          sum(qc * dc).as("s12"),
+          sum(qc * pc).as("s1y"), sum(dc * pc).as("s2y"),
+          sum(pc * pc).as("syy"))
+        .selectExpr("l_returnflag", "n",
+          s"$regB0c / 100.0 AS b0",
+          s"$regB1 AS b1_qty",
+          s"$regB2 AS b2_disc",
+          s"$regR2 AS r2")
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS sx1,
+               SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS sx2,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                   * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS s11,
+               SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                   * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS s22,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                   * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS s12,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                   * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS s1y,
+               SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))
+                   * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS s2y,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))
+                   * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             $regB0c / 100.0 AS b0,
+             $regB1 AS b1_qty,
+             $regB2 AS b2_disc,
+             $regR2 AS r2
+      FROM sums
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(giniRevenue, copurchaseLift, ewmaDyadic, theilSenMk, olsMultiple)
 }
