@@ -563,20 +563,21 @@ object SketchOps {
           col("j") === least(col("j_star"), col("k_tot")))
         .withColumn("est_rank", expr(s"(j - 1) * $QM + 1"))
       // (v, okey, lnum) need not be UNIQUE in the fact table (the
-      // synthetic lineitem duplicates line numbers), so the audit join
-      // matches on the full tuple and takes MIN(g): tied duplicates get
-      // a contiguous rank run, so min = |{rows < tuple}| + 1 — a
-      // placement-independent, deterministic exact rank.
-      val exact = TwoStageOrder.withGlobalRank(base,
-        Seq(col("v").asc, col("okey").asc, col("lnum").asc), "g", "ntot")
-      exact.join(broadcast(sel.select(col("q_pct"), col("n_rows"),
+      // synthetic lineitem duplicates line numbers); the exact rank of a
+      // released tuple t is its MIN rank over the duplicate run, which
+      // equals |{rows < t}| + 1 — computable as ONE map-side broadcast
+      // comparison over the fact instead of a full two-stage global rank
+      // of every row (the audit was this query's dominant cost: ranking
+      // 100% of the table to locate 5 tuples).
+      base.crossJoin(broadcast(sel.select(col("q_pct"), col("n_rows"),
           col("target_rank"), col("j").as("kept_rank"), col("est_rank"),
-          col("v").as("s_v"), col("okey").as("s_okey"), col("lnum").as("s_lnum"))),
-          col("v") === col("s_v") && col("okey") === col("s_okey")
-            && col("lnum") === col("s_lnum"))
+          col("v").as("s_v"), col("okey").as("s_okey"), col("lnum").as("s_lnum"))))
         .groupBy(col("q_pct"), col("n_rows"), col("target_rank"),
           col("kept_rank"), col("est_rank"), col("s_v"))
-        .agg(min(col("g")).as("exact_rank"))
+        .agg((sum(when(col("v") < col("s_v") ||
+            (col("v") === col("s_v") && (col("okey") < col("s_okey") ||
+              (col("okey") === col("s_okey") && col("lnum") < col("s_lnum")))),
+            1L).otherwise(0L)) + 1L).as("exact_rank"))
         .select(col("q_pct").cast("long").as("q_pct"), col("n_rows"),
           col("target_rank"), col("kept_rank"), col("est_rank"),
           col("s_v").as("value_cents"), col("exact_rank"),

@@ -229,6 +229,9 @@ object StatsExtra {
           ((col("b.rev") - col("a.rev")).cast("double")
             / (col("b.di") - col("a.di")).cast("double")).as("slope"),
           signum((col("b.rev") - col("a.rev")).cast("double")).cast("long").as("sgn"))
+        .localCheckpoint(true) // the day-pair frame feeds BOTH arms (median
+                               // rank + Mann-Kendall S); unmaterialized, the
+                               // O(days²) pair join ran twice
       val med = TwoStageOrder.withGlobalRank(
           pairs.select("slope"), Seq(asc("slope")), "r", "tot")
         .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
