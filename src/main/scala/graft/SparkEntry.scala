@@ -22,6 +22,8 @@ object SparkEntry {
     operators.StreamAnalogs.defs ++
     operators.StreamLive.defs ++
     operators.StateV2Live.defs ++
+    operators.StateV2Timers.defs ++
+    operators.StateV2Init.defs ++
     operators.RelationalExtra.defs ++
     operators.AnalyticsExtra.defs ++
     operators.TemporalJoins.defs ++

@@ -990,6 +990,72 @@ object AnalyticsExtra {
         FROM sums
       """.stripMargin.trim)),
 
+    // ---- additive trend/seasonal/residual decomposition ------------------
+    /* STL-style additive decomposition of daily revenue: trend = 7-point
+     * centered moving average (full windows only — the 3-day edges drop),
+     * seasonal = per-weekday mean of the detrended series, residual =
+     * observation − trend − seasonal. Exactness: the detrended value is
+     * kept as the INTEGER 7·x − Σwindow (cents, no division), so the
+     * per-weekday aggregation sums integers in any order; the only double
+     * ops are the final /7.0 and /(7.0·n) divisions, written once as
+     * shared text. The weekday index is ((days-since-epoch % 7) + 7) % 7
+     * — dayofweek() builtins disagree on Sunday numbering, and a plain %
+     * goes negative before the anchor date.
+     * Shape: one corpus-sized daily rollup; the MA window and the 7-row
+     * seasonal broadcast run over the BOUNDED day grain (constant at any
+     * corpus size — whitelisted alongside the other day-frame windows).
+     */
+    QueryDef(
+      "ts_stl_weekday_decompose",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg((sum(col("o_totalprice").cast(D)) * 100).cast("long").as("rc"))
+          .withColumn("di", datediff(col("d"), lit("1992-01-01")).cast("long"))
+          .withColumn("wd", expr("((datediff(d, DATE '1992-01-01') % 7) + 7) % 7"))
+        val w = Window.orderBy(col("di")).rowsBetween(-3, 3)
+        val t = daily
+          .withColumn("t7", sum(col("rc")).over(w))
+          .withColumn("n7", count(lit(1)).over(w))
+          .filter(col("n7") === 7)
+        val seas = t.groupBy("wd")
+          .agg(sum(col("rc") * 7 - col("t7")).as("ssum"),
+            count(lit(1)).as("scnt"))
+        t.join(broadcast(seas), "wd")
+          .selectExpr("di", "d", "rc",
+            "CAST(t7 AS DOUBLE) / 7.0 AS trend",
+            "CAST(ssum AS DOUBLE) / (7.0 * scnt) AS seasonal",
+            """CAST(rc AS DOUBLE) - CAST(t7 AS DOUBLE) / 7.0
+               - CAST(ssum AS DOUBLE) / (7.0 * scnt) AS residual""")
+          .orderBy("di")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT d, rc,
+                 CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT) AS di,
+                 ((date_diff('day', DATE '1992-01-01', d) % 7) + 7) % 7 AS wd
+          FROM daily),
+        ma AS (
+          SELECT *, SUM(rc) OVER w AS t7, COUNT(*) OVER w AS n7
+          FROM idx
+          WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        tt AS (SELECT * FROM ma WHERE n7 = 7),
+        seas AS (
+          SELECT wd, SUM(rc * 7 - t7) AS ssum, COUNT(*) AS scnt
+          FROM tt GROUP BY wd)
+        SELECT di, d, rc,
+               CAST(t7 AS DOUBLE) / 7.0 AS trend,
+               CAST(ssum AS DOUBLE) / (7.0 * scnt) AS seasonal,
+               CAST(rc AS DOUBLE) - CAST(t7 AS DOUBLE) / 7.0
+                 - CAST(ssum AS DOUBLE) / (7.0 * scnt) AS residual
+        FROM tt JOIN seas USING (wd)
+        ORDER BY di
+      """.stripMargin.trim)),
+
     // ---- deterministic Poisson bootstrap CI --------------------------
     // THE distributed bootstrap (Chamandy et al.): resample b gives row
     // i the weight w ~ Poisson(1), approximating sampling-with-

@@ -1717,10 +1717,78 @@ object Dedup {
       """.stripMargin.trim
     })
 
+  /** b-bit minhash (b = 1): keep only the LOWEST BIT of each of the 16
+    * minhashes — the signature shrinks from 16 md5 strings to 16 BITS
+    * (2 bytes/doc, a ~128× store reduction at this width), and the
+    * Jaccard estimator becomes Ĵ = 2·P̂ − 1 where P̂ is the matching-bit
+    * fraction (random non-equal minhashes still collide with prob ~1/2,
+    * so the match rate must be debiased; clamped at 0). For every LSH
+    * candidate pair the query emits the 1-bit estimate NEXT TO the
+    * full-width estimate from the same pinned signatures — the gap
+    * column is the measured cost of the compression, which is the
+    * number a 100 TB corpus weighs against 128× less sketch storage
+    * (more hashes at 1 bit each beats fewer full-width hashes per byte).
+    * The bit is the last hex digit's parity, identical arithmetic in
+    * both engines; both estimates are /16 dyadic, so floats hash-match.
+    *
+    * Public-knowledge provenance: Li & König, "b-Bit Minwise Hashing",
+    * WWW 2010 (the b=1 estimator, two-permutation form simplified to
+    * the symmetric r₁=r₂ case).
+    */
+  val bbitEstimate: QueryDef = QueryDef(
+    "dedup_minhash_bbit_estimate",
+    (s, dir) => {
+      val (_, mh) = sketchSurface(s, dir)
+      val cands = lshCandsFromSketch(s, dir)
+      val bc = candBroadcaster(cands)
+      def bit(side: String, i: Int) =
+        expr(s"(instr('0123456789abcdef', substring($side.h$i, 32, 1)) - 1) % 2")
+      val bitMatch = (0 until 16)
+        .map(i => when(bit("ma", i) === bit("mb", i), 1).otherwise(0))
+        .reduce(_ + _)
+      val fullMatch = (0 until 16)
+        .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      bc(cands)
+        .join(mh.as("ma"), col("ia") === col("ma.doc_id"))
+        .join(mh.as("mb"), col("ib") === col("mb.doc_id"))
+        .select(col("ia"), col("ib"),
+          bitMatch.cast("long").as("n_bit_match"),
+          fullMatch.cast("long").as("n_full_match"))
+        .selectExpr("ia", "ib", "n_bit_match",
+          "CAST(GREATEST(2 * n_bit_match - 16, 0) AS DOUBLE) / 16.0 AS est_jaccard_bbit",
+          "CAST(n_full_match AS DOUBLE) / 16.0 AS est_jaccard_full",
+          """CAST(GREATEST(2 * n_bit_match - 16, 0) AS DOUBLE) / 16.0
+             - CAST(n_full_match AS DOUBLE) / 16.0 AS est_gap""")
+        .orderBy("ia", "ib")
+    },
+    Some(s"""
+      WITH $lshCandsSql,
+      bits AS (
+        SELECT doc_id, i, h,
+               (instr('0123456789abcdef', substring(h, 32, 1)) - 1) % 2 AS bit
+        FROM mh),
+      m AS (
+        SELECT c.ia, c.ib,
+               SUM(CASE WHEN ba.bit = bb.bit THEN 1 ELSE 0 END) AS n_bit_match,
+               SUM(CASE WHEN ba.h = bb.h THEN 1 ELSE 0 END) AS n_full_match
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.ia
+        JOIN bits bb ON bb.doc_id = c.ib AND bb.i = ba.i
+        GROUP BY 1, 2)
+      SELECT ia, ib, CAST(n_bit_match AS BIGINT) AS n_bit_match,
+             CAST(GREATEST(2 * n_bit_match - 16, 0) AS DOUBLE) / 16.0 AS est_jaccard_bbit,
+             CAST(n_full_match AS DOUBLE) / 16.0 AS est_jaccard_full,
+             CAST(GREATEST(2 * n_bit_match - 16, 0) AS DOUBLE) / 16.0
+               - CAST(n_full_match AS DOUBLE) / 16.0 AS est_gap
+      FROM m
+      ORDER BY ia, ib
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngramJaccard, ngramJaccardCapped, prefixFilterJaccard, containment, minhashLsh,
       minhashEstimateQuality, minhashIncrementalDelta, streamDeltaDedup,
       simhash, embeddingCosine, semanticSemdedup, clusterComponents,
       crossSourceAttribution, dupRateBySource, duplicateSpans, minhashSketchMerge,
-      spanDedupCut, winnowCandidates, lshBandSweep)
+      spanDedupCut, winnowCandidates, lshBandSweep, bbitEstimate)
 }

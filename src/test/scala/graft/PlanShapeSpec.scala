@@ -105,7 +105,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivf_kmeans_train",      // seed-rank window over the k=8-row seed frame
     "ann_pq_adc_topk",           // seed-rank over the k=16-row seed frame + final rank
                                  // over the 10-row TakeOrdered result
-    "ts_ewma_dyadic")            // 20-lag ladder over the DAY grain (fixed date span)
+    "ts_ewma_dyadic",            // 20-lag ladder over the DAY grain (fixed date span)
+    "ts_stl_weekday_decompose")  // 7-point centered MA over the DAY grain
 
   test("no unpartitioned Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
