@@ -64,6 +64,24 @@ gen("documents", f"""
   FROM read_parquet('{SRC}/documents.parquet'), {copies}
   ORDER BY doc_id""")
 
-for t in ["orders", "events", "part", "supplier", "nation", "region", "embeddings"]:
+# events: disjoint user/event key spaces per copy, timestamps unchanged --
+# 3x the keyed state (users) at sf0.1's per-user event density, the
+# linear-growth null for the stateful-stream carriers (r11 wave G/H).
+gen("events", f"""
+  SELECT event_id + k*1000000000 AS event_id,
+         ts,
+         user_id + k*1000000 AS user_id,
+         event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet'), {copies}
+  ORDER BY event_id""")
+
+# embeddings: disjoint vec_ids; vectors unchanged (the ANN carriers are
+# timed, not oracle-checked, at this SF -- cost scales with rows).
+gen("embeddings", f"""
+  SELECT vec_id + k*1000000 AS vec_id, embedding, label
+  FROM read_parquet('{SRC}/embeddings.parquet'), {copies}
+  ORDER BY vec_id""")
+
+for t in ["orders", "part", "supplier", "nation", "region"]:
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     print(f"{t}: copied")

@@ -627,7 +627,51 @@ object GraphIterative {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** The same traversal as [[bfsReachability]], written as a RECURSIVE
+    * CTE (Spark 4's `WITH RECURSIVE`, SPARK-24497) — the DECLARATIVE
+    * form where the engine schedules the fixpoint instead of a driver
+    * loop. Both engines run the IDENTICAL SQL text, and the hop counts
+    * are a third/fourth independent derivation of the BFS distances
+    * (Spark iterative, Spark recursive, DuckDB unrolled, DuckDB
+    * recursive all agree on this graph).
+    *
+    * Scale honesty: Spark recursion supports UNION ALL only, so the
+    * working set is PATHS, not nodes — per-path expansion grows with
+    * Σ degᵈ and is NOT the 100 TB shape for deep traversals (that stays
+    * [[bfsReachability]]'s keyed frontier with per-hop dedup, O(V)
+    * state). The query is therefore bounded by construction: one seed
+    * supplier, depth 2 (seed → its parts → their co-suppliers), ≤
+    * |parts(seed)|·suppliers-per-part paths, well under the engine's
+    * recursion row limit at any SF since per-supplier part counts are
+    * catalog-bounded. MIN(hop) collapses paths to BFS distance.
+    */
+  val recursiveCteBfs: QueryDef = {
+    val sql = """
+      WITH RECURSIVE walk(node, hop) AS (
+        SELECT DISTINCT l_suppkey * 2 AS node, 0 AS hop FROM %TBL% WHERE l_suppkey = 1
+        UNION ALL
+        SELECT e.dst, w.hop + 1 FROM walk w
+        JOIN (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM %TBL%
+              UNION ALL
+              SELECT DISTINCT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM %TBL%) e
+          ON e.src = w.node
+        WHERE w.hop < 2)
+      SELECT CAST(hop AS BIGINT) AS hop,
+             COUNT(*) FILTER (WHERE node % 2 = 0) AS n_suppliers,
+             COUNT(*) FILTER (WHERE node % 2 = 1) AS n_parts
+      FROM (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+      GROUP BY hop
+      ORDER BY hop"""
+    QueryDef(
+      "graph_bfs_recursive_cte",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_rec_lineitem")
+        s.sql(sql.replace("%TBL%", "graft_rec_lineitem"))
+      },
+      Some(sql.replace("%TBL%", "lineitem").stripMargin.trim))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(pagerank, bfsReachability, triangleCount, kcorePeel, linkPrediction,
-      modularity, pprSeeded)
+      modularity, pprSeeded, recursiveCteBfs)
 }

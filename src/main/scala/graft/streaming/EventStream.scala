@@ -131,6 +131,11 @@ class GraftMetricsListener extends org.apache.spark.sql.streaming.StreamingQuery
   @volatile var totalInputRows: Long = 0L
   val batchDurationsMs: mutable.Buffer[Long] = mutable.Buffer.empty
   val progressEvents: mutable.Buffer[String] = mutable.Buffer.empty
+  /** in-query `observe()` metric rows per batch, keyed by observation
+    * name — the Prometheus-counter vehicle for DERIVED per-stage counts
+    * (e.g. dlq rows per reason) that plain numInputRows can't carry */
+  val observedMetrics: mutable.Buffer[(String, Map[String, Any])] =
+    mutable.Buffer.empty
   @volatile var lastInputRowsPerSecond: Double = 0.0
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
@@ -146,6 +151,10 @@ class GraftMetricsListener extends org.apache.spark.sql.streaming.StreamingQuery
     batchDurationsMs += p.batchDuration
     lastInputRowsPerSecond = p.inputRowsPerSecond
     progressEvents += s"batch:${p.batchId}:${p.numInputRows}"
+    p.observedMetrics.forEach { (name, row) =>
+      observedMetrics += name ->
+        row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+    }
     totalInputRows += p.numInputRows
   }
 
