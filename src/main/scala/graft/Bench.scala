@@ -17,6 +17,13 @@ object Bench {
     "dedup_ngram_jaccard_capped", "dedup_minhash_estimate_quality",
     "dedup_minhash_incremental_delta", "stream_delta_dedup_minhash",
     "stream_stream_join_attribution", "stream_dedup_within_watermark",
+    // round-11 waves E-H: State API v2, PQ/ADC, runtime adaptivity
+    "stream_transform_with_state_live", "stream_tws_event_timers",
+    "stream_tws_initial_state_live", "stream_session_window_live",
+    "ann_pq_adc_topk", "scale_aqe_skew_join", "scale_runtime_bloom_filter",
+    "graph_bfs_recursive_cte", "stats_ols_multiple_regression",
+    "dedup_minhash_bbit_estimate", "ts_stl_weekday_decompose",
+    "stats_theil_sen_mann_kendall", "sketch_quantile_subsample_merge",
     "dedup_embedding_cosine", "dedup_cluster_components",
     "pipeline_source_quota_topk", "pipeline_benchmark_decontaminate",
     "ann_cosine_topk_bruteforce", "ann_cosine_topk_ivf",

@@ -646,15 +646,19 @@ object GraphIterative {
     * catalog-bounded. MIN(hop) collapses paths to BFS distance.
     */
   val recursiveCteBfs: QueryDef = {
-    val sql = """
+    // the recursive WALK is the shared text; the edge surface is a
+    // placeholder because Spark re-executes every subquery inside the
+    // recursion PER ITERATION — inlining the two-DISTINCT edge build
+    // made each of the 3 iterations re-scan and re-shuffle the fact
+    // (measured 4.3 s; pinned surface ~0.5 s). Spark reads the pinned
+    // session graph surface (the same one bfsReachability probes);
+    // DuckDB inlines the identical edge definition.
+    val walk = """
       WITH RECURSIVE walk(node, hop) AS (
-        SELECT DISTINCT l_suppkey * 2 AS node, 0 AS hop FROM %TBL% WHERE l_suppkey = 1
+        SELECT DISTINCT l_suppkey * 2 AS node, 0 AS hop FROM %SEEDS% WHERE l_suppkey = 1
         UNION ALL
         SELECT e.dst, w.hop + 1 FROM walk w
-        JOIN (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM %TBL%
-              UNION ALL
-              SELECT DISTINCT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM %TBL%) e
-          ON e.src = w.node
+        JOIN %EDGES% e ON e.src = w.node
         WHERE w.hop < 2)
       SELECT CAST(hop AS BIGINT) AS hop,
              COUNT(*) FILTER (WHERE node % 2 = 0) AS n_suppliers,
@@ -665,10 +669,17 @@ object GraphIterative {
     QueryDef(
       "graph_bfs_recursive_cte",
       (s, dir) => {
+        graphSurface(s, dir).createOrReplaceTempView("graft_rec_edges")
         Tables.lineitem(s, dir).createOrReplaceTempView("graft_rec_lineitem")
-        s.sql(sql.replace("%TBL%", "graft_rec_lineitem"))
+        s.sql(walk.replace("%SEEDS%", "graft_rec_lineitem")
+          .replace("%EDGES%", "graft_rec_edges"))
       },
-      Some(sql.replace("%TBL%", "lineitem").stripMargin.trim))
+      Some(walk.replace("%SEEDS%", "lineitem")
+        .replace("%EDGES%",
+          """(SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+              UNION ALL
+              SELECT DISTINCT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM lineitem)""")
+        .stripMargin.trim))
   }
 
   val defs: Seq[QueryDef] =
