@@ -382,6 +382,69 @@ object RelationalExtra {
         FROM events
         WHERE event_id < 1000
         ORDER BY event_id
+      """.stripMargin.trim)),
+
+    // ---- correlated LATERAL top-N ----------------------------------------
+    /* The third derivation of per-key top-N (after the window form and
+     * the native TopKPerKey operator): a correlated LATERAL subquery
+     * with ORDER BY + LIMIT per outer row — the form analysts actually
+     * write. Spark decorrelates it (DecorrelateInnerQuery) into a
+     * partitioned rank plan, so the executed shape is the same keyed
+     * window as the twin, never a per-row nested loop — which is the
+     * scale property that makes the sugar safe at 100 TB. Identical SQL
+     * text runs on both engines.
+     */
+    QueryDef(
+      "join_lateral_top3_per_customer",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+        s.sql(lateralTop3Sql.replace("%T%", "graft_lat_orders"))
+      },
+      Some(lateralTop3Sql.replace("%T%", "orders").stripMargin.trim)),
+
+    // ---- ordered string aggregation (listagg) ----------------------------
+    /* Spark 4's ANSI `LISTAGG ... WITHIN GROUP (ORDER BY ...)` over the
+     * bounded (priority × month) grain: the month roster per priority as
+     * one ordered CSV — deterministic BECAUSE the within-group order is
+     * total (the unordered form is partition-placement-dependent and
+     * would never hash-match). DuckDB spells it string_agg(... ORDER BY),
+     * same semantics. Shape: one distinct-aggregation to the bounded
+     * grain, then a 5-row rollup.
+     */
+    QueryDef(
+      "agg_listagg_ordered_months",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_la_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_months,
+                 listagg(m, ',') WITHIN GROUP (ORDER BY m) AS months
+          FROM (SELECT DISTINCT o_orderpriority,
+                       date_format(o_orderdate, 'yyyy-MM') AS m
+                FROM graft_la_orders)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_months,
+               string_agg(m, ',' ORDER BY m) AS months
+        FROM (SELECT DISTINCT o_orderpriority,
+                     strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m
+              FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
       """.stripMargin.trim))
   )
+
+  /** Shared text of the LATERAL top-3 (both engines): per customer with
+    * at least one order, the 3 highest-value orders, value-desc with
+    * orderkey tiebreak to a total order. */
+  private def lateralTop3Sql: String = """
+    SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+    FROM (SELECT DISTINCT o_custkey FROM %T% WHERE o_custkey <= 200) c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM %T% o
+             WHERE o.o_custkey = c.o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    ORDER BY c.o_custkey, t.o_totalprice DESC, t.o_orderkey"""
 }
