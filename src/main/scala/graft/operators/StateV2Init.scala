@@ -85,7 +85,8 @@ object StateV2Init {
         col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
         col("event_type"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("v2"))
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("v2"),
+        col("event_id"))
       implicit val evtEnc: Encoder[UEvt] = Encoders.product[UEvt]
       implicit val snapEnc: Encoder[USnap] = Encoders.product[USnap]
       implicit val initEnc: Encoder[UInit] = Encoders.product[UInit]
