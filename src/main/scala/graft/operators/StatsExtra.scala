@@ -370,6 +370,98 @@ object StatsExtra {
       ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  // ---- CUPED shared formula text (same discipline as the OLS block) ----
+  private val cTheta =
+    s"((${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / (${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}))"
+  private val cMeanXAll = s"(${d("sx")} / ${d("n")})"
+
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker —
+    * "Improving the Sensitivity of Online Controlled Experiments",
+    * WSDM 2013): each user's pre-period spend X is the covariate for
+    * their experiment-period spend Y; θ = cov(X,Y)/var(X) is fit POOLED
+    * (assignment-independent, so the adjustment is unbiased), and each
+    * variant reports mean(Y) and the adjusted
+    * mean(Y − θ·(X − E[X])) = meanY − θ·(meanX − E[X]) plus the achieved
+    * variance-reduction ratio 1 − ρ² — the number that says how much
+    * smaller the experiment can be.
+    *
+    * Shape: ONE keyed pass builds the per-user (X, Y) frame (conditional
+    * sums over the split date), one tiny aggregation builds the pooled
+    * moments, per-variant stats group over ≤2 rows — at 100 TB the only
+    * corpus-sized step is the per-user rollup the session tables already
+    * need. Variant assignment is the md5-nibble split (deterministic,
+    * reproducible at any parallelism — the sample_stratified_hash
+    * discipline). Exactness: X/Y are integer cents; every double comes
+    * from scale-0 decimal casts through SHARED formula text.
+    */
+  val cupedLift: QueryDef = QueryDef(
+    "stats_cuped_adjusted_lift",
+    (s, dir) => {
+      val mid = "2024-01-16"
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts").cast("timestamp") < lit(mid).cast("timestamp"),
+            (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("ts").cast("timestamp") >= lit(mid).cast("timestamp"),
+            (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("variant", expr(
+          "(instr('0123456789abcdef', substring(md5(CAST(user_id AS STRING)), 1, 1)) - 1) % 2"))
+        .localCheckpoint(true) // feeds the pooled moments AND the variant stats
+      val pooled = users.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      val byVariant = users.groupBy("variant")
+        .agg(count(lit(1)).as("nv"),
+          sum(col("x")).as("vx"), sum(col("y")).as("vy"))
+      byVariant.crossJoin(broadcast(pooled))
+        .selectExpr(
+          "CAST(variant AS BIGINT) AS variant",
+          "nv AS n_users",
+          s"${d("vy")} / ${d("nv")} / 100.0 AS mean_y",
+          s"(${d("vy")} / ${d("nv")} - $cTheta * (${d("vx")} / ${d("nv")} - $cMeanXAll)) / 100.0 AS mean_y_adj",
+          s"$cTheta AS theta",
+          s"""(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) * (${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})
+              / ((${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * (${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}))
+              AS var_reduction""")
+        .orderBy("variant")
+    },
+    Some(s"""
+      WITH users AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS y,
+               (instr('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS variant
+        FROM events GROUP BY user_id),
+      pooled AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM users),
+      byv AS (
+        SELECT variant, COUNT(*) AS nv, SUM(x) AS vx, SUM(y) AS vy
+        FROM users GROUP BY variant)
+      SELECT CAST(variant AS BIGINT) AS variant,
+             nv AS n_users,
+             ${d("vy")} / ${d("nv")} / 100.0 AS mean_y,
+             (${d("vy")} / ${d("nv")} - $cTheta * (${d("vx")} / ${d("nv")} - $cMeanXAll)) / 100.0 AS mean_y_adj,
+             $cTheta AS theta,
+             (${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) * (${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})
+               / ((${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * (${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}))
+               AS var_reduction
+      FROM byv CROSS JOIN pooled
+      ORDER BY variant
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(giniRevenue, copurchaseLift, ewmaDyadic, theilSenMk, olsMultiple)
+    Seq(giniRevenue, copurchaseLift, ewmaDyadic, theilSenMk, olsMultiple,
+      cupedLift)
 }

@@ -69,6 +69,7 @@ class PlanShapeSpec extends SparkSpec {
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
     "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
+    "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
                                       // grain is bounded by the fixed date span, so the
