@@ -22,6 +22,23 @@ object ScaleStorage {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  private def deleteRec(path: String): Unit = {
+    val f = new java.io.File(path)
+    Option(f.listFiles()).foreach(_.foreach(c => deleteRec(c.getPath)))
+    f.delete(): Unit
+  }
+
+  /** Per-invocation layout id + DEFERRED cleanup of the previous
+    * invocation's tables/dirs. The returned DataFrame is lazy — the
+    * caller executes it AFTER the builder returns, so the layout a run
+    * writes must outlive the builder; instead each run starts by
+    * dropping the layout of the run before it (unique table names keep
+    * concurrent sessions from colliding, the bounded-leak sweep keeps a
+    * 257-query bench from accumulating 257 temp layouts). */
+  private val laySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private var lastBkt: Option[(SparkSession, Int, String)] = None
+  private var lastDpp: Option[String] = None
+
   /** Co-located fact/fact join via bucketed tables.
     *
     * Both sides are written `bucketBy(8, orderkey)` + `sortBy`, each
@@ -43,15 +60,21 @@ object ScaleStorage {
   val bucketedJoin: QueryDef = QueryDef(
     "scale_bucketed_join_noshuffle",
     (s, dir) => {
+      val n = synchronized {
+        lastBkt.foreach { case (ps, pn, pb) =>
+          ps.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$pn")
+          ps.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$pn")
+          deleteRec(pb)
+        }
+        laySeq.incrementAndGet()
+      }
       val base = tmp("graft-bkt")
-      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .repartition(8, col("o_orderkey")) // partition i == bucket i → 1 file/bucket
         .write.mode("overwrite").option("path", s"$base/orders")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bkt_orders")
+        .saveAsTable(s"graft_bkt_orders_$n")
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
           (col("l_extendedprice").cast("decimal(12,2)") *
@@ -60,9 +83,10 @@ object ScaleStorage {
         .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").option("path", s"$base/lineitem")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bkt_lineitem")
-      s.table("graft_bkt_orders").hint("merge")
-        .join(s.table("graft_bkt_lineitem"),
+        .saveAsTable(s"graft_bkt_lineitem_$n")
+      synchronized { lastBkt = Some((s, n, base)) }
+      s.table(s"graft_bkt_orders_$n").hint("merge")
+        .join(s.table(s"graft_bkt_lineitem_$n"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
@@ -95,7 +119,12 @@ object ScaleStorage {
   val dppPrune: QueryDef = QueryDef(
     "scale_dpp_partition_prune",
     (s, dir) => {
-      val base = tmp("graft-dpp")
+      val base = synchronized {
+        lastDpp.foreach(deleteRec)
+        val b = tmp("graft-dpp")
+        lastDpp = Some(b)
+        b
+      }
       Tables.orders(s, dir)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .repartition(col("o_month"))

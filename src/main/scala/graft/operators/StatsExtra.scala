@@ -208,9 +208,13 @@ object StatsExtra {
     * is the multiset order statistic — deterministic, which is all the
     * median selection reads.
     *
-    * Exactness: slopes are DOUBLE division of an exact DECIMAL revenue
-    * difference by an exact integer day difference — both engines
-    * evaluate the identical IEEE expression. Mann–Kendall S is integer;
+    * Exactness: daily revenue scales to INTEGER CENTS first (×100 to
+    * BIGINT — the vetted scale-0 class from olsMultiple /
+    * stats_corr_qty_price; a scale-2 decimal→double cast is the one
+    * decimal cast whose rounding the two engines may disagree on in the
+    * last ulp once diffs exceed 2^53 cents), and the slope is the shared
+    * double text `Δcents / (100.0 · Δdays)` — both engines evaluate the
+    * identical IEEE expression. Mann–Kendall S is integer;
     * Var(S) = n(n−1)(2n+5)/18 stays in BIGINT until the one final
     * /18.0; z applies the standard ±1 continuity correction.
     */
@@ -219,16 +223,17 @@ object StatsExtra {
     (s, dir) => {
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("d"))
-        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("rc"))
         .select(datediff(col("d"), lit("1992-01-01")).cast("long").as("di"),
-          col("rev"))
+          col("rc"))
         .localCheckpoint(true) // bounded day frame, feeds both arms twice
       val pairs = daily.as("a")
         .join(broadcast(daily.as("b")), col("a.di") < col("b.di"))
         .select(
-          ((col("b.rev") - col("a.rev")).cast("double")
-            / (col("b.di") - col("a.di")).cast("double")).as("slope"),
-          signum((col("b.rev") - col("a.rev")).cast("double")).cast("long").as("sgn"))
+          ((col("b.rc") - col("a.rc")).cast("double")
+            / (lit(100.0) * (col("b.di") - col("a.di")).cast("double"))).as("slope"),
+          signum((col("b.rc") - col("a.rc")).cast("double")).cast("long").as("sgn"))
         .localCheckpoint(true) // the day-pair frame feeds BOTH arms (median
                                // rank + Mann-Kendall S); unmaterialized, the
                                // O(days²) pair join ran twice
@@ -252,11 +257,11 @@ object StatsExtra {
     Some("""
       WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
-               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rc
         FROM orders GROUP BY 1),
       pairs AS (
-        SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope,
-               CAST(sign(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT) AS sgn
+        SELECT CAST(b.rc - a.rc AS DOUBLE) / (100.0 * CAST(b.di - a.di AS DOUBLE)) AS slope,
+               CAST(sign(CAST(b.rc - a.rc AS DOUBLE)) AS BIGINT) AS sgn
         FROM daily a JOIN daily b ON a.di < b.di),
       ranked AS (
         SELECT slope, ROW_NUMBER() OVER (ORDER BY slope ASC) AS r, COUNT(*) OVER () AS tot

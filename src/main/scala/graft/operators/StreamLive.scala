@@ -258,6 +258,21 @@ object StreamLive {
           .unionByName(s.range(1).select(lit(-1L).as("user_id"),
             lit("2024-06-01").cast("timestamp").as("ts"), lit(0.0).as("value")))
           .coalesce(1).write.parquet(s"$base/in/d1")
+        // PIN the drops' modification times 60 s apart (StateV2Live
+        // stagedFeed discipline): the file source orders batches by mtime,
+        // and on a coarse-mtime filesystem the two sequential writes can
+        // land on the SAME timestamp — d1 read first would make the
+        // watermark silently drop every pre-cutoff event as late, a
+        // wrong-but-uncaught partial result rather than a failure.
+        val tEarly = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000L)
+        val tLate = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L)
+        for ((d, t) <- Seq("d0" -> tEarly, "d1" -> tLate)) {
+          val dp = java.nio.file.Paths.get(s"$base/in/$d")
+          java.nio.file.Files.list(dp).forEach(p =>
+            java.nio.file.Files.setLastModifiedTime(p, t))
+        }
         s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
           .withWatermark("ts", "30 minutes")

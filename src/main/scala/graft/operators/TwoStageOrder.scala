@@ -48,7 +48,7 @@ object TwoStageOrder {
     * `row_number` under a non-total order.
     */
   private val Reserved =
-    Seq("__pid", "__lrank", "__offset", "__one", "__pcnt", "__r",
+    Seq("__pid", "__mid", "__lrank", "__offset", "__one", "__pcnt", "__r",
       "__npool", "__pool", "__smp", "__e", "__rank", "__ntot")
 
   def withGlobalRank(df: DataFrame, order: Seq[Column],
