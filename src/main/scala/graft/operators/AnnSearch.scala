@@ -771,34 +771,45 @@ object AnnSearch {
        |                   * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
        |            (a, b) -> a + b)""".stripMargin
 
-  /** Product quantization with asymmetric-distance (ADC) top-k — the
-    * memory-compressed ANN arm: the 64-dim space splits into M=8
-    * 8-dim subspaces, each with its own K=16-centroid codebook
-    * (seeded by content hash, one Lloyd pass — the
+  /** Product quantization with asymmetric-distance (ADC) shortlist +
+    * exact re-rank — the memory-compressed ANN arm: the 64-dim space
+    * splits into M=8 8-dim subspaces, each with its own K=16-centroid
+    * codebook (seeded by content hash, one Lloyd pass — the
     * [[kmeansTrain]] recipe per subspace), every vector compresses to
     * 8 four-bit codes (the classic PQ8x4 layout), and a query scans CODES ONLY: its
     * per-subspace distance table (M·K = 128 cells) is broadcast and the
     * approximate distance is Σₛ table[s][code(v,s)] — a 128-row
     * broadcast-hash join + keyed sum instead of any float vector math
-    * on the corpus. The output carries the exact distance and an
-    * exact-top-10 membership flag per returned row, so the recall of
-    * the compressed scan is part of the checked result.
+    * on the corpus. The ADC scan emits a SHORTLIST of R=100 candidates;
+    * the final top-10 re-ranks the shortlist by EXACT distance over the
+    * R fetched full vectors (Jégou §VII re-ranking — "IVFADC+R"): on
+    * these near-noise synthetic embeddings the raw 4-bit ADC order
+    * only places 2 of the exact top-10 in its top-10 (the quantization
+    * error ≈ the whole spread between the 1st neighbor and the median
+    * — replicated in numpy), but 8/10 survive into the R=100 shortlist
+    * at bench scale, so the re-ranked result recovers them. The output
+    * still carries the exact distance and an exact-top-10 membership
+    * flag per returned row, so the recall of the compressed scan stays
+    * part of the checked result (7/10 at the sf0.01 oracle gate).
     *
     * At 100 TB: the corpus side holds 4 bytes/vector (a 64× memory
-    * reduction at this dim) and the scan is pure integer joins; train
-    * and encode are the same keyed/broadcast shapes as the IVF arm.
-    * Every summed double is FLOOR(·1e6)-quantized BEFORE the sum
-    * (associative integer addition — the [[kmeansTrain]] exactness
-    * discipline), so both engines order identically.
+    * reduction at this dim), the scan is pure integer joins, and the
+    * re-rank fetches exactly R=100 full vectors through a broadcast
+    * semi-fetch — point lookups, not a second scan. Train and encode
+    * are the same keyed/broadcast shapes as the IVF arm. Every summed
+    * double is FLOOR(·1e6)-quantized BEFORE the sum (associative
+    * integer addition — the [[kmeansTrain]] exactness discipline), so
+    * both engines order identically.
     *
     * Public-knowledge provenance: Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 (the
-    * ADC variant).
+    * ADC variant, §VII re-ranking).
     */
   val pqAdcTopk: QueryDef = QueryDef(
     "ann_pq_adc_topk",
     (s, dir) => {
       val M = 8; val SD = 8; val KC = 16; val QID = 1L; val TOPK = 10
+      val R = 100 // ADC shortlist size fed to the exact re-rank
       val vecs = Tables.embeddings(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -810,7 +821,7 @@ object AnnSearch {
       val seeds = TwoStageOrder.kSmallestRows(
           vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
             col("vec_id"), col("v")), "h", KC)
-        // rank over the K=4-row seed frame (bounded by construction)
+        // rank over the K=16-row seed frame (bounded by construction)
         .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
       val cb0 = seeds.select(col("cid"), explode(array((0 until M).map(m =>
           struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("c"))): _*)).as("e"))
@@ -837,25 +848,35 @@ object AnnSearch {
         .withColumn("d", expr(
           "aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
         .select(col("s"), col("cid"), col("d"))
-      val approx = codes.filter(col("vec_id") =!= QID)
+      val shortlist = codes.filter(col("vec_id") =!= QID)
         .join(broadcast(dtab), Seq("s", "cid"))
         .groupBy("vec_id")
         .agg(sum(expr("CAST(FLOOR(d * 1000000.0D) AS BIGINT)")).as("adc_e6"))
-        .orderBy(asc("adc_e6"), asc("vec_id")).limit(TOPK)
+        .orderBy(asc("adc_e6"), asc("vec_id")).limit(R)
       val qfull = vecs.filter(col("vec_id") === QID).select(col("v").as("q"))
+      // exact re-rank of the R shortlisted vectors: fetch their FULL
+      // vectors through a broadcast semi-fetch (R point lookups at any
+      // corpus size, never a second scan) and keep the exact top-10
+      val rerank = vecs.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(qfull))
+        .withColumn("exact_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .orderBy(asc("exact_e6"), asc("vec_id")).limit(TOPK)
+        .select(col("vec_id"), col("adc_e6"), col("exact_e6"))
+      // recall audit arm (NOT part of the operator's scale path): the
+      // brute-force exact top-10 the membership flag is checked against
       val exact = vecs.filter(col("vec_id") =!= QID).crossJoin(broadcast(qfull))
         .withColumn("exact_e6", expr(
           "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
         .select(col("vec_id"), col("exact_e6"))
-        .localCheckpoint(true) // joined by the top-10 AND its own top-10 cut
       val exTop = exact.orderBy(asc("exact_e6"), asc("vec_id")).limit(TOPK)
         .select(col("vec_id").as("evid"))
-      approx.join(exact, "vec_id")
+      rerank
         .join(broadcast(exTop), col("vec_id") === col("evid"), "left")
         .withColumn("in_exact_top10", col("evid").isNotNull)
         // rank over the 10-row TakeOrdered frame (bounded by limit)
         .withColumn("rank",
-          row_number().over(Window.orderBy(asc("adc_e6"), asc("vec_id"))).cast("long"))
+          row_number().over(Window.orderBy(asc("exact_e6"), asc("vec_id"))).cast("long"))
         .select(col("rank"), col("vec_id"), col("adc_e6"), col("exact_e6"),
           col("in_exact_top10"))
         .orderBy("rank")
@@ -899,22 +920,27 @@ object AnnSearch {
       dtab AS (
         SELECT cb1.s, cb1.cid, ${pqDist2Duck("qsub.qs", "cb1.c", 8)} AS d
         FROM cb1 JOIN qsub USING (s)),
-      approx AS (
+      shortlist AS (
         SELECT vec_id, CAST(SUM(CAST(FLOOR(d * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
         FROM codes JOIN dtab USING (s, cid)
         WHERE vec_id <> 1
         GROUP BY vec_id
-        ORDER BY adc_e6, vec_id LIMIT 10),
+        ORDER BY adc_e6, vec_id LIMIT 100),
       qfull AS (SELECT v AS q FROM v WHERE vec_id = 1),
+      rerank AS (
+        SELECT sl.vec_id, sl.adc_e6,
+               CAST(FLOOR(${pqDist2Duck("v.v", "qfull.q", 64)} * 1000000.0) AS BIGINT) AS exact_e6
+        FROM shortlist sl JOIN v USING (vec_id) CROSS JOIN qfull
+        ORDER BY exact_e6, vec_id LIMIT 10),
       exact AS (
         SELECT vec_id,
                CAST(FLOOR(${pqDist2Duck("v.v", "qfull.q", 64)} * 1000000.0) AS BIGINT) AS exact_e6
         FROM v CROSS JOIN qfull WHERE vec_id <> 1),
       extop AS (SELECT vec_id FROM exact ORDER BY exact_e6, vec_id LIMIT 10)
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.adc_e6, a.vec_id) AS BIGINT) AS rank,
-             a.vec_id, a.adc_e6, e.exact_e6,
-             (a.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
-      FROM approx a JOIN exact e USING (vec_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY r.exact_e6, r.vec_id) AS BIGINT) AS rank,
+             r.vec_id, r.adc_e6, r.exact_e6,
+             (r.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
+      FROM rerank r
       ORDER BY rank
     """.stripMargin.trim))
 

@@ -49,16 +49,17 @@ class WaveESpec extends SparkSpec {
       assert(r.getLong(3) == exact(id), s"exact_e6 mismatch for $id")
       assert(r.getBoolean(4) == exactTop.contains(id), s"recall flag mismatch for $id")
     }
-    // The synthetic embeddings are near-noise for this query (the exact
-    // top-10 spans four label clusters); a numpy replica of the same
-    // PQ8x4 recipe measures recall@10 = 2, and even 64-centroid
-    // codebooks only reach 5/10 — so the gate is "the compressed scan
-    // finds SOMETHING real", not a tuned-recall claim.
+    // The synthetic embeddings are near-noise (the exact top-10 spans
+    // four label clusters); raw 4-bit ADC ordering only recovers 2/10
+    // (replicated in numpy), which is why the operator re-ranks an
+    // R=100 ADC shortlist by exact distance (Jégou §VII). The numpy
+    // replica of shortlist+re-rank measures recall@10 = 5 at sf0.001;
+    // the gate asserts the refinement stays material, not a fluke row.
     val recall = rows.count(_.getBoolean(4))
-    assert(recall >= 1, s"PQ recall@10 collapsed: $recall/10")
-    // adc ordering is nondecreasing by construction
-    val adcs = rows.map(_.getLong(2))
-    assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    assert(recall >= 4, s"PQ shortlist re-rank recall@10 degraded: $recall/10")
+    // re-ranked ordering is nondecreasing in EXACT distance by construction
+    val exs = rows.map(_.getLong(3))
+    assert(exs.zip(exs.tail).forall { case (a, b) => a <= b })
   }
 
   test("streamed session_window equals the batch native session_window") {
