@@ -647,10 +647,13 @@ object AnalyticsExtra {
     // exact numerator of |F₁−F₂| over the common denominator n₁·n₂),
     // reported in ppm by one integer division plus the cents location
     // where the gap peaks (smallest location on ties). The cumulative
-    // window runs over the DISTINCT-value table — bounded by value
-    // resolution (cents of a bounded metric), not row count; at larger
-    // domains the two-stage distributed cumsum applies (shipped and
-    // oracle-gated as scale_two_stage_cumsum).
+    // pass runs over the DISTINCT-value table through
+    // [[TwoStageOrder.withRunningSums]] (range partition + local prefix
+    // + broadcast offsets): the r12 measured-boundedness audit showed
+    // the distinct-cents frame growing 8.5× under 10× data — "bounded
+    // by value resolution" does not hold until domain saturation, so
+    // the CDF build must be the distributed cumsum, not a global
+    // window.
     QueryDef(
       "stats_ks_drift",
       (s, dir) => {
@@ -660,10 +663,8 @@ object AnalyticsExtra {
             when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
         val perV = cents.groupBy("vc")
           .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
-        val w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = perV
-          .withColumn("cum1", sum(col("c1")).over(w))
-          .withColumn("cum2", sum(col("c2")).over(w))
+        val cum = TwoStageOrder.withRunningSums(perV, Seq(asc("vc")),
+          Seq("c1" -> "cum1", "c2" -> "cum2"))
         val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         // cross-multiplication in WIDE integers (the ts_anomaly
         // discipline): cum·n reaches n² — int64 wraps silently in Spark

@@ -103,6 +103,54 @@ object TwoStageOrder {
       .drop("__pid", "__lrank", "__offset")
   }
 
+  /** Adds one inclusive global prefix sum per `(inCol, outCol)` pair
+    * under the total order `order` (which must be tie-free, like
+    * [[withGlobalRank]]) — the distributed replacement for
+    * `sum(x).over(Window.orderBy(order))`, whose empty partition spec
+    * moves every row to one partition. Shape: one sampled range
+    * exchange, a PARTITION-LOCAL running-sum window keyed on the
+    * physical partition id, and per-partition offsets folded through
+    * the same tiny P×P broadcast join as the rank — exact integer
+    * algebra end-to-end (callers pass integral LONG columns; the r12
+    * measured-boundedness audit caught stats_ks_drift's distinct-cents
+    * frame growing 8.5× under 10× data, the class this replaces).
+    * The input frame is checkpointed once: the range partitioner
+    * samples its boundaries per execution, and the offsets and the
+    * local sums must see the SAME placement.
+    */
+  def withRunningSums(df: DataFrame, order: Seq[Column],
+                      sums: Seq[(String, String)]): DataFrame = {
+    require(df.columns.forall(!_.startsWith("__")),
+      s"input uses reserved __-prefixed columns: ${df.columns.filter(_.startsWith("__")).mkString(",")}")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sums.foldLeft(local) { case (d, (in, out)) =>
+      d.withColumn(s"__l_$out", sum(col(in)).over(w))
+    }
+    val totAggs = sums.map { case (in, out) => sum(col(in)).as(s"__t_$out") }
+    val totals = local.groupBy(col("__pid"))
+      .agg(totAggs.head, totAggs.tail: _*)
+      .withColumn("__one", pmod(col("__pid"), lit(1)))
+    val offAggs = sums.map { case (_, out) =>
+      coalesce(sum(when(col("b.__pid") < col("a.__pid"), col(s"b.__t_$out"))),
+        lit(0L)).as(s"__o_$out")
+    }
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("a.__one") === col("b.__one"))
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    withLocal
+      .join(broadcast(offsets), "__pid")
+      .select(df.columns.map(col) ++ sums.map { case (_, out) =>
+        (col(s"__l_$out") + col(s"__o_$out")).as(out)
+      }: _*)
+  }
+
   /** Adds `bucketCol` = SQL-standard NTILE(`t`) (INT, 1-based) under the
     * total order `order`: with n rows, q = n DIV t and r = n % t, the
     * first r buckets hold q+1 rows and the rest q. Bit-identical to
