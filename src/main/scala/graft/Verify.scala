@@ -20,6 +20,29 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // same suite hygiene as Bench: drop staged tmp dirs and cached
+    // state-store providers between queries so 257 sequential dumps in
+    // one JVM don't accumulate disk + background maintenance work
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val sweepPrefixes = Seq("graft-", "floor-", "streamdemo")
+    def tmpEntries(): Set[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(tmpRoot)
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (sweepPrefixes.exists(p.getFileName.toString.startsWith)) b += p
+        }
+        b.result()
+      } finally s.close()
+    }
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      Option(f.listFiles()).foreach(_.foreach(c => deleteRec(c.toPath)))
+      f.delete(): Unit
+    }
+    val preexisting = tmpEntries()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,6 +54,10 @@ object Verify {
       // drop non-pinned localCheckpoint/cache blocks so ~110 sequential
       // query dumps don't accumulate storage in one JVM (same as Bench)
       PinnedStorage.sweep(spark)
+      try org.apache.spark.sql.graftaccess.StateStoreAccess.unloadAll()
+      catch { case _: Throwable => () }
+      (tmpEntries() -- preexisting).foreach(p =>
+        try deleteRec(p) catch { case _: Throwable => () })
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
