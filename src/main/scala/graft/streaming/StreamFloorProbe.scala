@@ -10,7 +10,9 @@ import graft.Tables
   * (input staging) + (AvailableNow engine floor) + (stateful probe), and
   * A/Bs the default vs RocksDB state store — the r8 verdict asked for the
   * 12.5 s streaming floor to be attributed before it is accepted as the
-  * permanent price. Results recorded in DESIGN.md §round 9.
+  * permanent price. Results recorded in DESIGN.md §round 9; the r12
+  * batch-count sweep (fixed vs marginal per-batch floor) feeds the
+  * per-live-query attribution table in DESIGN.md §round 12.
   *
   * `scripts/run_main.sh graft.streaming.StreamFloorProbe`
   */
@@ -75,6 +77,31 @@ object StreamFloorProbe {
           .trigger(Trigger.AvailableNow())
           .format("parquet").option("path", s"$baseA/out-noop")
           .start().awaitTermination()
+      }
+
+      // 2b. floor vs BATCH COUNT: K staged files → K AvailableNow
+      // micro-batches through a stateless passthrough — the marginal
+      // per-batch engine cost (offset log round-trip + parquet sink
+      // commit) separated from the per-query fixed cost (stream start +
+      // final watermark flush + awaitTermination teardown). Feeds the
+      // r12 per-live-query floor attribution table in DESIGN.md: a live
+      // query's floor ≈ fixed + batches · marginal, and its state work
+      // is the bench-min residual above floor + staging.
+      for (k <- Seq(1, 2, 4)) {
+        val baseK = java.nio.file.Files.createTempDirectory(s"floor-k$k").toString
+        (0 until k).foreach { i =>
+          views.filter(pmod(col("view_event_id"), lit(k)) === i).coalesce(1)
+            .write.parquet(s"$baseK/in/d$i")
+        }
+        time(s"AvailableNow passthrough, $k batch(es)") {
+          s.readStream.schema(views.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$baseK/in/*")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$baseK/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .format("parquet").option("path", s"$baseK/out")
+            .start().awaitTermination()
+        }
       }
 
       // 3. stateful interval join, default (HDFSBackedStateStore)

@@ -112,6 +112,30 @@ class TwoStageOrderSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSums matches global running sum() windows, two columns at once") {
+    for ((n, seed) <- Seq((1, 31L), (7, 32L), (257, 33L), (1200, 34L))) {
+      // distinct keys (groupBy v) — the caller contract: a tie-free order
+      val df = randomDf(n, seed)
+        .groupBy("v").agg(sum(col("id")).as("a"), count(lit(1)).as("b"))
+      val w = Window.orderBy(asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .select("v", "ca", "cb")
+      val got = TwoStageOrder
+        .withRunningSums(df, Seq(asc("v")), Seq("a" -> "ca", "b" -> "cb"))
+        .select("v", "ca", "cb")
+      val diff = got.except(expected).union(expected.except(got))
+      assert(diff.isEmpty, s"running-sum mismatch at n=$n")
+      val bad = got.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, "withRunningSums planned a global window")
+    }
+  }
+
   test("repeated rank runs agree (sampled range boundaries cannot leak)") {
     // the r11 rewrite's one real bug class: the range partitioner samples
     // boundaries per execution, so the count frame and the rank join must
