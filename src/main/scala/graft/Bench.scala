@@ -66,7 +66,9 @@ object Bench {
     "er_customer_components", "privacy_t_closeness", "scale_exact_quantiles",
     "scale_skew_salt_plan", "sample_uniform_fixed_k",
     "stream_kmv_distinct_live", "ann_ivf_kmeans_train",
-    "scale_salted_replicated_join", "stats_bootstrap_ci_poisson")
+    "scale_salted_replicated_join", "stats_bootstrap_ci_poisson",
+    "pipeline_dsir_domain_votes", "ann_embedding_dim_drift",
+    "text_vocab_oov_audit")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.PipelineCompositions.defs ++
     operators.CorpusOps.defs ++
+    operators.CurationOps.defs ++
     operators.AnnSearch.defs ++
     operators.EventOps.defs ++
     operators.StreamAnalogs.defs ++

@@ -71,6 +71,7 @@ class PlanShapeSpec extends SparkSpec {
     "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
     "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
+    "pipeline_dsir_domain_votes",     // 1-row token-totals + 1-row en-mean crossJoins
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
                                       // grain is bounded by the fixed date span, so the
                                       // broadcast NL pair join is over a constant-size frame
