@@ -112,6 +112,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivf_kmeans_train",      // seed-rank window over the k=8-row seed frame
     "ann_pq_adc_topk",           // seed-rank over the k=16-row seed frame + final rank
                                  // over the 10-row TakeOrdered result
+    "ann_rq_reconstruction_gain", // seed-rank over the k=16-row seed frame
     "ts_ewma_dyadic",            // 20-lag ladder over the DAY grain (fixed date span)
     "ts_stl_weekday_decompose")  // 7-point centered MA over the DAY grain
 
@@ -136,7 +137,8 @@ class PlanShapeSpec extends SparkSpec {
     // embeddings table grows 4× there, documents 10×)
     val docDriven = Set("pipeline_dedup_funnel", "pipeline_epoch_mixture",
       "pipeline_temperature_mixture", "text_vocab_growth", "search_hybrid_rrf")
-    val embDriven = Set("ann_eval_mrr", "ann_ivf_kmeans_train", "ann_pq_adc_topk")
+    val embDriven = Set("ann_eval_mrr", "ann_ivf_kmeans_train", "ann_pq_adc_topk",
+      "ann_rq_reconstruction_gain")
     def dims(name: String): (String, String, Double) =
       if (docDriven(name)) ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 10.0)
       else if (embDriven(name)) ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 4.0)

@@ -62,6 +62,20 @@ class WaveESpec extends SparkSpec {
     assert(exs.zip(exs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("RQ second level earns its bits: positive reconstruction gain in every subspace") {
+    val rows = AnnSearch.rqReconGain.run(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(3) < r.getLong(2),
+        s"subspace ${r.getLong(0)}: level-2 error did not drop")
+      // near-noise 8-dim subspaces, 16 residual centroids: the rate-
+      // distortion ballpark is ~30-50% MSE reduction; far outside that
+      // band means the residual trainer or the error fold regressed
+      assert(r.getLong(4) > 300000L && r.getLong(4) < 500000L,
+        s"subspace ${r.getLong(0)}: gain_ppm ${r.getLong(4)} outside the expected band")
+    }
+  }
+
   test("streamed session_window equals the batch native session_window") {
     val live = StreamLive.defs.find(_.name == "stream_session_window_live").get
       .run(spark, dir).collect()
