@@ -297,6 +297,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation wave: model frames broadcast into the token/code scans") {
+    // dsir joins every token to the ≤4096-row feature frame and oov
+    // joins every token to the 16-row vocab — those plans must carry
+    // ONLY broadcast joins: a sort-merge there would shuffle the full
+    // token table against a model frame thousands of times smaller,
+    // the inverted shape at 100 TB. RQ additionally joins corpus-sized
+    // frames to EACH OTHER on (vec_id, s) (assignment↔subvector in the
+    // update and error passes) — a keyed shuffle join is the correct
+    // shape for those, so RQ only pins that its codebook joins
+    // broadcast.
+    Seq("pipeline_dsir_domain_votes", "text_vocab_oov_audit").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n lost its broadcast model-frame join")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$n shuffles the corpus side against a broadcast-sized model frame")
+    }
+    assert(plan("ann_rq_reconstruction_gain").contains("BroadcastHashJoin"),
+      "ann_rq_reconstruction_gain lost its broadcast codebook joins")
+  }
+
   test("P1/P3 derived chain materializes each doc map lookup exactly once") {
     // the catalog projection / tarball-URL extraction derive latest,
     // latest_version_doc and latest_time_str from three map lookups;
