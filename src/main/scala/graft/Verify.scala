@@ -21,18 +21,23 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     // same suite hygiene as Bench: drop staged tmp dirs and cached
-    // state-store providers between queries so 257 sequential dumps in
-    // one JVM don't accumulate disk + background maintenance work
+    // state-store providers between queries so ~260 sequential dumps in
+    // one JVM don't accumulate disk + background maintenance work. The
+    // sweep deletes ONLY dirs carrying this process's nonce (TmpDirs) —
+    // exact ownership, never a concurrent process's live staging (r12
+    // advisory).
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val sweepPrefixes = Seq("graft-", "floor-", "streamdemo")
-    def tmpEntries(): Set[java.nio.file.Path] = {
+    def ownTmpEntries(): Set[java.nio.file.Path] = {
       val s = java.nio.file.Files.list(tmpRoot)
       try {
         val it = s.iterator()
         val b = Set.newBuilder[java.nio.file.Path]
         while (it.hasNext) {
           val p = it.next()
-          if (sweepPrefixes.exists(p.getFileName.toString.startsWith)) b += p
+          val n = p.getFileName.toString
+          if (sweepPrefixes.exists(n.startsWith) && TmpDirs.ownedByThisProcess(n))
+            b += p
         }
         b.result()
       } finally s.close()
@@ -42,7 +47,6 @@ object Verify {
       Option(f.listFiles()).foreach(_.foreach(c => deleteRec(c.toPath)))
       f.delete(): Unit
     }
-    val preexisting = tmpEntries()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -56,7 +60,7 @@ object Verify {
       PinnedStorage.sweep(spark)
       try org.apache.spark.sql.graftaccess.StateStoreAccess.unloadAll()
       catch { case _: Throwable => () }
-      (tmpEntries() -- preexisting).foreach(p =>
+      ownTmpEntries().foreach(p =>
         try deleteRec(p) catch { case _: Throwable => () })
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -20,3 +20,19 @@ object Arity {
           "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 }
+
+/** Register-once guard for the native function batteries. Every query
+  * builder calls its family's `register(spark)` defensively; without the
+  * guard each call re-registers and SimpleFunctionRegistry WARNs
+  * "<name> replaced a previously registered function" once per query —
+  * ~260 lines of noise in the bench/verify tails (r12 advisory). The
+  * registration is per-session state, so "already present in THIS
+  * session's registry" is the exact idempotence condition.
+  */
+object RegisterOnce {
+  def apply(spark: org.apache.spark.sql.SparkSession, name: String)(
+      doRegister: => Unit): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      doRegister
+}

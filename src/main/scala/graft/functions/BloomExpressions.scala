@@ -28,6 +28,8 @@ object BloomExpressions {
 
   /** Idempotently register `bloom_might_contain` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain", builder, "built-in")
+    RegisterOnce(spark, "bloom_might_contain") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_might_contain", builder, "built-in")
+    }
 }

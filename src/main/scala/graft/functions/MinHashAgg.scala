@@ -102,7 +102,8 @@ object MinHashAgg {
     * errors, not runtime casts).
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    RegisterOnce(spark, "minhash_sketch") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch",
       Arity.checked("minhash_sketch", 2) { exprs =>
         val k = exprs(1) match {
@@ -114,4 +115,5 @@ object MinHashAgg {
         MinHashSketchAgg(exprs(0), k).toAggregateExpression()
       },
       "built-in")
+    }
 }

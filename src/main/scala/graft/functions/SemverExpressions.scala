@@ -59,6 +59,8 @@ object SemverExpressions {
 
   /** Idempotently register `semver_clean` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "semver_clean", builder, "built-in")
+    RegisterOnce(spark, "semver_clean") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "semver_clean", builder, "built-in")
+    }
 }

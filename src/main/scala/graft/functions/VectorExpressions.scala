@@ -79,6 +79,8 @@ object VectorExpressions {
 
   /** Idempotently register `float_dot` for SQL/expr use in this session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", builder, "built-in")
+    RegisterOnce(spark, "float_dot") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "float_dot", builder, "built-in")
+    }
 }

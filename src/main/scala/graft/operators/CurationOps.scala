@@ -154,11 +154,20 @@ object CurationOps {
             .as(Seq("pos", "x")))
         .withColumn("xq", expr("CAST(FLOOR(x * 10000000000.0D) AS BIGINT)"))
         .groupBy("pos")
+        // moment sums widen to DECIMAL(38,0): a LongType sum of ~1e10-scale
+        // quantized coordinates wraps silently past ~1e9 rows/cohort,
+        // while the DuckDB oracle's SUM(BIGINT) widens to HUGEINT — the
+        // decimal sum gives the Spark side the same ~1e28-row headroom so
+        // both engines stay exact at the 100 TB cohort sizes the scaladoc
+        // claims (r12 advisory). Values are identical at any scale that
+        // fits, so the oracle hash is unchanged.
         .agg(
           sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
-          sum(when(col("cohort") === 0, col("xq")).otherwise(0L)).as("sa"),
-          sum(when(col("cohort") === 1, col("xq")).otherwise(0L)).as("sb"))
+          sum(when(col("cohort") === 0, col("xq")).otherwise(0L)
+            .cast("decimal(38,0)")).as("sa"),
+          sum(when(col("cohort") === 1, col("xq")).otherwise(0L)
+            .cast("decimal(38,0)")).as("sb"))
         .withColumn("mean_a",
           col("sa").cast("double") / (lit(1.0e10) * col("n_a")))
         .withColumn("mean_b",

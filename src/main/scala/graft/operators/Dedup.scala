@@ -718,7 +718,7 @@ object Dedup {
       val corpusSh = sh.filter(!isNew)
       val corpusBands = bandsOf(mh).filter(!isNew)
       val deltaDocs = Tables.documents(s, dir).filter(isNew).select("doc_id", "text")
-      val base = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
+      val base = graft.TmpDirs.create("graft-stream-delta")
       // two crawl drops, written executor-side (no driver collect);
       // coalesce(1) gives one file per drop = one micro-batch per drop;
       // the two single-task writes run concurrently (r9)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object ScaleStorage {
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.TmpDirs.create(prefix)
 
   private def deleteRec(path: String): Unit = {
     val f = new java.io.File(path)
@@ -61,10 +61,26 @@ object ScaleStorage {
     "scale_bucketed_join_noshuffle",
     (s, dir) => {
       val n = synchronized {
+        // cleanup of the PREVIOUS layout must never abort THIS query's
+        // build: the recorded session may be stopped (or be a different
+        // live session whose catalog we must not touch — only drop table
+        // entries through the session that registered them). Failures
+        // leave at most one orphan layout, reclaimed by the next
+        // successful pass or the Bench/Verify tmp sweep (r12 advisory).
         lastBkt.foreach { case (ps, pn, pb) =>
-          ps.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$pn")
-          ps.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$pn")
-          deleteRec(pb)
+          if ((ps eq s) && !ps.sparkContext.isStopped) {
+            try {
+              ps.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$pn")
+              ps.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$pn")
+            } catch { case _: Throwable => () }
+            try deleteRec(pb) catch { case _: Throwable => () }
+          } else if (ps.sparkContext.isStopped) {
+            // dead session: its catalog is gone, just reclaim the files
+            try deleteRec(pb) catch { case _: Throwable => () }
+          }
+          // ps live but != s: ANOTHER session may still be reading this
+          // layout — leave it; that session's next invocation (or the
+          // nonce-scoped tmp sweep after it exits) reclaims it.
         }
         laySeq.incrementAndGet()
       }
@@ -120,7 +136,7 @@ object ScaleStorage {
     "scale_dpp_partition_prune",
     (s, dir) => {
       val base = synchronized {
-        lastDpp.foreach(deleteRec)
+        lastDpp.foreach(p => try deleteRec(p) catch { case _: Throwable => () })
         val b = tmp("graft-dpp")
         lastDpp = Some(b)
         b

@@ -369,7 +369,7 @@ object SketchOps {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val ev = Tables.events(s, dir)
         .select(col("event_type"), col("user_id")).localCheckpoint(true)
-      val base = java.nio.file.Files.createTempDirectory("graft-kmv-live").toString
+      val base = graft.TmpDirs.create("graft-kmv-live")
       val sketchDir = s"$base/sketch"
       // two feed drops = two micro-batches under maxFilesPerTrigger=1
       graft.ParallelStage(
@@ -459,7 +459,7 @@ object SketchOps {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val ev = Tables.events(s, dir)
         .select(col("user_id")).localCheckpoint(true)
-      val base = java.nio.file.Files.createTempDirectory("graft-cm-live").toString
+      val base = graft.TmpDirs.create("graft-cm-live")
       val sketchDir = s"$base/sketch"
       graft.ParallelStage(
         () => ev.filter(col("user_id") % 2 === 0).coalesce(1).write.parquet(s"$base/in/d0"),

@@ -105,7 +105,7 @@ object StateV2Init {
         .as[UInit]
         .groupByKey(_.user_id)(Encoders.scalaLong)
       // --- the live side: post-cutover events, two pinned drops ---
-      val base = java.nio.file.Files.createTempDirectory("graft-tws-init").toString
+      val base = graft.TmpDirs.create("graft-tws-init")
       val tsCol = expr("timestamp_micros(ts_us)")
       ev.filter(tsCol >= lit(CUT1).cast("timestamp") &&
           tsCol < lit(CUT2).cast("timestamp"))

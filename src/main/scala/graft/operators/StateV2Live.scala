@@ -141,7 +141,7 @@ object StateV2Live {
       col("event_type"),
       (col("value").cast("decimal(12,2)") * 100).cast("long").as("v2"),
       col("event_id"))
-    val base = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    val base = graft.TmpDirs.create("graft-tws")
     val mid = lit(MID).cast("timestamp")
     val tsCol = expr("timestamp_micros(ts_us)")
     ev.filter(tsCol < mid).coalesce(1).write.parquet(s"$base/in/d0")

@@ -67,7 +67,7 @@ object StateV2Timers {
       val ev = Tables.events(s, dir).select(
         col("user_id"),
         col("ts").cast("timestamp").as("ts"))
-      val base = java.nio.file.Files.createTempDirectory("graft-tws-timer").toString
+      val base = graft.TmpDirs.create("graft-tws-timer")
       val mid = lit(MID).cast("timestamp")
       ev.filter(col("ts") < mid).coalesce(1).write.parquet(s"$base/in/d0")
       ev.filter(col("ts") >= mid).coalesce(1).write.parquet(s"$base/in/d1")

@@ -59,7 +59,7 @@ object StreamLive {
           .select(col("user_id").as("p_user_id"),
             col("event_id").as("purchase_event_id"),
             col("ts").cast("timestamp").as("purchase_ts"))
-        val base = java.nio.file.Files.createTempDirectory("graft-ss-join").toString
+        val base = graft.TmpDirs.create("graft-ss-join")
         val mid = lit("2024-01-16").cast("timestamp")
         // two crawl drops per side, executor-side writes; one file per
         // drop = one micro-batch per drop under maxFilesPerTrigger=1.
@@ -116,7 +116,7 @@ object StreamLive {
         val ev = Tables.events(s, dir).select(col("event_id"),
           col("ts").cast("timestamp").as("ts"), // watermark needs TIMESTAMP; UTC session → value-exact
           col("event_type"), col("value"))
-        val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+        val base = graft.TmpDirs.create("graft-stream-dedup")
         // first delivery + full redelivery, staged concurrently (r9);
         // ev is NOT checkpointed here, so each write runs its own scan —
         // all the more reason to overlap them
@@ -182,7 +182,7 @@ object StreamLive {
             col("event_type").as("state"), lit(false).as("tombstone"))
         var table = base.localCheckpoint(true)
         val delta = ev.filter(col("ts") > cutoff)
-        val staging = java.nio.file.Files.createTempDirectory("graft-cdc-live").toString
+        val staging = graft.TmpDirs.create("graft-cdc-live")
         graft.ParallelStage(
           () => delta.filter(col("ts") <= mid2).coalesce(1).write.parquet(s"$staging/in/d0"),
           () => delta.filter(col("ts") > mid2).coalesce(1).write.parquet(s"$staging/in/d1"))
@@ -250,7 +250,7 @@ object StreamLive {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
           .localCheckpoint(true)
-        val base = java.nio.file.Files.createTempDirectory("graft-sess-live").toString
+        val base = graft.TmpDirs.create("graft-sess-live")
         // ordered staging (NOT ParallelStage): batch 2 must carry the
         // later event-time range, see the watermark argument above
         ev.filter(col("ts") <= cutoff).coalesce(1).write.parquet(s"$base/in/d0")

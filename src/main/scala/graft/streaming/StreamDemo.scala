@@ -19,7 +19,7 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("ERROR")
     implicit val s: SparkSession = spark
 
-    val base = Files.createTempDirectory("streamdemo").toString
+    val base = graft.TmpDirs.create("streamdemo")
     val feedDir = args.headOption.getOrElse {
       val dir = s"$base/feed"
       Files.createDirectories(Paths.get(dir))

@@ -47,7 +47,7 @@ object StreamFloorProbe {
       val mid = lit("2024-01-16").cast("timestamp")
 
       // 1a. staging, serial (the r8 shape)
-      val baseA = java.nio.file.Files.createTempDirectory("floor-ser").toString
+      val baseA = graft.TmpDirs.create("floor-ser")
       time("staging 4 writes SERIAL") {
         views.filter(col("view_ts") < mid).coalesce(1).write.parquet(s"$baseA/v/d0")
         views.filter(col("view_ts") >= mid).coalesce(1).write.parquet(s"$baseA/v/d1")
@@ -55,7 +55,7 @@ object StreamFloorProbe {
         purchases.filter(col("purchase_ts") >= mid).coalesce(1).write.parquet(s"$baseA/p/d1")
       }
       // 1b. staging, parallel futures
-      val baseB = java.nio.file.Files.createTempDirectory("floor-par").toString
+      val baseB = graft.TmpDirs.create("floor-par")
       time("staging 4 writes PARALLEL") {
         import scala.concurrent.duration.Duration
         import scala.concurrent.{Await, Future}
@@ -88,7 +88,7 @@ object StreamFloorProbe {
       // query's floor ≈ fixed + batches · marginal, and its state work
       // is the bench-min residual above floor + staging.
       for (k <- Seq(1, 2, 4)) {
-        val baseK = java.nio.file.Files.createTempDirectory(s"floor-k$k").toString
+        val baseK = graft.TmpDirs.create(s"floor-k$k")
         (0 until k).foreach { i =>
           views.filter(pmod(col("view_event_id"), lit(k)) === i).coalesce(1)
             .write.parquet(s"$baseK/in/d$i")
@@ -132,7 +132,7 @@ object StreamFloorProbe {
       // 4. dedup-within-watermark, default vs RocksDB
       val evD = Tables.events(s, dir).select(col("event_id"),
         col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
-      val baseD = java.nio.file.Files.createTempDirectory("floor-dd").toString
+      val baseD = graft.TmpDirs.create("floor-dd")
       evD.coalesce(1).write.parquet(s"$baseD/in/d0")
       evD.coalesce(1).write.parquet(s"$baseD/in/d1")
       def dedupRun(tag: String, ckptSuffix: String): Unit = time(tag) {
