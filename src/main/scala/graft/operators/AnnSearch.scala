@@ -778,6 +778,75 @@ object AnnSearch {
        |                   * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
        |            (a, b) -> a + b)""".stripMargin
 
+  // ---- shared level-1 PQ8x4 training -------------------------------------
+
+  /** PQ layout constants: M subspaces × SD dims, KC centroids/subspace. */
+  private val PqM = 8; private val PqSD = 8; private val PqKC = 16
+
+  /** The trained level-1 artifact: full vectors, subspace slices, the
+    * content-hash seed frame, and the one-Lloyd-pass codebooks. */
+  private final case class PqLevel1(
+    vecs: DataFrame, sub: DataFrame, seeds: DataFrame, cb1: DataFrame)
+
+  /** Keyed subspace assignment: each (vec_id, s) slice against its
+    * subspace's broadcast ≤KC-row codebook, argmin by (dist2, cid). */
+  private def pqAssign(data: DataFrame, vcol: String, cb: DataFrame): DataFrame =
+    data.join(broadcast(cb), "s")
+      .withColumn("dist2", expr(
+        s"aggregate(zip_with($vcol, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+
+  /** Per-(subspace, centroid, dim) decimal-mean codebook update — the
+    * [[kmeansTrain]] centroid discipline per subspace. */
+  private def pqUpdate(assigned: DataFrame, data: DataFrame, vcol: String): DataFrame =
+    assigned.join(data, Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col(vcol)).as(Seq("pos", "x")))
+      .groupBy("s", "cid", "pos")
+      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+        .as("cx"))
+      .groupBy("s", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
+        .as("c"))
+
+  private val pqL1Cache = new graft.SessionCache[PqLevel1]
+
+  /** Level-1 PQ training, done ONCE per (session, corpus) and pinned —
+    * [[pqAdcTopk]] and [[rqReconGain]] train IDENTICAL level-1 codebooks
+    * from the same seed-hash recipe, so before r13 the RQ query re-paid
+    * the two level-1 Lloyd passes the PQ query had already run (r12
+    * verdict item 4). Same amortization a deployed PQ service does:
+    * train offline once, every encoder/prober reads the artifact. The
+    * pinned frames are exactly what both queries previously checkpointed
+    * per-query; results and oracle hashes are unchanged.
+    */
+  private def pqLevel1(s: SparkSession, dir: String): PqLevel1 =
+    pqL1Cache.getOrElseUpdate(s, dir) {
+      graft.PinnedStorage.pin(s) {
+        val vecs = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .localCheckpoint(true) // seeds + subspace explode + exact arms
+        val sub = vecs.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+            struct(lit(m).as("s"), slice(col("v"), m * PqSD + 1, PqSD).as("vs"))): _*)).as("e"))
+          .select(col("vec_id"), col("e.s").as("s"), col("e.vs").as("vs"))
+          .localCheckpoint(true) // level-1 assign ×2 + update + downstream encodes
+        val seeds = TwoStageOrder.kSmallestRows(
+            vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+              col("vec_id"), col("v")), "h", PqKC)
+          // rank over the K=16-row seed frame (bounded by construction)
+          .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+          .localCheckpoint(true) // level-1 cb0 + RQ's level-2 seed join
+        val cb0 = seeds.select(col("cid"), explode(array((0 until PqM).map(m =>
+            struct(lit(m).as("s"), slice(col("v"), m * PqSD + 1, PqSD).as("c"))): _*)).as("e"))
+          .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
+        val cb1 = pqUpdate(pqAssign(sub, "vs", cb0), sub, "vs")
+          .localCheckpoint(true) // encode passes + distance table + residual build
+        PqLevel1(vecs, sub, seeds, cb1)
+      }
+    }
+
   /** Product quantization with asymmetric-distance (ADC) shortlist +
     * exact re-rank — the memory-compressed ANN arm: the 64-dim space
     * splits into M=8 8-dim subspaces, each with its own K=16-centroid
@@ -815,41 +884,11 @@ object AnnSearch {
   val pqAdcTopk: QueryDef = QueryDef(
     "ann_pq_adc_topk",
     (s, dir) => {
-      val M = 8; val SD = 8; val KC = 16; val QID = 1L; val TOPK = 10
+      val QID = 1L; val TOPK = 10
       val R = 100 // ADC shortlist size fed to the exact re-rank
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .localCheckpoint(true) // seeds + subspace explode + exact arm
-      val sub = vecs.select(col("vec_id"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("vs"))): _*)).as("e"))
-        .select(col("vec_id"), col("e.s").as("s"), col("e.vs").as("vs"))
-        .localCheckpoint(true) // assign ×2 + update + query slice
-      val seeds = TwoStageOrder.kSmallestRows(
-          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
-            col("vec_id"), col("v")), "h", KC)
-        // rank over the K=16-row seed frame (bounded by construction)
-        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
-      val cb0 = seeds.select(col("cid"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("c"))): _*)).as("e"))
-        .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
-      def assign(cb: DataFrame): DataFrame =
-        sub.join(broadcast(cb), "s")
-          .withColumn("dist2", expr(
-            "aggregate(zip_with(vs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
-          .groupBy("vec_id", "s")
-          .agg(min(struct(col("dist2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
-      val cb1 = assign(cb0).join(sub, Seq("vec_id", "s"))
-        .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("pos", "x")))
-        .groupBy("s", "cid", "pos")
-        .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
-          .as("cx"))
-        .groupBy("s", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
-          .as("c"))
-        .localCheckpoint(true) // encode pass + distance table
-      val codes = assign(cb1)
+      val l1 = pqLevel1(s, dir)
+      val vecs = l1.vecs; val sub = l1.sub; val cb1 = l1.cb1
+      val codes = pqAssign(sub, "vs", cb1)
       val qsub = sub.filter(col("vec_id") === QID).select(col("s"), col("vs").as("qs"))
       val dtab = cb1.join(broadcast(qsub), "s")
         .withColumn("d", expr(
@@ -976,50 +1015,16 @@ object AnnSearch {
   val rqReconGain: QueryDef = QueryDef(
     "ann_rq_reconstruction_gain",
     (s, dir) => {
-      val M = 8; val SD = 8; val KC = 16
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .localCheckpoint(true) // seeds + subspace explode
-      val sub = vecs.select(col("vec_id"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("vs"))): _*)).as("e"))
-        .select(col("vec_id"), col("e.s").as("s"), col("e.vs").as("vs"))
-        .localCheckpoint(true) // level-1 assign ×2 + update + residual build
-      val seeds = TwoStageOrder.kSmallestRows(
-          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
-            col("vec_id"), col("v")), "h", KC)
-        // rank over the K=16-row seed frame (bounded by construction)
-        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
-        .localCheckpoint(true) // level-1 cb0 + level-2 seed join
-      val cb0 = seeds.select(col("cid"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("s"), slice(col("v"), m * SD + 1, SD).as("c"))): _*)).as("e"))
-        .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
-      def assign(data: DataFrame, vcol: String, cb: DataFrame): DataFrame =
-        data.join(broadcast(cb), "s")
-          .withColumn("dist2", expr(
-            s"aggregate(zip_with($vcol, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
-          .groupBy("vec_id", "s")
-          .agg(min(struct(col("dist2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
-      def update(assigned: DataFrame, data: DataFrame, vcol: String): DataFrame =
-        assigned.join(data, Seq("vec_id", "s"))
-          .select(col("s"), col("cid"), posexplode(col(vcol)).as(Seq("pos", "x")))
-          .groupBy("s", "cid", "pos")
-          .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
-            .as("cx"))
-          .groupBy("s", "cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
-            .as("c"))
-      val cb1 = update(assign(sub, "vs", cb0), sub, "vs").localCheckpoint(true)
-      val res = assign(sub, "vs", cb1).join(sub, Seq("vec_id", "s"))
-        .join(broadcast(cb1), Seq("s", "cid"))
+      val l1 = pqLevel1(s, dir)
+      val res = pqAssign(l1.sub, "vs", l1.cb1).join(l1.sub, Seq("vec_id", "s"))
+        .join(broadcast(l1.cb1), Seq("s", "cid"))
         .select(col("vec_id"), col("s"),
           expr("zip_with(vs, c, (x, y) -> x - y)").as("r"))
         .localCheckpoint(true) // level-2 seeds + assign ×2 + update + errors
-      val cb20 = res.join(broadcast(seeds.select(col("cid"), col("vec_id"))), "vec_id")
+      val cb20 = res.join(broadcast(l1.seeds.select(col("cid"), col("vec_id"))), "vec_id")
         .select(col("s"), col("cid"), col("r").as("c"))
-      val cb2 = update(assign(res, "r", cb20), res, "r")
-      val codes2 = assign(res, "r", cb2)
+      val cb2 = pqUpdate(pqAssign(res, "r", cb20), res, "r")
+      val codes2 = pqAssign(res, "r", cb2)
       codes2.join(res, Seq("vec_id", "s"))
         .join(broadcast(cb2), Seq("s", "cid"))
         .withColumn("e1", expr(
