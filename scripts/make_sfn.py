@@ -65,6 +65,17 @@ gen("embeddings", f"""
   FROM read_parquet('{SRC}/embeddings.parquet'), {copies}
   ORDER BY vec_id""")
 
-for t in ["orders", "part", "supplier", "nation", "region"]:
+# orders multiplied since r13 (disjoint o_orderkey, SAME offset scheme as
+# lineitem's l_orderkey so the fact-fact join stays consistent; dates and
+# customers unchanged) -- stats_theil_sen_mann_kendall's growth study
+# needs its driving table to actually grow; its day grain stays the fixed
+# date span, so the expected shape is linear agg pass + constant pair frame.
+gen("orders", f"""
+  SELECT o_orderkey + k*150000 AS o_orderkey,
+         o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet'), {copies}
+  ORDER BY o_orderkey""")
+
+for t in ["part", "supplier", "nation", "region"]:
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     print(f"{t}: copied")

@@ -173,6 +173,136 @@ class PlanShapeSpec extends SparkSpec {
         "TwoStageOrder or fix the frame")
   }
 
+  /** The two documented all-pairs exactness baselines: BOTH sides of
+    * their nested-loop join are the corpus by construction (they exist
+    * as recall oracles for the scaled LSH/band arms and are graded
+    * `weak` at scale on purpose, DESIGN.md). Measuring them would only
+    * re-confirm both sides are data-proportional, so they are the one
+    * exemption from the measured tiny-side audit below.
+    */
+  private val nestedLoopAllPairsBaseline = Set(
+    "dedup_embedding_cosine", "pipeline_modality_agreement")
+
+  // ---- BNLJ tiny-side measurement machinery (shared by the audit and
+  // its canary): non-equi logical joins are the exact population that
+  // plans as BroadcastNestedLoopJoin (equi joins hash; CartesianProduct
+  // is banned suite-wide), and the SMALLER side is the one Spark
+  // broadcasts — the side every whitelist entry claims is tiny.
+  private object BnljAudit {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, PredicateHelper}
+    private object PH extends PredicateHelper {
+      def conjuncts(c: Expression): Seq[Expression] = splitConjunctivePredicates(c)
+    }
+    private def splitsAcross(j: LJoin, l: Expression, r: Expression): Boolean = {
+      val (lo, ro) = (j.left.outputSet, j.right.outputSet)
+      l.references.nonEmpty && r.references.nonEmpty &&
+        ((l.references.subsetOf(lo) && r.references.subsetOf(ro)) ||
+         (l.references.subsetOf(ro) && r.references.subsetOf(lo)))
+    }
+    private def hasEquiKey(j: LJoin): Boolean = j.condition.exists { c =>
+      PH.conjuncts(c).exists {
+        case EqualTo(l, r) => splitsAcross(j, l, r)
+        case EqualNullSafe(l, r) => splitsAcross(j, l, r)
+        case _ => false
+      }
+    }
+    // row-count cap: the NON-tiny side of these joins is corpus-sized;
+    // its exact count is irrelevant (only which side is smaller), so
+    // cap the scan instead of paying a full count on the big side
+    private val cap = 200000
+    /** (Σ min-side rows over the plan's non-equi joins, join count). */
+    def tinySideRows(s: org.apache.spark.sql.SparkSession,
+                     df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      def cnt(p: LogicalPlan): Long =
+        org.apache.spark.sql.graftaccess.DatasetAccess.ofRows(s, p)
+          .limit(cap).count()
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if !hasEquiKey(j) => j
+      }
+      (joins.map(j => math.min(cnt(j.left), cnt(j.right))).sum, joins.size)
+    }
+  }
+
+  test("nestedLoopAllowed is measured, not argued: BNLJ tiny side stays sublinear in the data") {
+    // r12 verdict item 1: the whitelist above carried prose tiny-side
+    // arguments only ("1-row corpus count", "8-row centroid frame") —
+    // the exact state the window whitelist was in before its measured
+    // audit immediately caught a live 8.5×-growing offender
+    // (stats_ks_drift, r12). This test EXECUTES, per whitelisted query,
+    // the row count of the SMALLER side of every non-equi join in the
+    // optimized plan (the side Spark broadcasts; non-equi joins are the
+    // exact logical population that plans as BroadcastNestedLoopJoin —
+    // equi joins hash, and CartesianProduct is banned suite-wide) at two
+    // corpus sizes, and fails the build if the summed tiny-side rows
+    // grow faster than half the data growth. A genuinely tiny side
+    // (1-row scalar frame, k-row centroid/band grid, fixed query set)
+    // stays ~flat; a side that silently became data-proportional shows
+    // ~the table growth. (r13 first run: all 46 measured entries exactly
+    // flat, ratio 1.00; graph_ppr_seeded / q15_top_supplier /
+    // scale_zorder_layout had their non-equi joins optimized away.)
+    def tinySideRows(name: String, d: String): (Long, Int) =
+      BnljAudit.tinySideRows(spark, SparkEntry.queries(name)(spark, d))
+    // dir pair per query, chosen by which parquet tables the plan scans:
+    // documents/embeddings are CONSTANT between sf0.001 and sf0.01, so
+    // queries driven by them measure sf0.01 → sf0.1 (embeddings grows 4×
+    // there, documents 10×); everything else measures sf0.001 → sf0.01
+    // (10×). When a plan scans no parquet at all (the shared PQ level-1
+    // artifact is pinned, so ann_pq/rq probe checkpointed frames), fall
+    // back to the embeddings pair — the artifact is embeddings-derived.
+    val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain")
+    def dims(name: String): (String, String, Double) = {
+      val p = plan(name).toLowerCase
+      if (p.contains("embeddings.parquet") || embFallback(name))
+        ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 4.0)
+      else if (p.contains("documents.parquet"))
+        ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 10.0)
+      else ("/root/testdata/sf0.001", "/root/testdata/sf0.01", 10.0)
+    }
+    val measured = nestedLoopAllowed -- nestedLoopAllPairsBaseline
+    assert(measured.subsetOf(SparkEntry.queries.keySet),
+      s"stale whitelist entries: ${(measured -- SparkEntry.queries.keySet).mkString(",")}")
+    val offenders = measured.toSeq.sorted.flatMap { name =>
+      val (small, big, growth) = dims(name)
+      val (a, na) = tinySideRows(name, small)
+      val (b, nb) = tinySideRows(name, big)
+      if (na == 0 && nb == 0) {
+        info(f"$name%-36s non-equi joins optimized away at both SFs"); None
+      } else {
+        val ratio = if (a > 0) b.toDouble / a else if (b == 0) 1.0 else Double.PositiveInfinity
+        info(f"$name%-36s $a%8d -> $b%8d rows ($na/$nb joins)  ratio $ratio%5.2f  (data ${growth}%.0f×)")
+        if (ratio > growth / 2)
+          Some(f"$name: $a -> $b tiny-side rows (ratio $ratio%.2f vs data growth ${growth}%.0f×)")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      "whitelisted 'tiny-side' nested-loop joins whose broadcast side " +
+        s"GROWS with the data:\n  ${offenders.mkString("\n  ")}\nre-key " +
+        "the join or shrink the frame (see stats_ks_drift's r12 rewrite)")
+  }
+
+  test("BNLJ audit canary: a data-proportional broadcast side IS detected") {
+    // permanent sensitivity pin for the audit above: a deliberately
+    // wrong plan — a cross join whose "tiny" side is a full base table —
+    // must measure as growing with the data and clear the gate by a wide
+    // margin. If a future refactor of the measurement (equi-key
+    // detection, the row cap, the min-side rule) silently stopped seeing
+    // growth, THIS test fails instead of the audit quietly passing
+    // offenders (the r12 window audit's value came precisely from
+    // catching a live one — keep the detector honest).
+    import org.apache.spark.sql.functions.broadcast
+    def offender(d: String) =
+      Tables.orders(spark, d).crossJoin(broadcast(Tables.customer(spark, d)))
+    val (a, na) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.001"))
+    val (b, nb) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.01"))
+    assert(na == 1 && nb == 1, s"canary cross join not seen as non-equi ($na/$nb)")
+    val ratio = b.toDouble / a
+    info(f"canary tiny side $a -> $b rows, ratio $ratio%.2f (data 10×, gate 5)")
+    assert(ratio > 5.0,
+      f"audit lost its sensitivity: canary ratio $ratio%.2f did not clear the gate")
+  }
+
   test("no unpartitioned Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
