@@ -784,9 +784,11 @@ object AnnSearch {
   private val PqM = 8; private val PqSD = 8; private val PqKC = 16
 
   /** The trained level-1 artifact: full vectors, subspace slices, the
-    * content-hash seed frame, and the one-Lloyd-pass codebooks. */
+    * content-hash seed frame, the one-Lloyd-pass codebooks, the encoded
+    * assignments, and the per-subspace residuals. */
   private final case class PqLevel1(
-    vecs: DataFrame, sub: DataFrame, seeds: DataFrame, cb1: DataFrame)
+    vecs: DataFrame, sub: DataFrame, seeds: DataFrame, cb1: DataFrame,
+    codes: DataFrame, res: DataFrame)
 
   /** Keyed subspace assignment: each (vec_id, s) slice against its
     * subspace's broadcast ≤KC-row codebook, argmin by (dist2, cid). */
@@ -842,8 +844,15 @@ object AnnSearch {
             struct(lit(m).as("s"), slice(col("v"), m * PqSD + 1, PqSD).as("c"))): _*)).as("e"))
           .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
         val cb1 = pqUpdate(pqAssign(sub, "vs", cb0), sub, "vs")
-          .localCheckpoint(true) // encode passes + distance table + residual build
-        PqLevel1(vecs, sub, seeds, cb1)
+          .localCheckpoint(true) // encode pass + distance table + residual build
+        val codes = pqAssign(sub, "vs", cb1)
+          .localCheckpoint(true) // PQ's ADC scan + RQ's residual build
+        val res = codes.join(sub, Seq("vec_id", "s"))
+          .join(broadcast(cb1), Seq("s", "cid"))
+          .select(col("vec_id"), col("s"),
+            expr("zip_with(vs, c, (x, y) -> x - y)").as("r"))
+          .localCheckpoint(true) // RQ level-2 seeds + assign ×2 + update + errors
+        PqLevel1(vecs, sub, seeds, cb1, codes, res)
       }
     }
 
@@ -888,7 +897,7 @@ object AnnSearch {
       val R = 100 // ADC shortlist size fed to the exact re-rank
       val l1 = pqLevel1(s, dir)
       val vecs = l1.vecs; val sub = l1.sub; val cb1 = l1.cb1
-      val codes = pqAssign(sub, "vs", cb1)
+      val codes = l1.codes
       val qsub = sub.filter(col("vec_id") === QID).select(col("s"), col("vs").as("qs"))
       val dtab = cb1.join(broadcast(qsub), "s")
         .withColumn("d", expr(
@@ -1016,11 +1025,7 @@ object AnnSearch {
     "ann_rq_reconstruction_gain",
     (s, dir) => {
       val l1 = pqLevel1(s, dir)
-      val res = pqAssign(l1.sub, "vs", l1.cb1).join(l1.sub, Seq("vec_id", "s"))
-        .join(broadcast(l1.cb1), Seq("s", "cid"))
-        .select(col("vec_id"), col("s"),
-          expr("zip_with(vs, c, (x, y) -> x - y)").as("r"))
-        .localCheckpoint(true) // level-2 seeds + assign ×2 + update + errors
+      val res = l1.res
       val cb20 = res.join(broadcast(l1.seeds.select(col("cid"), col("vec_id"))), "vec_id")
         .select(col("s"), col("cid"), col("r").as("c"))
       val cb2 = pqUpdate(pqAssign(res, "r", cb20), res, "r")
