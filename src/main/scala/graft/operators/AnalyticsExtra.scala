@@ -186,6 +186,105 @@ object AnalyticsExtra {
         LIMIT 200
       """.stripMargin.trim)),
 
+    // ---- Neyman-allocation stratified sample (Neyman 1934) ---------------
+    // The variance-OPTIMAL split of a fixed labeling/eval budget K across
+    // strata: n_h ∝ N_h·S_h, so high-variance strata get proportionally
+    // more of the budget than the proportional split sample_stratified_hash
+    // draws. Exactness: per-stratum variance stays integer to the end —
+    // cents as BIGINT, Σx and Σx² in DECIMAL(38,0) (headroom to ~1e9
+    // rows/stratum before sc² approaches 38 digits), varnum = N·Σx²−(Σx)²
+    // — then ONE shared-text sqrt/division produces S_h (IEEE sqrt is
+    // correctly rounded in both engines), the weights are re-quantized to
+    // integers (⌊N_h·S_h⌋) and the allocation is a DECIMAL(38,0)
+    // cross-multiplied integer division. The draw itself is the
+    // content-hash discipline: the alloc_h smallest md5(o_orderkey) per
+    // stratum, via a CONSTANT-K per-stratum rank (the WindowTopKRewrite
+    // turns the rank-filter into the native TopKPerKeyExec — never a
+    // per-stratum full sort) refined by the data-dependent alloc_h join.
+    QueryDef(
+      "sample_stratified_neyman",
+      (s, dir) => {
+        val K = 1000
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("stratum"), col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+            md5(col("o_orderkey").cast("string").cast("binary")).as("h"))
+          .localCheckpoint(true) // stats pass + selection pass
+        val stats = base.groupBy("stratum").agg(
+            count(lit(1)).as("n_total"),
+            sum(col("cents").cast("decimal(38,0)")).as("sc"),
+            sum(expr("CAST(cents * cents AS DECIMAL(38,0))")).as("sc2"))
+          .withColumn("s_cents", expr(
+            """sqrt(CAST(CAST(n_total AS DECIMAL(38,0)) * sc2 - sc * sc AS DOUBLE)
+              | / (CAST(n_total AS DOUBLE) * CAST(n_total - 1 AS DOUBLE)))""".stripMargin))
+          .withColumn("wq", expr(
+            "CAST(FLOOR(CAST(n_total AS DOUBLE) * s_cents) AS BIGINT)"))
+        val tot = stats.agg(sum(col("wq")).as("t")) // 1-row, broadcast
+        val alloc = stats.crossJoin(broadcast(tot))
+          .withColumn("alloc", expr(
+            s"CAST(CAST(wq AS DECIMAL(38,0)) * $K DIV t AS BIGINT)"))
+        val ranked = base.withColumn("rank", row_number().over(
+            Window.partitionBy("stratum").orderBy(asc("h"), asc("o_orderkey"))))
+          .filter(col("rank") <= K) // constant-K native per-key top-K
+        val sampled = ranked
+          .join(broadcast(alloc.select(col("stratum"), col("alloc"))), "stratum")
+          .filter(col("rank") <= col("alloc"))
+          .groupBy("stratum")
+          .agg(count(lit(1)).as("n_sampled"),
+            expr("SUM(cents) DIV COUNT(*)").as("sample_mean_cents"))
+        // LEFT join: a zero-variance stratum legitimately draws alloc = 0
+        // and must still appear in the artifact (n_sampled 0, mean NULL)
+        alloc
+          .join(broadcast(sampled), Seq("stratum"), "left")
+          .select(col("stratum"), col("n_total"), col("s_cents"), col("alloc"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            col("sample_mean_cents"),
+            expr("alloc * 1000000 DIV n_total").as("sampling_ppm"))
+          .orderBy("stratum")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS stratum, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                 md5(CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders),
+        stats AS (
+          SELECT stratum, COUNT(*) AS n_total,
+                 SUM(CAST(cents AS HUGEINT)) AS sc,
+                 SUM(CAST(cents * cents AS HUGEINT)) AS sc2
+          FROM base GROUP BY 1),
+        weighted AS (
+          SELECT stratum, n_total,
+                 sqrt(CAST(CAST(n_total AS HUGEINT) * sc2 - sc * sc AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE) * CAST(n_total - 1 AS DOUBLE))) AS s_cents,
+                 CAST(FLOOR(CAST(n_total AS DOUBLE)
+                      * sqrt(CAST(CAST(n_total AS HUGEINT) * sc2 - sc * sc AS DOUBLE)
+                             / (CAST(n_total AS DOUBLE) * CAST(n_total - 1 AS DOUBLE))))
+                   AS BIGINT) AS wq
+          FROM stats),
+        tot AS (SELECT SUM(wq) AS t FROM weighted),
+        alloc AS (
+          SELECT w.*, CAST(CAST(wq AS HUGEINT) * 1000 // t AS BIGINT) AS alloc
+          FROM weighted w CROSS JOIN tot),
+        ranked AS (
+          SELECT stratum, cents,
+                 ROW_NUMBER() OVER (PARTITION BY stratum
+                   ORDER BY h ASC, o_orderkey ASC) AS rank
+          FROM base),
+        sampled AS (
+          SELECT r.stratum, COUNT(*) AS n_sampled,
+                 CAST(SUM(cents) // COUNT(*) AS BIGINT) AS sample_mean_cents
+          FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+          WHERE r.rank <= a.alloc
+          GROUP BY 1)
+        SELECT a.stratum, a.n_total, a.s_cents, a.alloc,
+               CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+               s.sample_mean_cents,
+               CAST(a.alloc * 1000000 // a.n_total AS BIGINT) AS sampling_ppm
+        FROM alloc a LEFT JOIN sampled s ON a.stratum = s.stratum
+        ORDER BY a.stratum
+      """.stripMargin.trim)),
+
     // ---- TF-IDF-surrogate argmax term per document -----------------------
     // score = tf * N / df : exact integers + one IEEE division, so it ranks
     // identically to tf-idf on this corpus without log() portability risk.

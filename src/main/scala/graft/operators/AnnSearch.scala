@@ -1123,8 +1123,199 @@ object AnnSearch {
       ORDER BY subspace
     """.stripMargin.trim))
 
+  /** IVFADC proper (Jégou 2011 §IV): the coarse inverted file and the
+    * product quantizer COMPOSED — every vector's residual against its
+    * cell centroid is PQ8x4-encoded, and a query (a) ranks cell
+    * centroids by exact distance and probes the W=2 nearest, (b) builds
+    * a PER-CELL distance table against its own residual in that cell
+    * (the asymmetric part — the query is never quantized), (c) ADC-scans
+    * ONLY the probed cells' codes, and (d) exact-re-ranks the R=100
+    * shortlist ("IVFADC+R", §VII). This is the arm the standalone
+    * [[pqAdcTopk]] (whole-space PQ) and [[ivfLabel]] (cells, full
+    * vectors) each demonstrate half of: at 100 TB the inverted file
+    * cuts the scan to W/|cells| of the corpus AND each scanned entry is
+    * 4 bytes — cells ride the existing `label` coarse assignment, codes
+    * are integer equi-joins against ≤2·128-row broadcast tables, and
+    * the re-rank fetches exactly R full vectors.
+    *
+    * Exactness discipline end to end: centroids and residual codebooks
+    * through the vetted DECIMAL(20,10)-mean recipe ([[kmeansTrain]]),
+    * every summed distance FLOOR(·10⁶)-quantized before aggregation,
+    * cell probing and all ranks totally ordered with id tiebreaks. The
+    * exact-top-10 membership flag is computed against the GLOBAL exact
+    * ranking, so the readout includes what cell pruning itself misses.
+    */
+  val ivfAdcTopk: QueryDef = QueryDef(
+    "ann_ivfadc_topk",
+    (s, dir) => {
+      val QID = 1L; val TOPK = 10; val R = 100; val W = 2
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .localCheckpoint(true) // centroid pass + residuals + seeds + exact arms
+      // coarse centroids: per-cell per-dim decimal mean (≤|cells| rows)
+      val cents = vecs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+          .as("cx"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
+          .as("c"))
+      // residual subspace slices, keyed by (vec_id, s); label carried
+      val rsub = vecs.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
+        .select(col("vec_id"), col("label"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("s"), slice(col("r"), m * PqSD + 1, PqSD).as("rs"))): _*)).as("e"))
+        .select(col("vec_id"), col("label"), col("e.s").as("s"), col("e.rs").as("rs"))
+        .localCheckpoint(true) // cb0 seed join + assign ×2 + update
+      val seeds = TwoStageOrder.kSmallestRows(
+          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+            col("vec_id")), "h", PqKC)
+        // rank over the K=16-row seed frame (bounded by construction)
+        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+        .select("vec_id", "cid")
+      val cb0 = rsub.join(broadcast(seeds), "vec_id")
+        .select(col("s"), col("cid"), col("rs").as("c"))
+      val cb1 = pqUpdate(pqAssign(rsub, "rs", cb0), rsub, "rs")
+        .localCheckpoint(true) // encode pass + the per-cell distance tables
+      val codes = pqAssign(rsub, "rs", cb1)
+        .join(vecs.select("vec_id", "label"), "vec_id")
+      // probe the W cells whose centroids are exactly nearest the query
+      val qfull = vecs.filter(col("vec_id") === QID).select(col("v").as("q"))
+      val qcells = cents.crossJoin(broadcast(qfull))
+        .withColumn("cd_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .orderBy(asc("cd_e6"), asc("label")).limit(W)
+        .select(col("label"), col("c"))
+      // per-cell asymmetric distance tables: query residual vs codebooks
+      val qrsub = qcells.crossJoin(broadcast(qfull))
+        .select(col("label"), expr("zip_with(q, c, (x, y) -> x - y)").as("qr"))
+        .select(col("label"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("s"), slice(col("qr"), m * PqSD + 1, PqSD).as("qrs"))): _*)).as("e"))
+        .select(col("label"), col("e.s").as("s"), col("e.qrs").as("qrs"))
+      val dtab = cb1.join(broadcast(qrsub), "s")
+        .withColumn("d", expr(
+          "aggregate(zip_with(qrs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+        .select(col("label"), col("s"), col("cid"), col("d"))
+      // ADC scan over the PROBED CELLS' codes only (the dtab join prunes)
+      val shortlist = codes.filter(col("vec_id") =!= QID)
+        .join(broadcast(dtab), Seq("label", "s", "cid"))
+        .groupBy("vec_id", "label")
+        .agg(sum(expr("CAST(FLOOR(d * 1000000.0D) AS BIGINT)")).as("adc_e6"))
+        .orderBy(asc("adc_e6"), asc("vec_id")).limit(R)
+      val rerank = vecs.join(broadcast(shortlist.select("vec_id", "adc_e6")), "vec_id")
+        .crossJoin(broadcast(qfull))
+        .withColumn("exact_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .orderBy(asc("exact_e6"), asc("vec_id")).limit(TOPK)
+        .select(col("vec_id"), col("label"), col("adc_e6"), col("exact_e6"))
+      // recall audit arm: the GLOBAL exact top-10 (includes cell misses)
+      val exTop = vecs.filter(col("vec_id") =!= QID).crossJoin(broadcast(qfull))
+        .withColumn("exact_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .orderBy(asc("exact_e6"), asc("vec_id")).limit(TOPK)
+        .select(col("vec_id").as("evid"))
+      rerank
+        .join(broadcast(exTop), col("vec_id") === col("evid"), "left")
+        .withColumn("in_exact_top10", col("evid").isNotNull)
+        // rank over the 10-row TakeOrdered frame (bounded by limit)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(asc("exact_e6"), asc("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("label").cast("long").as("cell"),
+          col("adc_e6"), col("exact_e6"), col("in_exact_top10"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      cents AS (
+        SELECT label, list(cx ORDER BY pos) AS c FROM (
+          SELECT label, CAST(i.range AS INT) + 1 AS pos,
+                 CAST(SUM(CAST(v[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*) AS cx
+          FROM v CROSS JOIN range(0, $Dim) i
+          GROUP BY 1, 2) m GROUP BY label),
+      rsub AS (
+        SELECT v.vec_id, v.label, CAST(m.range AS INT) AS s,
+               list_slice(list_transform(generate_series(1, $Dim),
+                   i -> v.v[CAST(i AS INT)] - c.c[CAST(i AS INT)]),
+                 CAST(m.range AS INT) * 8 + 1, CAST(m.range AS INT) * 8 + 8) AS rs
+        FROM v JOIN cents c USING (label) CROSS JOIN range(0, 8) m),
+      seeds AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS cid
+          FROM v) t WHERE cid <= 16),
+      cb0 AS (
+        SELECT rsub.s, seeds.cid, rsub.rs AS c
+        FROM rsub JOIN seeds USING (vec_id)),
+      a0 AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT rsub.vec_id, rsub.s, cb0.cid,
+                 ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                   ORDER BY ${pqDist2Duck("rsub.rs", "cb0.c", 8)}, cb0.cid) AS rn
+          FROM rsub JOIN cb0 USING (s)) t WHERE rn = 1),
+      cb1 AS (
+        SELECT s, cid, list(cx ORDER BY pos) AS c FROM (
+          SELECT a0.s, a0.cid, CAST(i.range AS INT) + 1 AS pos,
+                 CAST(SUM(CAST(rsub.rs[CAST(i.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*) AS cx
+          FROM a0 JOIN rsub USING (vec_id, s) CROSS JOIN range(0, 8) i
+          GROUP BY 1, 2, 3) m GROUP BY s, cid),
+      codes AS (
+        SELECT t.vec_id, v.label, t.s, t.cid FROM (
+          SELECT rsub.vec_id, rsub.s, cb1.cid,
+                 ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                   ORDER BY ${pqDist2Duck("rsub.rs", "cb1.c", 8)}, cb1.cid) AS rn
+          FROM rsub JOIN cb1 USING (s)) t
+        JOIN v ON t.vec_id = v.vec_id WHERE t.rn = 1),
+      qv AS (SELECT v AS q FROM v WHERE vec_id = 1),
+      qcells AS (
+        SELECT label, c FROM (
+          SELECT c.label, c.c,
+                 CAST(FLOOR(${pqDist2Duck("qv.q", "c.c", Dim)} * 1000000.0) AS BIGINT) AS cd
+          FROM cents c CROSS JOIN qv) t
+        ORDER BY cd, label LIMIT 2),
+      qrsub AS (
+        SELECT qc.label, CAST(m.range AS INT) AS s,
+               list_slice(list_transform(generate_series(1, $Dim),
+                   i -> qv.q[CAST(i AS INT)] - qc.c[CAST(i AS INT)]),
+                 CAST(m.range AS INT) * 8 + 1, CAST(m.range AS INT) * 8 + 8) AS qrs
+        FROM qcells qc CROSS JOIN qv CROSS JOIN range(0, 8) m),
+      dtab AS (
+        SELECT qrsub.label, cb1.s, cb1.cid,
+               ${pqDist2Duck("qrsub.qrs", "cb1.c", 8)} AS d
+        FROM cb1 JOIN qrsub USING (s)),
+      short AS (
+        SELECT codes.vec_id, codes.label,
+               CAST(SUM(CAST(FLOOR(d * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM codes JOIN dtab USING (label, s, cid)
+        WHERE codes.vec_id <> 1
+        GROUP BY 1, 2
+        ORDER BY adc_e6, vec_id LIMIT 100),
+      rr AS (
+        SELECT sl.vec_id, sl.label, sl.adc_e6,
+               CAST(FLOOR(${pqDist2Duck("v.v", "qv.q", Dim)} * 1000000.0) AS BIGINT) AS exact_e6
+        FROM short sl JOIN v USING (vec_id) CROSS JOIN qv
+        ORDER BY exact_e6, vec_id LIMIT 10),
+      extop AS (
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 CAST(FLOOR(${pqDist2Duck("v.v", "qv.q", Dim)} * 1000000.0) AS BIGINT) AS e
+          FROM v CROSS JOIN qv WHERE vec_id <> 1) t
+        ORDER BY e, vec_id LIMIT 10)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rr.exact_e6, rr.vec_id) AS BIGINT) AS rank,
+             rr.vec_id, CAST(rr.label AS BIGINT) AS cell, rr.adc_e6, rr.exact_e6,
+             (rr.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
+      FROM rr
+      ORDER BY rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
-      knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain)
+      knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain,
+      ivfAdcTopk)
 }

@@ -582,6 +582,90 @@ object EventOps {
         ORDER BY from_type, to_type
       """.stripMargin.trim)),
 
+    /** Stationary distribution of the event-type Markov chain by power
+      * iteration — where the behavioral process settles if users keep
+      * transitioning forever (the long-run type mix a capacity model or
+      * next-event prior starts from; PageRank's teleport-free core on
+      * the type graph). Three unrolled iterations x_{k+1} = x_k·P from
+      * the uniform start, ENTIRELY in integer ppm: each step's term is
+      * (x_i · n_ij) DIV rowtotal_i — associative integer arithmetic, no
+      * float matrix product to diverge between engines — and the
+      * per-type |x₃ − x₂| delta is emitted so the convergence readout is
+      * part of the checked result (the chain mixes fast: delta ≈ 0 ppm
+      * by iteration 3 on this stream).
+      *
+      * Scale shape: ONE shuffle on user_id builds the transition counts
+      * (the same lag pass as event_transition_matrix); the iteration
+      * state is the |types|-row vector (≤ a few dozen at any corpus
+      * size) broadcast into |types|²-row joins — iterating costs nothing
+      * data-proportional after the first agg.
+      */
+    QueryDef(
+      "event_markov_stationary",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        val m = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rt", sum(col("n")).over(Window.partitionBy("from_type")))
+          .localCheckpoint(true) // |types|² rows feed 3 iteration joins + the type set
+        val types = m.select(col("from_type").as("t"))
+          .union(m.select(col("to_type"))).distinct()
+        val nt = types.agg(count(lit(1)).as("c")) // 1-row, broadcast
+        val x0 = types.crossJoin(broadcast(nt))
+          .select(col("t"), expr("CAST(1000000 DIV c AS BIGINT)").as("x"))
+        def step(x: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val nxt = m.join(broadcast(x), col("from_type") === col("t"))
+            .groupBy(col("to_type"))
+            .agg(sum(expr("x * n DIV rt")).as("xs"))
+          types.join(broadcast(nxt), col("t") === col("to_type"), "left")
+            .select(col("t"), coalesce(col("xs"), lit(0L)).as("x"))
+        }
+        val x1 = step(x0); val x2 = step(x1); val x3 = step(x2)
+        x0.select(col("t"), col("x").as("x0_ppm"))
+          .join(x1.select(col("t"), col("x").as("x1_ppm")), "t")
+          .join(x2.select(col("t"), col("x").as("x2_ppm")), "t")
+          .join(x3.select(col("t"), col("x").as("x3_ppm")), "t")
+          .select(col("t").as("event_type"), col("x0_ppm"), col("x1_ppm"),
+            col("x2_ppm"), col("x3_ppm"),
+            abs(col("x3_ppm") - col("x2_ppm")).as("delta_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS from_type
+          FROM events),
+        m AS (
+          SELECT from_type, event_type AS to_type, COUNT(*) AS n
+          FROM ordered WHERE from_type IS NOT NULL
+          GROUP BY 1, 2),
+        mr AS (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS rt FROM m),
+        types AS (SELECT from_type AS t FROM m UNION SELECT to_type FROM m),
+        nt AS (SELECT COUNT(*) AS c FROM types),
+        x0 AS (SELECT t, CAST(1000000 // c AS BIGINT) AS x FROM types CROSS JOIN nt),
+        x1 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+               LEFT JOIN (SELECT mr.to_type, SUM(x0.x * mr.n // mr.rt) AS xs
+                          FROM mr JOIN x0 ON mr.from_type = x0.t GROUP BY 1) s
+               ON ty.t = s.to_type),
+        x2 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+               LEFT JOIN (SELECT mr.to_type, SUM(x1.x * mr.n // mr.rt) AS xs
+                          FROM mr JOIN x1 ON mr.from_type = x1.t GROUP BY 1) s
+               ON ty.t = s.to_type),
+        x3 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+               LEFT JOIN (SELECT mr.to_type, SUM(x2.x * mr.n // mr.rt) AS xs
+                          FROM mr JOIN x2 ON mr.from_type = x2.t GROUP BY 1) s
+               ON ty.t = s.to_type)
+        SELECT x0.t AS event_type, x0.x AS x0_ppm, x1.x AS x1_ppm,
+               x2.x AS x2_ppm, x3.x AS x3_ppm, ABS(x3.x - x2.x) AS delta_ppm
+        FROM x0 JOIN x1 ON x0.t = x1.t JOIN x2 ON x0.t = x2.t JOIN x3 ON x0.t = x3.t
+        ORDER BY event_type
+      """.stripMargin.trim)),
+
     /** RFM segmentation: every user scored 1-4 on Recency (last activity),
       * Frequency (event count) and Monetary (exact value cents) by
       * NTILE(4) under fully tie-broken total orders (metric, user_id) —

@@ -71,6 +71,9 @@ class PlanShapeSpec extends SparkSpec {
     "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
     "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
+    "ann_ivfadc_topk",                // 1-row query-vector crossJoins (cell probe, dtab, re-rank)
+    "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
+    "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
     "pipeline_dsir_domain_votes",     // 1-row token-totals + 1-row en-mean crossJoins
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
                                       // grain is bounded by the fixed date span, so the
@@ -113,6 +116,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_pq_adc_topk",           // seed-rank over the k=16-row seed frame + final rank
                                  // over the 10-row TakeOrdered result
     "ann_rq_reconstruction_gain", // seed-rank over the k=16-row seed frame
+    "ann_ivfadc_topk",           // seed-rank over the k=16-row seed frame + final
+                                 // rank over the 10-row TakeOrdered result
     "ts_ewma_dyadic",            // 20-lag ladder over the DAY grain (fixed date span)
     "ts_stl_weekday_decompose")  // 7-point centered MA over the DAY grain
 
@@ -138,7 +143,7 @@ class PlanShapeSpec extends SparkSpec {
     val docDriven = Set("pipeline_dedup_funnel", "pipeline_epoch_mixture",
       "pipeline_temperature_mixture", "text_vocab_growth", "search_hybrid_rrf")
     val embDriven = Set("ann_eval_mrr", "ann_ivf_kmeans_train", "ann_pq_adc_topk",
-      "ann_rq_reconstruction_gain")
+      "ann_rq_reconstruction_gain", "ann_ivfadc_topk")
     def dims(name: String): (String, String, Double) =
       if (docDriven(name)) ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 10.0)
       else if (embDriven(name)) ("/root/testdata/sf0.01", "/root/testdata/sf0.1", 4.0)

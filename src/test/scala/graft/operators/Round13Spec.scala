@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Substance gates for the round-13 wave — each pins the property that
+  * makes the operator WORTH running, not just its oracle agreement:
+  * Neyman allocation must actually favor variance, the Markov power
+  * iteration must actually converge and conserve mass, and IVFADC must
+  * actually prune to the probed cells while keeping measurable recall.
+  */
+class Round13Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("neyman: allocation discriminates — a high-variance stratum outdraws a constant one") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("neyman").toString
+    // stratum A: 300 orders all exactly 100.00 (S=0); stratum B: 300
+    // orders alternating 10.00 / 990.00 (huge S). Neyman gives B nearly
+    // the whole budget; proportional allocation would split 50/50.
+    val rows = (1 to 300).map(i => (i.toLong, "A", 100.0)) ++
+      (301 to 600).map(i => (i.toLong, "B", if (i % 2 == 0) 10.0 else 990.0))
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = SparkEntry.queries("sample_stratified_neyman")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("A") == 0L, s"zero-variance stratum must get 0 of the budget, got ${out("A")}")
+    assert(out("B") >= 900L, s"the variance carrier must get ~all of K=1000, got ${out("B")}")
+  }
+
+  test("neyman: on the driver corpus the budget is spent and per-stratum draws are exact") {
+    val rows = SparkEntry.queries("sample_stratified_neyman")(spark, dir).collect()
+    val allocs = rows.map(_.getLong(3))
+    val drawn = rows.map(_.getLong(4))
+    assert(allocs.sum <= 1000 && allocs.sum >= 1000 - rows.length,
+      s"integer allocation must spend K=1000 up to floor loss, got ${allocs.sum}")
+    assert(allocs.sameElements(drawn),
+      "every stratum must draw exactly its allocation (hash top-k refinement)")
+  }
+
+  test("markov: mass is conserved to floor loss and iteration 3 has converged") {
+    val rows = SparkEntry.queries("event_markov_stationary")(spark, dir).collect()
+    val n = rows.length
+    Seq(1, 2, 3, 4).foreach { c => // x0..x3 columns
+      val mass = rows.map(_.getLong(c)).sum
+      // each of the three steps loses < n·|types| ppm to the per-term DIV
+      assert(mass <= 1000000 && mass >= 1000000 - 3 * n * n,
+        s"column $c mass $mass outside the floor-loss band")
+    }
+    val worstDelta = rows.map(_.getLong(5)).max
+    assert(worstDelta <= 50, s"power iteration not converged: max |x3-x2| = $worstDelta ppm")
+  }
+
+  test("ivfadc: scan is cell-pruned, re-rank is exact-ordered, recall is measurable") {
+    val rows = SparkEntry.queries("ann_ivfadc_topk")(spark, dir).collect()
+    assert(rows.length == 10)
+    val cells = rows.map(_.getLong(2)).distinct
+    assert(cells.length <= 2, s"candidates leaked outside the W=2 probed cells: ${cells.mkString(",")}")
+    val exact = rows.map(_.getLong(4))
+    assert(exact.sameElements(exact.sorted), "re-ranked output not in exact-distance order")
+    val recall = rows.count(_.getBoolean(5))
+    assert(recall >= 2, s"recall@10 after re-rank collapsed: $recall/10 " +
+      "(3/10 at the sf0.01 gate when built — W=2 cell pruning plus 4-bit " +
+      "residual codes on near-noise embeddings; the flag column keeps it honest)")
+  }
+}
