@@ -90,6 +90,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** 32-thread sibling of [[calibrationProbe]]: the same fixed work run
+    * simultaneously on one thread per vCPU. Captures the host dimension
+    * the single-threaded probe is blind to — this round's live sighting:
+    * a noise wave where single-thread read 15% FASTER than the r12
+    * baseline while a parallel probe measured only ~23 of 32 effective
+    * cores, so serial calibration ADJUSTED THE WRONG WAY and a full-run
+    * comparison flagged 92 phantom regressions on untouched code.
+    * Emitted as `calibration_parallel`; when the PREVIOUS round's detail
+    * carries it too, the regression gate adjusts by the more conservative
+    * (larger) of the two host ratios.
+    */
+  private def calibrationProbeParallel(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var acc = t
+        var i = 0
+        while (i < 10000000) {
+          acc ^= scala.util.hashing.MurmurHash3.productHash((i, acc))
+          i += 1
+        }
+        if (acc == 42) print("") // defeat dead-code elimination
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Minimal extractor for one flat `"key":{"name":num,...}` object out of
     * a prior BENCH_DETAIL.json — enough to load the previous round's
     * per-query mins and calibration without a JSON dependency (the file is
@@ -97,7 +127,7 @@ object Bench {
     * any malformed input: the regression block then reports no baseline.
     */
   private def loadPrevDetail(path: String)
-      : (Map[String, Double], Option[Double], Option[String]) = {
+      : (Map[String, Double], Option[Double], Option[Double], Option[String]) = {
     try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
       val qIdx = txt.indexOf("\"queries\":{")
@@ -108,9 +138,11 @@ object Bench {
       }
       val calib = "\"calibration\":(-?[0-9.]+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
+      val calibPar = "\"calibration_parallel\":(-?[0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
       val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      (queries, calib, sf)
-    } catch { case _: Throwable => (Map.empty, None, None) }
+      (queries, calib, calibPar, sf)
+    } catch { case _: Throwable => (Map.empty, None, None, None) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -242,6 +274,7 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }.toMap
     val calibStart = calibrationProbe()
+    val calibParStart = calibrationProbeParallel()
     val pass1 = timedPass(names)
     val pass2 = timedPass(names.reverse)
     // Adaptive third pass (r12 verdict item 3): exactly the queries whose
@@ -265,6 +298,8 @@ object Bench {
       n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n))
     }.toMap
     val calibEnd = calibrationProbe()
+    val calibParEnd = calibrationProbeParallel()
+    val calibPar = math.min(calibParStart, calibParEnd)
     val failed = names.filter(n => validMin(samples(n)).isEmpty)
     val results = names.flatMap(n => validMin(samples(n)).map(n -> _)).toMap
     // host-speed calibration: min over a start and an end probe (also
@@ -289,10 +324,15 @@ object Bench {
     // a baseline recorded at a DIFFERENT scale factor is not comparable —
     // drop it rather than flag every query of a local small-SF subset run
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", detailPath)
-    val (prevMinsRaw, prevCalib, prevSf) = loadPrevDetail(prevPath)
+    val (prevMinsRaw, prevCalib, prevCalibPar, prevSf) = loadPrevDetail(prevPath)
     val prevMins = if (prevSf.forall(_ == sfDir)) prevMinsRaw
                    else Map.empty[String, Double]
-    val calibAdj = prevCalib.filter(_ > 0).map(pc => calib / pc).getOrElse(1.0)
+    // host adjustment = the LARGER (more conservative, fewer phantom
+    // flags) of the serial and parallel probe ratios — the two move
+    // independently on this host (see calibrationProbeParallel scaladoc)
+    val serialAdj = prevCalib.filter(_ > 0).map(pc => calib / pc)
+    val parAdj = prevCalibPar.filter(_ > 0).map(pc => calibPar / pc)
+    val calibAdj = (serialAdj.toSeq ++ parAdj.toSeq).maxOption.getOrElse(1.0)
     val regressions: Seq[(String, String)] = names.flatMap { n =>
       (results.get(n), prevMins.get(n)) match {
         case (Some(cur), Some(prev)) if prev > 0 =>
@@ -321,7 +361,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
