@@ -908,6 +908,94 @@ object TextAnalysis {
       LIMIT 10
     """.stripMargin.trim))
 
+  /** Tokenizer fertility by language under a GLOBALLY-mined merge table
+    * — the multilingual-fairness readout every tokenizer choice needs:
+    * merges mined on the whole corpus are dominated by the majority
+    * language, so minority languages pay more tokens per word (Petrov
+    * et al. 2023 "Language Model Tokenizers Introduce Unfairness",
+    * measured here as post-merge tokens/word in ppm). The top-5 pairs
+    * of one BPE mining pass ([[bpeMergePairs]]'s dict-not-corpus shape)
+    * are applied IN RANK ORDER — each collapse rides a distinct
+    * sentinel char absent from the corpus, so later merges see exactly
+    * the symbol stream BPE training would — and fertility compares
+    * Σcnt·len(merged) against words and raw chars per language.
+    *
+    * Exactness: token counts are string lengths (integers); ratios are
+    * integer-ppm divisions. The ranked pair table pivots to ONE 1-row
+    * broadcast frame (max-of-rank pivot — deterministic under the
+    * (count DESC, pair ASC) total order), so the apply pass is a single
+    * nested-replace projection over the vocabulary-sized dict, never
+    * the corpus. Scale: one corpus pass builds the (lang, word, cnt)
+    * dict; everything after is vocabulary-sized.
+    */
+  val tokenizerFertility: QueryDef = QueryDef(
+    "text_tokenizer_fertility",
+    (s, dir) => {
+      val wf = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // pair mining + the apply pass
+      // rank through TakeOrdered (per-partition top-5 + 5-row driver
+      // merge — the OOV-audit shape; with arbitrary unicode text the
+      // distinct-bigram census is unbounded, so collecting it whole into
+      // one pivot row would not survive 100 TB), THEN pivot the 5
+      // survivors into one broadcastable row
+      val pairsRow = wf.groupBy("w").agg(sum(col("cnt")).as("c"))
+        .filter(length(col("w")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(5)
+        .agg(expr(
+          """transform(array_sort(collect_list(struct(-n AS nn, pair))),
+            |  t -> t.pair)""".stripMargin).as("ps"))
+        .select((1 to 5).map(i => expr(s"element_at(ps, $i)").as(s"p$i")): _*)
+      wf.crossJoin(broadcast(pairsRow))
+        .withColumn("w5", expr(
+          """replace(replace(replace(replace(replace(w,
+            |  p1, '@'), p2, '#'), p3, '$'), p4, '%'), p5, '&')""".stripMargin))
+        .groupBy("lang")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w"))).as("chars"),
+          sum(col("cnt") * length(col("w5"))).as("toks"))
+        .select(col("lang"), col("n_words"),
+          expr("chars * 1000000 DIV n_words").as("chars_per_word_ppm"),
+          expr("toks * 1000000 DIV n_words").as("tokens_per_word_ppm"),
+          expr("toks * 1000000 DIV chars").as("compression_ppm"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH wf AS (
+        SELECT lang, w, COUNT(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+        GROUP BY 1, 2),
+      pairn AS (
+        SELECT pair, SUM(c) AS n FROM (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+          FROM (SELECT w, SUM(cnt) AS c FROM wf GROUP BY 1) g,
+               LATERAL unnest(range(1, len(w))) AS u(i)
+          WHERE len(w) >= 2) t
+        GROUP BY 1),
+      pr AS (
+        SELECT list(pair ORDER BY n DESC, pair ASC) AS ps
+        FROM (SELECT pair, n FROM pairn ORDER BY n DESC, pair ASC LIMIT 5) t),
+      pairs5 AS (
+        SELECT ps[1] AS p1, ps[2] AS p2, ps[3] AS p3, ps[4] AS p4, ps[5] AS p5
+        FROM pr),
+      applied AS (
+        SELECT lang, cnt, len(w) AS lw,
+               len(replace(replace(replace(replace(replace(w,
+                 p1, '@'), p2, '#'), p3, '$'), p4, '%'), p5, '&')) AS lt
+        FROM wf CROSS JOIN pairs5)
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * lw) * 1000000 // SUM(cnt) AS BIGINT) AS chars_per_word_ppm,
+             CAST(SUM(cnt * lt) * 1000000 // SUM(cnt) AS BIGINT) AS tokens_per_word_ppm,
+             CAST(SUM(cnt * lt) * 1000000 // SUM(cnt * lw) AS BIGINT) AS compression_ppm
+      FROM applied
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim))
+
   /** Vocabulary-concentration audit per source: Gini impurity of the
     * token distribution (1 − Σp²) and the top-token share, both in
     * integer ppm — Σ(c²) and n are exact BIGINTs, so
@@ -1183,5 +1271,5 @@ object TextAnalysis {
       termStats, corpusSelect, tokenBudgetPack, levenshteinNeighbors,
       winnowFingerprint, repetitionRatios, chunkSliding, filterAudit, pmiBigrams,
       bigramLmQuality, searchConjunctive, bpeMergePairs, bpeApplyMerge,
-      giniDiversity, noveltyScore, vocabGrowth, rakeKeyphrases)
+      tokenizerFertility, giniDiversity, noveltyScore, vocabGrowth, rakeKeyphrases)
 }

@@ -73,6 +73,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
     "ann_ivfadc_topk",                // 1-row query-vector crossJoins (cell probe, dtab, re-rank)
     "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
+    "text_tokenizer_fertility",       // 1-row ranked-merge-table crossJoin into the dict apply
     "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
     "pipeline_dsir_domain_votes",     // 1-row token-totals + 1-row en-mean crossJoins
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day

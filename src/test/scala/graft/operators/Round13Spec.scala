@@ -51,6 +51,31 @@ class Round13Spec extends SparkSpec {
     assert(worstDelta <= 50, s"power iteration not converged: max |x3-x2| = $worstDelta ppm")
   }
 
+  test("fertility: globally-mined merges favor the majority language") {
+    // the synthetic driver corpus shares one vocabulary across langs, so
+    // the real readout is ~flat there (documented); this injected corpus
+    // pins the DISCRIMINATION the operator exists for: the majority
+    // language's bigrams win the global merge table, so its words
+    // collapse (ababab -> @@@) while the minority language — whose
+    // bigrams rank below the top-5 — keeps paying one token per char.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("fert").toString
+    val majWords = Seq("ababab", "efefef", "ghghgh", "ijijij", "klklkl")
+    val rows =
+      (1 to 90).map(i => (i.toLong, "en", "web",
+        Seq.fill(6)(majWords(i % 5)).mkString(" "))) ++
+      (91 to 100).map(i => (i.toLong, "xx", "web",
+        Seq.fill(6)("mnmnmn").mkString(" ")))
+    rows.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_tokenizer_fertility")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("en") == 3000000L,
+      s"majority words must collapse 6 chars -> 3 tokens, got ${out("en")} ppm")
+    assert(out("xx") == 6000000L,
+      s"minority words must stay at 1 token/char, got ${out("xx")} ppm")
+  }
+
   test("ivfadc: scan is cell-pruned, re-rank is exact-ordered, recall is measurable") {
     val rows = SparkEntry.queries("ann_ivfadc_topk")(spark, dir).collect()
     assert(rows.length == 10)
