@@ -72,6 +72,7 @@ class PlanShapeSpec extends SparkSpec {
     "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
     "ann_ivfadc_topk",                // 1-row query-vector crossJoins (cell probe, dtab, re-rank)
+    "ann_knn_graph_greedy_search",    // 1-row query-vector crossJoin per hop's point-fetch scoring
     "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
     "text_tokenizer_fertility",       // 1-row ranked-merge-table crossJoin into the dict apply
     "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
@@ -256,7 +257,8 @@ class PlanShapeSpec extends SparkSpec {
     // (10×). When a plan scans no parquet at all (the shared PQ level-1
     // artifact is pinned, so ann_pq/rq probe checkpointed frames), fall
     // back to the embeddings pair — the artifact is embeddings-derived.
-    val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain")
+    val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain",
+      "ann_knn_graph_greedy_search")
     def dims(name: String): (String, String, Double) = {
       val p = plan(name).toLowerCase
       if (p.contains("embeddings.parquet") || embFallback(name))

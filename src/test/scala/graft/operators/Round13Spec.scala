@@ -76,6 +76,24 @@ class Round13Spec extends SparkSpec {
       s"minority words must stay at 1 token/char, got ${out("xx")} ppm")
   }
 
+  test("greedy graph search: beams are exact-sorted and the best never degrades") {
+    val rows = SparkEntry.queries("ann_knn_graph_greedy_search")(spark, dir).collect()
+    val byHop = rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(byHop(0L).length == 1 && (1L to 3L).forall(byHop(_).length == 3),
+      s"trace shape wrong: ${rows.length} rows")
+    byHop.values.foreach { b =>
+      val cs = b.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, c) => a >= c }, "beam not cos-sorted")
+    }
+    val best = (0L to 3L).map(h => byHop(h).head.getDouble(3))
+    assert(best.zip(best.tail).forall { case (a, c) => c >= a },
+      s"greedy best-of-beam degraded across hops: ${best.mkString(", ")}")
+    // the beam's WORST slot must improve as hops expand the frontier —
+    // the signal that navigation is actually exploring, not frozen
+    assert(byHop(3L).last.getDouble(3) >= byHop(1L).last.getDouble(3),
+      "hop-3 beam tail did not improve on hop-1")
+  }
+
   test("ivfadc: scan is cell-pruned, re-rank is exact-ordered, recall is measurable") {
     val rows = SparkEntry.queries("ann_ivfadc_topk")(spark, dir).collect()
     assert(rows.length == 10)
