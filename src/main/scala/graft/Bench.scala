@@ -326,7 +326,11 @@ object Bench {
     // drop it rather than flag every query of a local small-SF subset run
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", detailPath)
     val (prevMinsRaw, prevCalib, prevCalibPar, prevSf) = loadPrevDetail(prevPath)
-    val prevMins = if (prevSf.forall(_ == sfDir)) prevMinsRaw
+    // contains, not forall: a baseline whose "sf" field is missing or
+    // unparseable has UNKNOWN scale — drop it (r13 advisory: forall
+    // treated a truncated/hand-edited detail as same-scale and compared
+    // its mins anyway)
+    val prevMins = if (prevSf.contains(sfDir)) prevMinsRaw
                    else Map.empty[String, Double]
     // host adjustment = the LARGER (more conservative, fewer phantom
     // flags) of the serial and parallel probe ratios — the two move
@@ -378,7 +382,7 @@ object Bench {
     val hlNames = (top5 ++ headline.filter(results.contains).filterNot(top5.contains))
     var hl = hlNames.map(n => n -> results(n))
     def mkLine(entries: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"regressions":${regressions.size},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_parallel":${f(calibPar)},"regressions":${regressions.size},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
     var line = mkLine(hl)
     while (line.length > 1600 && hl.nonEmpty) {
       hl = hl.dropRight(1)

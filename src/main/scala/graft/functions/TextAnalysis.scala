@@ -908,32 +908,48 @@ object TextAnalysis {
       LIMIT 10
     """.stripMargin.trim))
 
-  /** Tokenizer fertility by language under a GLOBALLY-mined merge table
-    * — the multilingual-fairness readout every tokenizer choice needs:
-    * merges mined on the whole corpus are dominated by the majority
-    * language, so minority languages pay more tokens per word (Petrov
-    * et al. 2023 "Language Model Tokenizers Introduce Unfairness",
-    * measured here as post-merge tokens/word in ppm). The top-5 pairs
-    * of one BPE mining pass ([[bpeMergePairs]]'s dict-not-corpus shape)
-    * are applied IN RANK ORDER — each collapse rides a distinct
-    * sentinel char absent from the corpus, so later merges see exactly
-    * the symbol stream BPE training would — and fertility compares
-    * Σcnt·len(merged) against words and raw chars per language.
+  /** Tokenizer fertility by token STREAM under a GLOBALLY-mined merge
+    * table — the multilingual-fairness readout every tokenizer choice
+    * needs: merges mined on the whole corpus are dominated by the
+    * majority stream, so minority streams pay more tokens per word
+    * (Petrov et al. 2023 "Language Model Tokenizers Introduce
+    * Unfairness", measured here as post-merge tokens/word in ppm). The
+    * top-5 pairs of one BPE mining pass ([[bpeMergePairs]]'s
+    * dict-not-corpus shape) are applied IN RANK ORDER — each collapse
+    * rides a distinct sentinel char absent from the corpus, so later
+    * merges see exactly the symbol stream BPE training would — and
+    * fertility compares Σcnt·len(merged) against words and raw chars
+    * per stream. Streams are the per-language document corpora
+    * (`doc:<lang>`) PLUS the part-name field (`part_name`), whose
+    * vocabulary shares none of the documents' bigram statistics — so
+    * the discrimination the operator exists for is visible on the
+    * driver corpus itself (r13 verdict item 6): document streams win
+    * the global merge table and compress, the part stream pays ~1
+    * token per char.
     *
     * Exactness: token counts are string lengths (integers); ratios are
-    * integer-ppm divisions. The ranked pair table pivots to ONE 1-row
+    * integer-ppm divisions, with the Σcnt·len numerators widened to
+    * DECIMAL(38,0) BEFORE the ×10⁶ (r13 advisory: a LongType numerator
+    * wraps silently once a stream's chars exceed ~9.2e12 — plausible
+    * at 100 TB — while the DuckDB twin computes in HUGEINT; the widen
+    * keeps both engines exact at any scale, result type still BIGINT
+    * via integral DIV). The ranked pair table pivots to ONE 1-row
     * broadcast frame (max-of-rank pivot — deterministic under the
     * (count DESC, pair ASC) total order), so the apply pass is a single
     * nested-replace projection over the vocabulary-sized dict, never
-    * the corpus. Scale: one corpus pass builds the (lang, word, cnt)
+    * the corpus. Scale: one corpus pass builds the (stream, word, cnt)
     * dict; everything after is vocabulary-sized.
     */
   val tokenizerFertility: QueryDef = QueryDef(
     "text_tokenizer_fertility",
     (s, dir) => {
       val wf = Tables.documents(s, dir)
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("doc:"), col("lang")).as("stream"),
+          explode(split(col("text"), " ")).as("w"))
+        .unionByName(Tables.part(s, dir)
+          .select(lit("part_name").as("stream"),
+            explode(split(col("p_name"), " ")).as("w")))
+        .groupBy("stream", "w").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true) // pair mining + the apply pass
       // rank through TakeOrdered (per-partition top-5 + 5-row driver
       // merge — the OOV-audit shape; with arbitrary unicode text the
@@ -954,20 +970,26 @@ object TextAnalysis {
         .withColumn("w5", expr(
           """replace(replace(replace(replace(replace(w,
             |  p1, '@'), p2, '#'), p3, '$'), p4, '%'), p5, '&')""".stripMargin))
-        .groupBy("lang")
+        .groupBy("stream")
         .agg(sum(col("cnt")).as("n_words"),
-          sum(col("cnt") * length(col("w"))).as("chars"),
-          sum(col("cnt") * length(col("w5"))).as("toks"))
-        .select(col("lang"), col("n_words"),
+          sum((col("cnt") * length(col("w"))).cast("decimal(38,0)")).as("chars"),
+          sum((col("cnt") * length(col("w5"))).cast("decimal(38,0)")).as("toks"))
+        .select(col("stream"), col("n_words"),
           expr("chars * 1000000 DIV n_words").as("chars_per_word_ppm"),
           expr("toks * 1000000 DIV n_words").as("tokens_per_word_ppm"),
           expr("toks * 1000000 DIV chars").as("compression_ppm"))
-        .orderBy("lang")
+        .orderBy("stream")
     },
     Some("""
-      WITH wf AS (
-        SELECT lang, w, COUNT(*) AS cnt
-        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+      WITH toks AS (
+        SELECT 'doc:' || lang AS stream, unnest(string_split(text, ' ')) AS w
+        FROM documents
+        UNION ALL
+        SELECT 'part_name' AS stream, unnest(string_split(p_name, ' ')) AS w
+        FROM part),
+      wf AS (
+        SELECT stream, w, COUNT(*) AS cnt
+        FROM toks
         GROUP BY 1, 2),
       pairn AS (
         SELECT pair, SUM(c) AS n FROM (
@@ -983,17 +1005,17 @@ object TextAnalysis {
         SELECT ps[1] AS p1, ps[2] AS p2, ps[3] AS p3, ps[4] AS p4, ps[5] AS p5
         FROM pr),
       applied AS (
-        SELECT lang, cnt, len(w) AS lw,
+        SELECT stream, cnt, len(w) AS lw,
                len(replace(replace(replace(replace(replace(w,
                  p1, '@'), p2, '#'), p3, '$'), p4, '%'), p5, '&')) AS lt
         FROM wf CROSS JOIN pairs5)
-      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      SELECT stream, CAST(SUM(cnt) AS BIGINT) AS n_words,
              CAST(SUM(cnt * lw) * 1000000 // SUM(cnt) AS BIGINT) AS chars_per_word_ppm,
              CAST(SUM(cnt * lt) * 1000000 // SUM(cnt) AS BIGINT) AS tokens_per_word_ppm,
              CAST(SUM(cnt * lt) * 1000000 // SUM(cnt * lw) AS BIGINT) AS compression_ppm
       FROM applied
-      GROUP BY lang
-      ORDER BY lang
+      GROUP BY stream
+      ORDER BY stream
     """.stripMargin.trim))
 
   /** Vocabulary-concentration audit per source: Gini impurity of the

@@ -592,7 +592,10 @@ object EventOps {
       * float matrix product to diverge between engines — and the
       * per-type |x₃ − x₂| delta is emitted so the convergence readout is
       * part of the checked result (the chain mixes fast: delta ≈ 0 ppm
-      * by iteration 3 on this stream).
+      * by iteration 3 on this stream). Types with no out-transitions are
+      * treated as ABSORBING (implicit self-loop) so the matrix stays
+      * stochastic and mass is conserved on any corpus — without it a
+      * sink type silently drains the whole distribution (r13 advisory).
       *
       * Scale shape: ONE shuffle on user_id builds the transition counts
       * (the same lag pass as event_transition_matrix); the iteration
@@ -614,6 +617,17 @@ object EventOps {
           .localCheckpoint(true) // |types|² rows feed 3 iteration joins + the type set
         val types = m.select(col("from_type").as("t"))
           .union(m.select(col("to_type"))).distinct()
+        // sink guard (r13 advisory): a type with NO out-transitions would
+        // silently lose its whole mass each step (substochastic matrix —
+        // it never appears in m.from_type, so it contributes nothing to
+        // x_{k+1}). Make sinks ABSORBING — an implicit self-loop
+        // P(t→t)=1 — so mass is conserved on any corpus; on a sink-free
+        // stream (this one) the branch adds 0 to every row and the
+        // readout is bit-identical.
+        val typesS = types
+          .join(m.select(col("from_type").as("t")).distinct()
+            .withColumn("out1", lit(1L)), Seq("t"), "left")
+          .select(col("t"), coalesce(col("out1"), lit(0L)).as("has_out"))
         val nt = types.agg(count(lit(1)).as("c")) // 1-row, broadcast
         val x0 = types.crossJoin(broadcast(nt))
           .select(col("t"), expr("CAST(1000000 DIV c AS BIGINT)").as("x"))
@@ -621,8 +635,13 @@ object EventOps {
           val nxt = m.join(broadcast(x), col("from_type") === col("t"))
             .groupBy(col("to_type"))
             .agg(sum(expr("x * n DIV rt")).as("xs"))
-          types.join(broadcast(nxt), col("t") === col("to_type"), "left")
-            .select(col("t"), coalesce(col("xs"), lit(0L)).as("x"))
+          typesS
+            .join(broadcast(x.select(col("t").as("tp"), col("x").as("xp"))),
+              col("t") === col("tp"))
+            .join(broadcast(nxt), col("t") === col("to_type"), "left")
+            .select(col("t"),
+              (coalesce(col("xs"), lit(0L)) +
+                when(col("has_out") === 0, col("xp")).otherwise(lit(0L))).as("x"))
         }
         val x1 = step(x0); val x2 = step(x1); val x3 = step(x2)
         x0.select(col("t"), col("x").as("x0_ppm"))
@@ -646,17 +665,27 @@ object EventOps {
           GROUP BY 1, 2),
         mr AS (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS rt FROM m),
         types AS (SELECT from_type AS t FROM m UNION SELECT to_type FROM m),
+        -- sink guard twin: absorbing self-loop for types with no out-edges
+        tys AS (SELECT ty.t, CASE WHEN f.t IS NULL THEN 0 ELSE 1 END AS has_out
+                FROM types ty
+                LEFT JOIN (SELECT DISTINCT from_type AS t FROM m) f ON ty.t = f.t),
         nt AS (SELECT COUNT(*) AS c FROM types),
         x0 AS (SELECT t, CAST(1000000 // c AS BIGINT) AS x FROM types CROSS JOIN nt),
-        x1 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+        x1 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN ty.has_out = 0 THEN x0.x ELSE 0 END AS BIGINT) AS x
+               FROM tys ty JOIN x0 ON ty.t = x0.t
                LEFT JOIN (SELECT mr.to_type, SUM(x0.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x0 ON mr.from_type = x0.t GROUP BY 1) s
                ON ty.t = s.to_type),
-        x2 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+        x2 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN ty.has_out = 0 THEN x1.x ELSE 0 END AS BIGINT) AS x
+               FROM tys ty JOIN x1 ON ty.t = x1.t
                LEFT JOIN (SELECT mr.to_type, SUM(x1.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x1 ON mr.from_type = x1.t GROUP BY 1) s
                ON ty.t = s.to_type),
-        x3 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0) AS BIGINT) AS x FROM types ty
+        x3 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN ty.has_out = 0 THEN x2.x ELSE 0 END AS BIGINT) AS x
+               FROM tys ty JOIN x2 ON ty.t = x2.t
                LEFT JOIN (SELECT mr.to_type, SUM(x2.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x2 ON mr.from_type = x2.t GROUP BY 1) s
                ON ty.t = s.to_type)

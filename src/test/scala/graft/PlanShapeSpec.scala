@@ -217,17 +217,23 @@ class PlanShapeSpec extends SparkSpec {
     // row-count cap: the NON-tiny side of these joins is corpus-sized;
     // its exact count is irrelevant (only which side is smaller), so
     // cap the scan instead of paying a full count on the big side
-    private val cap = 200000
-    /** (Σ min-side rows over the plan's non-equi joins, join count). */
+    val cap = 200000
+    /** (Σ min-side rows over the plan's non-equi joins, join count,
+      * saturated?). `saturated` = some MIN side itself read `cap` rows:
+      * in that regime the ratio gate is blind (a side over the cap at
+      * both SFs reads ratio 1.00 — r13 advisory), so the audit must
+      * fail loudly instead of passing the offender.
+      */
     def tinySideRows(s: org.apache.spark.sql.SparkSession,
-                     df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+                     df: org.apache.spark.sql.DataFrame): (Long, Int, Boolean) = {
       def cnt(p: LogicalPlan): Long =
         org.apache.spark.sql.graftaccess.DatasetAccess.ofRows(s, p)
           .limit(cap).count()
       val joins = df.queryExecution.optimizedPlan.collect {
         case j: LJoin if !hasEquiKey(j) => j
       }
-      (joins.map(j => math.min(cnt(j.left), cnt(j.right))).sum, joins.size)
+      val mins = joins.map(j => math.min(cnt(j.left), cnt(j.right)))
+      (mins.sum, joins.size, mins.exists(_ >= cap))
     }
   }
 
@@ -248,7 +254,7 @@ class PlanShapeSpec extends SparkSpec {
     // ~the table growth. (r13 first run: all 46 measured entries exactly
     // flat, ratio 1.00; graph_ppr_seeded / q15_top_supplier /
     // scale_zorder_layout had their non-equi joins optimized away.)
-    def tinySideRows(name: String, d: String): (Long, Int) =
+    def tinySideRows(name: String, d: String): (Long, Int, Boolean) =
       BnljAudit.tinySideRows(spark, SparkEntry.queries(name)(spark, d))
     // dir pair per query, chosen by which parquet tables the plan scans:
     // documents/embeddings are CONSTANT between sf0.001 and sf0.01, so
@@ -272,10 +278,15 @@ class PlanShapeSpec extends SparkSpec {
       s"stale whitelist entries: ${(measured -- SparkEntry.queries.keySet).mkString(",")}")
     val offenders = measured.toSeq.sorted.flatMap { name =>
       val (small, big, growth) = dims(name)
-      val (a, na) = tinySideRows(name, small)
-      val (b, nb) = tinySideRows(name, big)
+      val (a, na, satA) = tinySideRows(name, small)
+      val (b, nb, satB) = tinySideRows(name, big)
       if (na == 0 && nb == 0) {
         info(f"$name%-36s non-equi joins optimized away at both SFs"); None
+      } else if (satA || satB) {
+        // a min side at the cap means the ratio below is meaningless
+        // (both-saturated reads 1.00 exactly for the largest offenders)
+        Some(f"$name: a 'tiny' side saturated the ${BnljAudit.cap}-row " +
+          "audit cap — it is not tiny; re-key the join")
       } else {
         val ratio = if (a > 0) b.toDouble / a else if (b == 0) 1.0 else Double.PositiveInfinity
         info(f"$name%-36s $a%8d -> $b%8d rows ($na/$nb joins)  ratio $ratio%5.2f  (data ${growth}%.0f×)")
@@ -302,13 +313,22 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions.broadcast
     def offender(d: String) =
       Tables.orders(spark, d).crossJoin(broadcast(Tables.customer(spark, d)))
-    val (a, na) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.001"))
-    val (b, nb) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.01"))
+    val (a, na, _) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.001"))
+    val (b, nb, _) = BnljAudit.tinySideRows(spark, offender("/root/testdata/sf0.01"))
     assert(na == 1 && nb == 1, s"canary cross join not seen as non-equi ($na/$nb)")
     val ratio = b.toDouble / a
     info(f"canary tiny side $a -> $b rows, ratio $ratio%.2f (data 10×, gate 5)")
     assert(ratio > 5.0,
       f"audit lost its sensitivity: canary ratio $ratio%.2f did not clear the gate")
+    // saturation canary (r13 advisory): a min side AT the cap must raise
+    // the saturated flag — otherwise a both-SF-saturated offender reads
+    // ratio 1.00 and sails through the growth gate above
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val (cs, ns, sat) = BnljAudit.tinySideRows(spark, li.crossJoin(broadcast(li)))
+    info(s"saturation canary: min side $cs rows over $ns join(s), saturated=$sat")
+    assert(ns == 1 && sat,
+      "saturation flag not raised for a cap-sized min side — the audit is " +
+        "blind to large offenders again")
   }
 
   test("no unpartitioned Window over an unbounded input") {
