@@ -1123,64 +1123,77 @@ object AnnSearch {
       ORDER BY subspace
     """.stripMargin.trim))
 
-  /** IVFADC proper (Jégou 2011 §IV): the coarse inverted file and the
-    * product quantizer COMPOSED — every vector's residual against its
-    * cell centroid is PQ8x4-encoded, and a query (a) ranks cell
-    * centroids by exact distance and probes the W=2 nearest, (b) builds
-    * a PER-CELL distance table against its own residual in that cell
-    * (the asymmetric part — the query is never quantized), (c) ADC-scans
-    * ONLY the probed cells' codes, and (d) exact-re-ranks the R=100
-    * shortlist ("IVFADC+R", §VII). This is the arm the standalone
-    * [[pqAdcTopk]] (whole-space PQ) and [[ivfLabel]] (cells, full
-    * vectors) each demonstrate half of: at 100 TB the inverted file
-    * cuts the scan to W/|cells| of the corpus AND each scanned entry is
-    * 4 bytes — cells ride the existing `label` coarse assignment, codes
-    * are integer equi-joins against ≤2·128-row broadcast tables, and
-    * the re-rank fetches exactly R full vectors.
-    *
-    * Exactness discipline end to end: centroids and residual codebooks
-    * through the vetted DECIMAL(20,10)-mean recipe ([[kmeansTrain]]),
-    * every summed distance FLOOR(·10⁶)-quantized before aggregation,
-    * cell probing and all ranks totally ordered with id tiebreaks. The
-    * exact-top-10 membership flag is computed against the GLOBAL exact
-    * ranking, so the readout includes what cell pruning itself misses.
-    */
-  val ivfAdcTopk: QueryDef = QueryDef(
-    "ann_ivfadc_topk",
-    (s, dir) => {
+  /** Trained IVFADC index frames: the corpus vectors (with cell label),
+    * the coarse cell centroids, the per-subspace residual codebooks,
+    * and the encoded inverted file (vec_id, label, s, cid). */
+  private final case class IvfAdcIndex(
+    vecs: DataFrame, cents: DataFrame, cb1: DataFrame, codes: DataFrame)
+
+  /** One IVFADC training pass (coarse centroids → residuals → one Lloyd
+    * pass per subspace → encode). pinned=false keeps exactly the
+    * per-query checkpoints the inline carrier always had (GC-freed
+    * after the query); pinned=true additionally materializes the
+    * centroid and code frames, so probe queries read the artifact
+    * without recomputing either — the caller wraps it in
+    * [[graft.PinnedStorage.pin]]. */
+  private def ivfAdcBuild(s: SparkSession, dir: String, pinned: Boolean): IvfAdcIndex = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint(true) // centroid pass + residuals + seeds + exact arms
+    // coarse centroids: per-cell per-dim decimal mean (≤|cells| rows)
+    val cents0 = vecs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+        .as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
+        .as("c"))
+    val cents = if (pinned) cents0.localCheckpoint(true) else cents0
+    // residual subspace slices, keyed by (vec_id, s); label carried
+    val rsub = vecs.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
+      .select(col("vec_id"), col("label"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("s"), slice(col("r"), m * PqSD + 1, PqSD).as("rs"))): _*)).as("e"))
+      .select(col("vec_id"), col("label"), col("e.s").as("s"), col("e.rs").as("rs"))
+      .localCheckpoint(true) // cb0 seed join + assign ×2 + update
+    val seeds = TwoStageOrder.kSmallestRows(
+        vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+          col("vec_id")), "h", PqKC)
+      // rank over the K=16-row seed frame (bounded by construction)
+      .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+      .select("vec_id", "cid")
+    val cb0 = rsub.join(broadcast(seeds), "vec_id")
+      .select(col("s"), col("cid"), col("rs").as("c"))
+    val cb1 = pqUpdate(pqAssign(rsub, "rs", cb0), rsub, "rs")
+      .localCheckpoint(true) // encode pass + the per-cell distance tables
+    val codes0 = pqAssign(rsub, "rs", cb1)
+      .join(vecs.select("vec_id", "label"), "vec_id")
+    val codes = if (pinned) codes0.localCheckpoint(true) else codes0
+    IvfAdcIndex(vecs, cents, cb1, codes)
+  }
+
+  private val ivfAdcCache = new graft.SessionCache[IvfAdcIndex]
+
+  /** The trained IVFADC artifact as a pinned session artifact — the
+    * offline-train / online-probe split (r13 verdict item 2: the
+    * ivf→ivf_prebuilt pattern applied to the composed index). Trained
+    * once per (session, corpus); the HONEST training cost stays on the
+    * ann_ivfadc_topk carrier, which runs the identical build inside its
+    * own timed window. */
+  private def ivfAdcIndex(s: SparkSession, dir: String): IvfAdcIndex =
+    ivfAdcCache.getOrElseUpdate(s, dir) {
+      graft.PinnedStorage.pin(s) { ivfAdcBuild(s, dir, pinned = true) }
+    }
+
+  /** The single-query IVFADC+R probe (QID=1, W=2 cells, R=100
+    * shortlist, exact top-10) over an [[IvfAdcIndex]] — shared VERBATIM
+    * by the inline-build carrier and the prebuilt probe, so their
+    * result rows are identical by construction. */
+  private def ivfAdcProbeSingle(ix: IvfAdcIndex): DataFrame = {
       val QID = 1L; val TOPK = 10; val R = 100; val W = 2
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .localCheckpoint(true) // centroid pass + residuals + seeds + exact arms
-      // coarse centroids: per-cell per-dim decimal mean (≤|cells| rows)
-      val cents = vecs.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
-          .as("cx"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
-          .as("c"))
-      // residual subspace slices, keyed by (vec_id, s); label carried
-      val rsub = vecs.join(broadcast(cents), "label")
-        .select(col("vec_id"), col("label"),
-          expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
-        .select(col("vec_id"), col("label"), explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("s"), slice(col("r"), m * PqSD + 1, PqSD).as("rs"))): _*)).as("e"))
-        .select(col("vec_id"), col("label"), col("e.s").as("s"), col("e.rs").as("rs"))
-        .localCheckpoint(true) // cb0 seed join + assign ×2 + update
-      val seeds = TwoStageOrder.kSmallestRows(
-          vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
-            col("vec_id")), "h", PqKC)
-        // rank over the K=16-row seed frame (bounded by construction)
-        .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
-        .select("vec_id", "cid")
-      val cb0 = rsub.join(broadcast(seeds), "vec_id")
-        .select(col("s"), col("cid"), col("rs").as("c"))
-      val cb1 = pqUpdate(pqAssign(rsub, "rs", cb0), rsub, "rs")
-        .localCheckpoint(true) // encode pass + the per-cell distance tables
-      val codes = pqAssign(rsub, "rs", cb1)
-        .join(vecs.select("vec_id", "label"), "vec_id")
+      import ix.{vecs, cents, cb1, codes}
       // probe the W cells whose centroids are exactly nearest the query
       val qfull = vecs.filter(col("vec_id") === QID).select(col("v").as("q"))
       val qcells = cents.crossJoin(broadcast(qfull))
@@ -1225,9 +1238,57 @@ object AnnSearch {
         .select(col("rank"), col("vec_id"), col("label").cast("long").as("cell"),
           col("adc_e6"), col("exact_e6"), col("in_exact_top10"))
         .orderBy("rank")
-    },
-    Some(s"""
-      WITH v AS (
+  }
+
+  /** IVFADC proper (Jégou 2011 §IV): the coarse inverted file and the
+    * product quantizer COMPOSED — every vector's residual against its
+    * cell centroid is PQ8x4-encoded, and a query (a) ranks cell
+    * centroids by exact distance and probes the W=2 nearest, (b) builds
+    * a PER-CELL distance table against its own residual in that cell
+    * (the asymmetric part — the query is never quantized), (c) ADC-scans
+    * ONLY the probed cells' codes, and (d) exact-re-ranks the R=100
+    * shortlist ("IVFADC+R", §VII). This is the arm the standalone
+    * [[pqAdcTopk]] (whole-space PQ) and [[ivfLabel]] (cells, full
+    * vectors) each demonstrate half of: at 100 TB the inverted file
+    * cuts the scan to W/|cells| of the corpus AND each scanned entry is
+    * 4 bytes — cells ride the existing `label` coarse assignment, codes
+    * are integer equi-joins against ≤2·128-row broadcast tables, and
+    * the re-rank fetches exactly R full vectors.
+    *
+    * Exactness discipline end to end: centroids and residual codebooks
+    * through the vetted DECIMAL(20,10)-mean recipe ([[kmeansTrain]]),
+    * every summed distance FLOOR(·10⁶)-quantized before aggregation,
+    * cell probing and all ranks totally ordered with id tiebreaks. The
+    * exact-top-10 membership flag is computed against the GLOBAL exact
+    * ranking, so the readout includes what cell pruning itself misses.
+    *
+    * This carrier trains INLINE on purpose — it is the family's honest
+    * build-cost baseline (the ivf vs ivf_prebuilt pairing); the
+    * deployment-shape probe over the pinned artifact is
+    * [[ivfAdcPrebuilt]], with identical result rows.
+    */
+  val ivfAdcTopk: QueryDef = QueryDef(
+    "ann_ivfadc_topk",
+    (s, dir) => ivfAdcProbeSingle(ivfAdcBuild(s, dir, pinned = false)),
+    Some(ivfAdcSingleSql))
+
+  /** IVFADC probe against the prebuilt pinned index — identical
+    * semantics (and oracle twin) to ann_ivfadc_topk, but the bench time
+    * is probe-only: coarse centroids, residual codebooks and the
+    * encoded inverted file are trained once per session ([[ivfAdcIndex]]),
+    * exactly how a deployed 100 TB IVFADC service amortizes training
+    * (r13 verdict item 2 — this was the only ANN query still paying
+    * its training cost inside the probe window). */
+  val ivfAdcPrebuilt: QueryDef = QueryDef(
+    "ann_ivfadc_prebuilt",
+    (s, dir) => ivfAdcProbeSingle(ivfAdcIndex(s, dir)),
+    Some(ivfAdcSingleSql))
+
+  /** The shared IVFADC training CTE chain of the DuckDB twins (the SQL
+    * mirror of [[ivfAdcBuild]]): corpus vectors → coarse centroids →
+    * residual slices → hash-seeded codebooks → one Lloyd pass → codes. */
+  private lazy val ivfAdcBuildCtes: String = s"""
+      v AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       cents AS (
@@ -1270,7 +1331,13 @@ object AnnSearch {
                  ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
                    ORDER BY ${pqDist2Duck("rsub.rs", "cb1.c", 8)}, cb1.cid) AS rn
           FROM rsub JOIN cb1 USING (s)) t
-        JOIN v ON t.vec_id = v.vec_id WHERE t.rn = 1),
+        JOIN v ON t.vec_id = v.vec_id WHERE t.rn = 1)""".stripMargin.trim
+
+  /** Single-query probe SQL twin, shared by ann_ivfadc_topk and
+    * ann_ivfadc_prebuilt (same rows by construction — the Spark sides
+    * share [[ivfAdcProbeSingle]]). */
+  private lazy val ivfAdcSingleSql: String = s"""
+      WITH $ivfAdcBuildCtes,
       qv AS (SELECT v AS q FROM v WHERE vec_id = 1),
       qcells AS (
         SELECT label, c FROM (
@@ -1311,6 +1378,116 @@ object AnnSearch {
              (rr.vec_id IN (SELECT vec_id FROM extop)) AS in_exact_top10
       FROM rr
       ORDER BY rank
+    """.stripMargin.trim
+
+  /** Batched IVFADC serving probe (r13 verdict item 3): Q=100 query
+    * vectors pushed through the probe AS ONE PASS — per-(query, cell)
+    * distance tables, ONE ADC scan of the probed inverted lists shared
+    * by every query, one per-query exact re-rank — the plan shape an
+    * online ANN service runs at 100 TB, where per-query plan launches
+    * would dominate. Everything query-sided stays broadcast-tiny:
+    * Q·|cells| centroid ranks, Q·W·M residual slices, Q·W·M·K
+    * distance-table cells (100·2·8·16 = 25,600 rows — still one
+    * broadcast); the corpus-sided cost is a single keyed equi-join of
+    * the probed cells' 4-byte codes against that table, which is what
+    * amortizes: total cost ≪ Q × the single-query probe. Probes the
+    * pinned [[ivfAdcIndex]]; the honest training cost stays on
+    * ann_ivfadc_topk. Per query: W=2 cells, R=50 shortlist, exact
+    * top-5, every rank totally ordered with id tiebreaks.
+    */
+  val ivfAdcBatch: QueryDef = QueryDef(
+    "ann_ivfadc_batch_topk",
+    (s, dir) => {
+      val NQ = 100L; val TOPK = 5; val R = 50; val W = 2
+      val ix = ivfAdcIndex(s, dir)
+      import ix.{vecs, cents, cb1, codes}
+      val qset = vecs.filter(col("vec_id") <= NQ)
+        .select(col("vec_id").as("qid"), col("v").as("q"))
+      // rank cells per query over the Q·|cells| crossed frame (both
+      // sides bounded: |cells| fixed, Q=100)
+      val wq = Window.partitionBy("qid").orderBy(asc("cd_e6"), asc("label"))
+      val qcells = cents.crossJoin(broadcast(qset))
+        .withColumn("cd_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= W)
+        .select(col("qid"), col("label"), col("c"), col("q"))
+      // per-(query, cell) asymmetric distance tables
+      val qrsub = qcells
+        .select(col("qid"), col("label"),
+          expr("zip_with(q, c, (x, y) -> x - y)").as("qr"))
+        .select(col("qid"), col("label"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("s"), slice(col("qr"), m * PqSD + 1, PqSD).as("qrs"))): _*)).as("e"))
+        .select(col("qid"), col("label"), col("e.s").as("s"), col("e.qrs").as("qrs"))
+      val dtab = cb1.join(broadcast(qrsub), "s")
+        .withColumn("d", expr(
+          "aggregate(zip_with(qrs, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
+        .select(col("qid"), col("label"), col("s"), col("cid"), col("d"))
+      // ONE ADC scan serves all Q queries: probed codes × broadcast table
+      val ws = Window.partitionBy("qid").orderBy(asc("adc_e6"), asc("vec_id"))
+      val shortlist = codes
+        .join(broadcast(dtab), Seq("label", "s", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(expr("CAST(FLOOR(d * 1000000.0D) AS BIGINT)")).as("adc_e6"))
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= R)
+        .select("qid", "vec_id", "adc_e6")
+      // per-query exact re-rank of the Q·R shortlist (point fetches)
+      val wr = Window.partitionBy("qid").orderBy(asc("exact_e6"), asc("vec_id"))
+      vecs.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qset), "qid")
+        .withColumn("exact_e6", expr(
+          "CAST(FLOOR(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= TOPK)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          col("label").cast("long").as("cell"), col("adc_e6"), col("exact_e6"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH $ivfAdcBuildCtes,
+      qset AS (SELECT vec_id AS qid, v AS q FROM v WHERE vec_id <= 100),
+      qcells AS (
+        SELECT qid, label, c, q FROM (
+          SELECT qs.qid, c.label, c.c, qs.q,
+                 ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                   CAST(FLOOR(${pqDist2Duck("qs.q", "c.c", Dim)} * 1000000.0) AS BIGINT),
+                   c.label) AS rn
+          FROM cents c CROSS JOIN qset qs) t WHERE rn <= 2),
+      qrsub AS (
+        SELECT qid, label, CAST(m.range AS INT) AS s,
+               list_slice(list_transform(generate_series(1, $Dim),
+                   i -> q[CAST(i AS INT)] - c[CAST(i AS INT)]),
+                 CAST(m.range AS INT) * 8 + 1, CAST(m.range AS INT) * 8 + 8) AS qrs
+        FROM qcells CROSS JOIN range(0, 8) m),
+      dtab AS (
+        SELECT qrsub.qid, qrsub.label, cb1.s, cb1.cid,
+               ${pqDist2Duck("qrsub.qrs", "cb1.c", 8)} AS d
+        FROM cb1 JOIN qrsub USING (s)),
+      short AS (
+        SELECT qid, vec_id, adc_e6 FROM (
+          SELECT g.qid, g.vec_id, g.adc_e6,
+                 ROW_NUMBER() OVER (PARTITION BY g.qid
+                   ORDER BY g.adc_e6, g.vec_id) AS rn
+          FROM (
+            SELECT dt.qid, codes.vec_id,
+                   CAST(SUM(CAST(FLOOR(d * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_e6
+            FROM codes JOIN dtab dt USING (label, s, cid)
+            WHERE codes.vec_id <> dt.qid
+            GROUP BY 1, 2) g) t WHERE rn <= 50),
+      rr AS (
+        SELECT sl.qid, sl.vec_id, v.label, sl.adc_e6,
+               CAST(FLOOR(${pqDist2Duck("v.v", "qs.q", Dim)} * 1000000.0) AS BIGINT) AS exact_e6
+        FROM short sl JOIN v USING (vec_id) JOIN qset qs ON sl.qid = qs.qid)
+      SELECT qid, rank, vec_id, cell, adc_e6, exact_e6 FROM (
+        SELECT qid,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY exact_e6, vec_id) AS BIGINT) AS rank,
+               vec_id, CAST(label AS BIGINT) AS cell, adc_e6, exact_e6
+        FROM rr) t
+      WHERE rank <= 5
+      ORDER BY qid, rank
     """.stripMargin.trim))
 
   /** Greedy beam search OVER the k-NN graph — the navigable-small-world
@@ -1464,5 +1641,5 @@ object AnnSearch {
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
       knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain,
-      ivfAdcTopk, knnGraphGreedy)
+      ivfAdcTopk, ivfAdcPrebuilt, ivfAdcBatch, knnGraphGreedy)
 }

@@ -72,6 +72,8 @@ class PlanShapeSpec extends SparkSpec {
     "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm
     "ann_ivfadc_topk",                // 1-row query-vector crossJoins (cell probe, dtab, re-rank)
+    "ann_ivfadc_prebuilt",            // same probe as ann_ivfadc_topk over the pinned index
+    "ann_ivfadc_batch_topk",          // |cells|-row centroid frame × the 100-row query batch
     "ann_knn_graph_greedy_search",    // 1-row query-vector crossJoin per hop's point-fetch scoring
     "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
     "text_tokenizer_fertility",       // 1-row ranked-merge-table crossJoin into the dict apply
@@ -120,6 +122,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_rq_reconstruction_gain", // seed-rank over the k=16-row seed frame
     "ann_ivfadc_topk",           // seed-rank over the k=16-row seed frame + final
                                  // rank over the 10-row TakeOrdered result
+    "ann_ivfadc_prebuilt",       // final rank over the 10-row TakeOrdered result
+                                 // (the seed window lives in the pinned build)
     "ts_ewma_dyadic",            // 20-lag ladder over the DAY grain (fixed date span)
     "ts_stl_weekday_decompose")  // 7-point centered MA over the DAY grain
 
@@ -264,7 +268,8 @@ class PlanShapeSpec extends SparkSpec {
     // artifact is pinned, so ann_pq/rq probe checkpointed frames), fall
     // back to the embeddings pair — the artifact is embeddings-derived.
     val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain",
-      "ann_knn_graph_greedy_search")
+      "ann_knn_graph_greedy_search", "ann_ivfadc_prebuilt",
+      "ann_ivfadc_batch_topk")
     def dims(name: String): (String, String, Double) = {
       val p = plan(name).toLowerCase
       if (p.contains("embeddings.parquet") || embFallback(name))
@@ -444,7 +449,8 @@ class PlanShapeSpec extends SparkSpec {
     // building the query df materializes the pinned index as a side
     // effect; the PROBE plan itself must read only the checkpointed
     // index rows — zero parquet scans, zero norm/signature recomputation
-    Seq("ann_cosine_topk_ivf_prebuilt", "ann_cosine_topk_hyperlsh_prebuilt").foreach { name =>
+    Seq("ann_cosine_topk_ivf_prebuilt", "ann_cosine_topk_hyperlsh_prebuilt",
+        "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk").foreach { name =>
       val p = plan(name)
       assert(!p.toLowerCase.contains("parquet"),
         s"$name rebuilds the index from the embeddings parquet")
