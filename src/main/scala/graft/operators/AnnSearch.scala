@@ -1505,17 +1505,27 @@ object AnnSearch {
     * B·k graph edges (keyed equi-join on the node id) and fetches B·k
     * full vectors (point lookups), independent of corpus size; the
     * graph build is the amortized artifact the knnGraph carriers pay
-    * for. Scoring doubles are the vetted float_dot/list_reduce pair, so
-    * beams tie-break identically across engines.
+    * for — since r14 the CELL-CAPPED edge set (see [[knnEdges]]: the
+    * uncapped build measured exponent 1.73 at sf0.5, the capped one
+    * flat, and the recall gate prices the difference). Scoring doubles
+    * are the vetted float_dot/list_reduce pair, so beams tie-break
+    * identically across engines.
     */
   /** The k-NN graph as a pinned session artifact (qid → top-3 cand_id),
     * built once per (session, corpus) from the pinned signature index —
-    * the navigable index [[knnGraphGreedy]] probes. The HONEST build
-    * cost stays on the ann_knn_graph_ivf carrier, which constructs the
-    * identical edge set inside its own timed window (the ivf vs
-    * ivf_prebuilt pairing, applied to the graph family); first measured
-    * inline, the greedy query's growth read exponent 0.97 — all of it
-    * the per-cell pair join, none of it navigation.
+    * the navigable index [[knnGraphGreedy]] probes. As of r14 the
+    * canonical edge source is the CELL-CAPPED build (the
+    * [[knnGraphCapped]] derivation): the uncapped per-cell pair join
+    * measured exponent 1.73 at sf0.5 (0.61 s → 9.89 s under ×5 — cells
+    * grow with the corpus, pairs grow with cells², exactly the hot-cell
+    * hazard the cap exists for), while the capped build measured flat
+    * (0.67 s → 0.69 s). The approximation is PRICED by the
+    * ann_recall_knn_capped_vs_exact gate (floor pinned in Round14Spec);
+    * ann_knn_graph_ivf remains the uncapped exactness baseline and its
+    * super-linear cost is now a documented anti-pattern, not the
+    * artifact anything probes. The HONEST capped build cost stays on
+    * the ann_knn_graph_capped carrier, which constructs the identical
+    * edge set inside its own timed window.
     */
   private val knnEdgesCache = new graft.SessionCache[DataFrame]
 
@@ -1523,9 +1533,14 @@ object AnnSearch {
     knnEdgesCache.getOrElseUpdate(s, dir) {
       graft.PinnedStorage.pin(s) {
         val e = index(s, dir)
+        val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
+        val sub = e.join(broadcast(sizes), "label")
+          .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
+          .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-        e.as("q").join(e.as("c"),
-            col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+        sub.as("q").join(sub.as("c"),
+            col("q.label") === col("c.label") && col("q.sub") === col("c.sub") &&
+            col("q.vec_id") =!= col("c.vec_id"))
           .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
             (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
           .withColumn("rank", row_number().over(w))
@@ -1576,6 +1591,10 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
+      sub AS (
+        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
+        FROM e JOIN sizes USING (label)),
       edges AS (
         SELECT qid, cand_id FROM (
           SELECT q.vec_id AS qid, c.vec_id AS cand_id,
@@ -1583,7 +1602,8 @@ object AnnSearch {
                    list_reduce(list_transform(generate_series(1, len(q.embedding)),
                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
                      (x, y) -> x + y) / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
-          FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id) t
+          FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub
+                                AND q.vec_id != c.vec_id) t
         WHERE rank <= 3),
       qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 1),
       entry AS (

@@ -56,4 +56,33 @@ class Round14Spec extends SparkSpec {
     assert(single.sameElements(batch),
       s"batch probe diverged from single on qid=1: ${single.mkString(",")} vs ${batch.mkString(",")}")
   }
+
+  test("capped knn-graph edge recall holds the floor the greedy search was re-baselined on") {
+    // r13 verdict item 5: the uncapped knnEdges build measured exponent
+    // 1.73 at sf0.5 (cells grow with the corpus, pairs with cells²), so
+    // the greedy search now navigates the CAPPED edge set. The price of
+    // that switch is exactly this recall number (0.273 at sf0.01 on
+    // near-noise synthetic embeddings when it was pinned) — if a capped
+    // -build change ever drops it below the level the re-baselining
+    // accepted, the navigable graph is quietly degrading and this gate
+    // must say so.
+    val r = SparkEntry.queries("ann_recall_knn_capped_vs_exact")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) > 0, "exact edge set is empty — recall undefined")
+    assert(r.getDouble(2) >= 0.27,
+      f"capped edge recall ${r.getDouble(2)}%.3f fell below the 0.27 floor " +
+        "the greedy re-baselining priced in")
+  }
+
+  test("greedy search navigates the capped edges without losing its convergence shape") {
+    // the re-baselined artifact must still be a working navigable graph:
+    // all four hops full, beams exactly sorted, best-of-beam monotone
+    val rows = SparkEntry.queries("ann_knn_graph_greedy_search")(spark, dir).collect()
+    val byHop = rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(byHop(0L).length == 1 && (1L to 3L).forall(byHop(_).length == 3),
+      s"trace shape wrong on capped edges: ${rows.length} rows")
+    val best = (0L to 3L).map(h => byHop(h).head.getDouble(3))
+    assert(best.zip(best.tail).forall { case (a, c) => c >= a },
+      s"greedy best-of-beam degraded across hops on capped edges: ${best.mkString(", ")}")
+  }
 }
