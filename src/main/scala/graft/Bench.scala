@@ -296,8 +296,23 @@ object Bench {
       ss.exists(_ < 0) || spreadOf(ss) > spreadGate
     }
     val pass3 = timedPass(needThird)
-    val samples: Map[String, Seq[Double]] = names.map { n =>
+    val samples3: Map[String, Seq[Double]] = names.map { n =>
       n -> (Seq(pass1(n), pass2(n)) ++ pass3.get(n))
+    }.toMap
+    // Worst-decile fourth pass (r13 verdict item 4): on windows where
+    // host capacity arrives in multi-minute waves, the adaptive third
+    // sample can land in the SAME wave as the bad one it was meant to
+    // outvote — the queries whose spread is still >1.3× after pass 3 are
+    // exactly that tail. Give the worst decile of them (by residual
+    // spread) one more sample: bounded cost (≤ ~27 queries), aimed where
+    // the jitter statistic says the measurement is still unresolved.
+    val needFourth = names
+      .filter(n => spreadOf(samples3(n)) > spreadGate)
+      .sortBy(n => -spreadOf(samples3(n)))
+      .take(math.max(1, names.size / 10))
+    val pass4 = timedPass(needFourth)
+    val samples: Map[String, Seq[Double]] = names.map { n =>
+      n -> (samples3(n) ++ pass4.get(n))
     }.toMap
     val calibEnd = calibrationProbe()
     val calibParEnd = calibrationProbeParallel()
@@ -367,7 +382,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }

@@ -629,19 +629,21 @@ object EventOps {
             .withColumn("out1", lit(1L)), Seq("t"), "left")
           .select(col("t"), coalesce(col("out1"), lit(0L)).as("has_out"))
         val nt = types.agg(count(lit(1)).as("c")) // 1-row, broadcast
-        val x0 = types.crossJoin(broadcast(nt))
-          .select(col("t"), expr("CAST(1000000 DIV c AS BIGINT)").as("x"))
+        // the iteration vector CARRIES has_out, so each step is the same
+        // single broadcast left join the pre-guard shape had (the first
+        // cut joined types→x→nxt per step and doubled the query's cost)
+        val x0 = typesS.crossJoin(broadcast(nt))
+          .select(col("t"), col("has_out"),
+            expr("CAST(1000000 DIV c AS BIGINT)").as("x"))
         def step(x: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val nxt = m.join(broadcast(x), col("from_type") === col("t"))
+          val nxt = m.join(broadcast(x.select("t", "x")),
+              col("from_type") === col("t"))
             .groupBy(col("to_type"))
             .agg(sum(expr("x * n DIV rt")).as("xs"))
-          typesS
-            .join(broadcast(x.select(col("t").as("tp"), col("x").as("xp"))),
-              col("t") === col("tp"))
-            .join(broadcast(nxt), col("t") === col("to_type"), "left")
-            .select(col("t"),
+          x.join(broadcast(nxt), col("t") === col("to_type"), "left")
+            .select(col("t"), col("has_out"),
               (coalesce(col("xs"), lit(0L)) +
-                when(col("has_out") === 0, col("xp")).otherwise(lit(0L))).as("x"))
+                when(col("has_out") === 0, col("x")).otherwise(lit(0L))).as("x"))
         }
         val x1 = step(x0); val x2 = step(x1); val x3 = step(x2)
         x0.select(col("t"), col("x").as("x0_ppm"))
@@ -670,25 +672,26 @@ object EventOps {
                 FROM types ty
                 LEFT JOIN (SELECT DISTINCT from_type AS t FROM m) f ON ty.t = f.t),
         nt AS (SELECT COUNT(*) AS c FROM types),
-        x0 AS (SELECT t, CAST(1000000 // c AS BIGINT) AS x FROM types CROSS JOIN nt),
-        x1 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
-                 + CASE WHEN ty.has_out = 0 THEN x0.x ELSE 0 END AS BIGINT) AS x
-               FROM tys ty JOIN x0 ON ty.t = x0.t
+        x0 AS (SELECT t, has_out, CAST(1000000 // c AS BIGINT) AS x
+               FROM tys CROSS JOIN nt),
+        x1 AS (SELECT x0.t, x0.has_out, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN x0.has_out = 0 THEN x0.x ELSE 0 END AS BIGINT) AS x
+               FROM x0
                LEFT JOIN (SELECT mr.to_type, SUM(x0.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x0 ON mr.from_type = x0.t GROUP BY 1) s
-               ON ty.t = s.to_type),
-        x2 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
-                 + CASE WHEN ty.has_out = 0 THEN x1.x ELSE 0 END AS BIGINT) AS x
-               FROM tys ty JOIN x1 ON ty.t = x1.t
+               ON x0.t = s.to_type),
+        x2 AS (SELECT x1.t, x1.has_out, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN x1.has_out = 0 THEN x1.x ELSE 0 END AS BIGINT) AS x
+               FROM x1
                LEFT JOIN (SELECT mr.to_type, SUM(x1.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x1 ON mr.from_type = x1.t GROUP BY 1) s
-               ON ty.t = s.to_type),
-        x3 AS (SELECT ty.t, CAST(COALESCE(s.xs, 0)
-                 + CASE WHEN ty.has_out = 0 THEN x2.x ELSE 0 END AS BIGINT) AS x
-               FROM tys ty JOIN x2 ON ty.t = x2.t
+               ON x1.t = s.to_type),
+        x3 AS (SELECT x2.t, x2.has_out, CAST(COALESCE(s.xs, 0)
+                 + CASE WHEN x2.has_out = 0 THEN x2.x ELSE 0 END AS BIGINT) AS x
+               FROM x2
                LEFT JOIN (SELECT mr.to_type, SUM(x2.x * mr.n // mr.rt) AS xs
                           FROM mr JOIN x2 ON mr.from_type = x2.t GROUP BY 1) s
-               ON ty.t = s.to_type)
+               ON x2.t = s.to_type)
         SELECT x0.t AS event_type, x0.x AS x0_ppm, x1.x AS x1_ppm,
                x2.x AS x2_ppm, x3.x AS x3_ppm, ABS(x3.x - x2.x) AS delta_ppm
         FROM x0 JOIN x1 ON x0.t = x1.t JOIN x2 ON x0.t = x2.t JOIN x3 ON x0.t = x3.t
