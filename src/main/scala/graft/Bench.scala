@@ -244,6 +244,15 @@ object Bench {
         try deleteRec(p) catch { case _: Throwable => () })
       System.gc()
     }
+    // Pre-warmup probes (r14): every full-suite run r13-r14 read the
+    // in-JVM parallel probe at 0.24-0.35 while subset runs in the SAME
+    // minutes read 0.11-0.19 — the post-warmup JVM (16 GiB heap grown,
+    // ~270 queries of codegen classes, GC threads) contaminates the
+    // probe with self-inflicted contention the host doesn't have. This
+    // pair runs in the still-lean JVM, so the detail can separate
+    // "host capacity dipped" from "the probe aged with the JVM".
+    val calibPrewarm = calibrationProbe()
+    val calibParPrewarm = calibrationProbeParallel()
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
@@ -382,7 +391,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
