@@ -71,7 +71,7 @@ object Bench {
     "text_vocab_oov_audit", "ann_rq_reconstruction_gain",
     "ann_ivfadc_topk", "sample_stratified_neyman", "event_markov_stationary",
     "text_tokenizer_fertility", "ann_knn_graph_greedy_search",
-    "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk")
+    "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk", "ann_knn_graph_greedy_batch")
 
   /** Single-threaded fixed-work CPU probe (~10^7 MurmurHash3 rounds over a
     * constant), timed like a query. Its seconds depend only on host speed,

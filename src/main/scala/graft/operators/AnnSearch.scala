@@ -1574,9 +1574,13 @@ object AnnSearch {
           .select(col("cand_id").as("vec_id"))
           .union(beam.select("vec_id"))
           .filter(col("vec_id") =!= QID)
+        // B rows, materialized: hop N feeds hop N+1 AND the final trace
+        // union — unpinned, the union re-executes each beam's whole
+        // upstream DAG (b1 three times, b0 four)
         scored(expanded).orderBy(desc("cos"), asc("vec_id")).limit(B)
+          .localCheckpoint(true)
       }
-      val b0 = scored(entry)
+      val b0 = scored(entry).localCheckpoint(true)
       val b1 = hop(b0); val b2 = hop(b1); val b3 = hop(b2)
       val wr = Window.partitionBy("hop").orderBy(desc("cos"), asc("vec_id"))
       Seq(b0, b1, b2, b3).zipWithIndex
@@ -1657,9 +1661,177 @@ object AnnSearch {
       ORDER BY hop, rank
     """.stripMargin.trim))
 
+  /** Batched greedy graph search — the NSW serving arm, the graph
+    * family's twin of [[ivfAdcBatch]]: Q=10 query vectors navigate the
+    * pinned capped k-NN graph IN ONE PASS. Each hop is a single keyed
+    * equi-join of the (qid, node) beam frame against the edge list plus
+    * one batched point-fetch scoring join — the per-hop stage launches
+    * (the single-query arm's whole cost at this scale) are paid once
+    * and shared by every query, and each query's beam stays an
+    * independent B=3 row set ranked per qid. Per-query entry is the
+    * corpus's smallest-content-hash node, swapping to the second
+    * smallest when the query IS that node — deterministic and
+    * self-match-free without per-query hashing passes. The output is
+    * the full per-query hop trace, so per-query convergence (best
+    * cosine non-decreasing per hop) stays part of the checked artifact.
+    *
+    * At 100 TB: hop cost is Q·B·k edge fetches + Q·B·k vector point
+    * fetches regardless of corpus size; everything query-sided is a
+    * ≤Q·B·(k+1)-row broadcast. The graph is the CAPPED pinned artifact
+    * ([[knnEdges]]) — the build whose growth measured flat where the
+    * uncapped one read exponent 1.73.
+    */
+  val knnGraphGreedyBatch: QueryDef = QueryDef(
+    "ann_knn_graph_greedy_batch",
+    (s, dir) => {
+      val NQ = 10L; val B = 3
+      val e = index(s, dir)
+      val edges = knnEdges(s, dir)
+      val qset = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      // per-query entry: global 2 smallest content hashes, swap on self
+      val ent2 = TwoStageOrder.kSmallestRows(
+          e.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+            col("vec_id")), "h", 2)
+        // rank over the 2-row frame (bounded by construction)
+        .withColumn("rn", row_number().over(Window.orderBy(asc("h"))))
+      val entries = qset.select("qid")
+        .crossJoin(broadcast(ent2.filter(col("rn") === 1).select(col("vec_id").as("v1"))))
+        .crossJoin(broadcast(ent2.filter(col("rn") === 2).select(col("vec_id").as("v2"))))
+        .select(col("qid"),
+          when(col("v1") === col("qid"), col("v2")).otherwise(col("v1")).as("vec_id"))
+      // batched point-fetch scoring: candidate (qid, vec_id) pairs →
+      // exact query cosine, one e-scan shared by all queries
+      def scoredB(ids: DataFrame): DataFrame =
+        e.join(broadcast(ids.select("qid", "vec_id").distinct()), "vec_id")
+          .join(broadcast(qset), "qid")
+          .select(col("qid"), col("vec_id"),
+            (expr("float_dot(embedding, qe)") / (col("nrm") * col("qn"))).as("cos"))
+      val wb = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      def hopB(beam: DataFrame): DataFrame = {
+        val expanded = edges.select(col("qid").as("node"), col("cand_id"))
+          .join(broadcast(beam.select(col("qid").as("bq"), col("vec_id").as("node"))),
+            "node")
+          .select(col("bq").as("qid"), col("cand_id").as("vec_id"))
+          .union(beam.select("qid", "vec_id"))
+          .filter(col("vec_id") =!= col("qid"))
+        scoredB(expanded)
+          .withColumn("rn", row_number().over(wb))
+          .filter(col("rn") <= B)
+          .select("qid", "vec_id", "cos")
+          // ≤Q·B rows, materialized: hop N feeds hop N+1 AND the final
+          // trace union — unpinned, the union re-executes each beam's
+          // whole upstream DAG (b1 three times, b0 four)
+          .localCheckpoint(true)
+      }
+      val b0 = scoredB(entries).localCheckpoint(true)
+      val b1 = hopB(b0); val b2 = hopB(b1); val b3 = hopB(b2)
+      val wr = Window.partitionBy("hop", "qid").orderBy(desc("cos"), asc("vec_id"))
+      Seq(b0, b1, b2, b3).zipWithIndex
+        .map { case (b, h) =>
+          b.select(lit(h.toLong).as("hop"), col("qid"), col("vec_id"), col("cos")) }
+        .reduce(_ union _)
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .select("hop", "qid", "rank", "vec_id", "cos")
+        .orderBy("hop", "qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
+      sub AS (
+        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
+        FROM e JOIN sizes USING (label)),
+      edges AS (
+        SELECT node, cand_id FROM (
+          SELECT q.vec_id AS node, c.vec_id AS cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                     i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                     (x, y) -> x + y) / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+          FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub
+                                AND q.vec_id != c.vec_id) t
+        WHERE rank <= 3),
+      qset AS (
+        SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      ent AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e),
+      entries AS (
+        SELECT qs.qid,
+               CASE WHEN a.vec_id = qs.qid THEN b.vec_id ELSE a.vec_id END AS vec_id
+        FROM qset qs,
+             (SELECT vec_id FROM ent WHERE rn = 1) a,
+             (SELECT vec_id FROM ent WHERE rn = 2) b),
+      b0 AS (
+        SELECT en.qid, en.vec_id,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qs.qe[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (e.nrm * qs.qn) AS cos
+        FROM entries en JOIN e USING (vec_id) JOIN qset qs ON en.qid = qs.qid),
+      n1 AS (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT b.qid, ed.cand_id AS vec_id FROM edges ed JOIN b0 b ON ed.node = b.vec_id
+          UNION ALL SELECT qid, vec_id FROM b0) t WHERE vec_id != qid),
+      b1 AS (
+        SELECT qid, vec_id, cos FROM (
+          SELECT s1.qid, s1.vec_id, s1.cos,
+                 ROW_NUMBER() OVER (PARTITION BY s1.qid ORDER BY s1.cos DESC, s1.vec_id ASC) AS rn
+          FROM (
+            SELECT n.qid, n.vec_id,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qs.qe[CAST(i AS INT)] AS DOUBLE)),
+                     (x, y) -> x + y) / (e.nrm * qs.qn) AS cos
+            FROM n1 n JOIN e USING (vec_id) JOIN qset qs ON n.qid = qs.qid) s1) t
+        WHERE rn <= 3),
+      n2 AS (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT b.qid, ed.cand_id AS vec_id FROM edges ed JOIN b1 b ON ed.node = b.vec_id
+          UNION ALL SELECT qid, vec_id FROM b1) t WHERE vec_id != qid),
+      b2 AS (
+        SELECT qid, vec_id, cos FROM (
+          SELECT s1.qid, s1.vec_id, s1.cos,
+                 ROW_NUMBER() OVER (PARTITION BY s1.qid ORDER BY s1.cos DESC, s1.vec_id ASC) AS rn
+          FROM (
+            SELECT n.qid, n.vec_id,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qs.qe[CAST(i AS INT)] AS DOUBLE)),
+                     (x, y) -> x + y) / (e.nrm * qs.qn) AS cos
+            FROM n2 n JOIN e USING (vec_id) JOIN qset qs ON n.qid = qs.qid) s1) t
+        WHERE rn <= 3),
+      n3 AS (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT b.qid, ed.cand_id AS vec_id FROM edges ed JOIN b2 b ON ed.node = b.vec_id
+          UNION ALL SELECT qid, vec_id FROM b2) t WHERE vec_id != qid),
+      b3 AS (
+        SELECT qid, vec_id, cos FROM (
+          SELECT s1.qid, s1.vec_id, s1.cos,
+                 ROW_NUMBER() OVER (PARTITION BY s1.qid ORDER BY s1.cos DESC, s1.vec_id ASC) AS rn
+          FROM (
+            SELECT n.qid, n.vec_id,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qs.qe[CAST(i AS INT)] AS DOUBLE)),
+                     (x, y) -> x + y) / (e.nrm * qs.qn) AS cos
+            FROM n3 n JOIN e USING (vec_id) JOIN qset qs ON n.qid = qs.qid) s1) t
+        WHERE rn <= 3),
+      trace AS (
+        SELECT 0 AS hop, qid, vec_id, cos FROM b0
+        UNION ALL SELECT 1, qid, vec_id, cos FROM b1
+        UNION ALL SELECT 2, qid, vec_id, cos FROM b2
+        UNION ALL SELECT 3, qid, vec_id, cos FROM b3)
+      SELECT CAST(hop AS BIGINT) AS hop, qid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY hop, qid ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+             vec_id, cos
+      FROM trace
+      ORDER BY hop, qid, rank
+    """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
       knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain,
-      ivfAdcTopk, ivfAdcPrebuilt, ivfAdcBatch, knnGraphGreedy)
+      ivfAdcTopk, ivfAdcPrebuilt, ivfAdcBatch, knnGraphGreedy, knnGraphGreedyBatch)
 }

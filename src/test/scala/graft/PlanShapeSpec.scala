@@ -75,6 +75,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivfadc_prebuilt",            // same probe as ann_ivfadc_topk over the pinned index
     "ann_ivfadc_batch_topk",          // |cells|-row centroid frame × the 100-row query batch
     "ann_knn_graph_greedy_search",    // 1-row query-vector crossJoin per hop's point-fetch scoring
+    "ann_knn_graph_greedy_batch",     // two 1-row entry-node frames crossJoined into the 10-row query set
     "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
     "text_tokenizer_fertility",       // 1-row ranked-merge-table crossJoin into the dict apply
     "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
@@ -268,8 +269,8 @@ class PlanShapeSpec extends SparkSpec {
     // artifact is pinned, so ann_pq/rq probe checkpointed frames), fall
     // back to the embeddings pair — the artifact is embeddings-derived.
     val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain",
-      "ann_knn_graph_greedy_search", "ann_ivfadc_prebuilt",
-      "ann_ivfadc_batch_topk")
+      "ann_knn_graph_greedy_search", "ann_knn_graph_greedy_batch",
+      "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk")
     def dims(name: String): (String, String, Double) = {
       val p = plan(name).toLowerCase
       if (p.contains("embeddings.parquet") || embFallback(name))

@@ -85,4 +85,27 @@ class Round14Spec extends SparkSpec {
     assert(best.zip(best.tail).forall { case (a, c) => c >= a },
       s"greedy best-of-beam degraded across hops on capped edges: ${best.mkString(", ")}")
   }
+
+  test("batched greedy search: every query navigates independently and converges") {
+    // the batch arm must be Q independent NSW searches sharing one plan:
+    // full trace per query (1+3+3+3 rows), per-query beams exactly
+    // sorted, per-query best-of-beam monotone across hops, no query ever
+    // returning itself
+    val rows = SparkEntry.queries("ann_knn_graph_greedy_batch")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(1))
+    assert(byQ.size == 10 && rows.length == 100, s"${byQ.size} qids / ${rows.length} rows")
+    byQ.foreach { case (q, rs) =>
+      val byHop = rs.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(2))).toMap
+      assert(byHop(0L).length == 1 && (1L to 3L).forall(byHop(_).length == 3),
+        s"qid=$q trace shape wrong")
+      byHop.values.foreach { b =>
+        val cs = b.map(_.getDouble(4))
+        assert(cs.zip(cs.tail).forall { case (a, c) => a >= c }, s"qid=$q beam not sorted")
+      }
+      val best = (0L to 3L).map(h => byHop(h).head.getDouble(4))
+      assert(best.zip(best.tail).forall { case (a, c) => c >= a },
+        s"qid=$q best-of-beam degraded: ${best.mkString(", ")}")
+      assert(rs.forall(_.getLong(3) != q), s"qid=$q returned itself")
+    }
+  }
 }
