@@ -122,6 +122,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** (steal ticks, total ticks) from /proc/stat's aggregate cpu line —
+    * the hypervisor's own accounting of cycles this guest wanted but a
+    * co-tenant got. The r14 probe saga ended here: the in-JVM parallel
+    * probe oscillated 0.12-0.35 across runs while cgroup quotas read
+    * unlimited; a /proc/stat delta around a saturating load measured
+    * 12.5% steal (~19 of 32 effective cores) — host co-tenancy waves,
+    * not JVM aging, not code. Emitting the run-long steal fraction
+    * makes every future BENCH_DETAIL carry the ground truth the point
+    * probes can only sample.
+    */
+  private def cpuStat(): Option[(Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val p = src.getLines().next().trim.split("\\s+")
+      val vals = p.drop(1).take(8).map(_.toLong) // user..steal
+      Some((vals(7), vals.sum))
+    } finally src.close()
+  } catch { case _: Throwable => None }
+
   /** Minimal extractor for one flat `"key":{"name":num,...}` object out of
     * a prior BENCH_DETAIL.json — enough to load the previous round's
     * per-query mins and calibration without a JSON dependency (the file is
@@ -253,6 +272,7 @@ object Bench {
     // "host capacity dipped" from "the probe aged with the JVM".
     val calibPrewarm = calibrationProbe()
     val calibParPrewarm = calibrationProbeParallel()
+    val stat0 = cpuStat()
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
@@ -326,6 +346,11 @@ object Bench {
     val calibEnd = calibrationProbe()
     val calibParEnd = calibrationProbeParallel()
     val calibPar = math.min(calibParStart, calibParEnd)
+    // run-long host steal fraction (percent of total cpu ticks the
+    // hypervisor gave a co-tenant while this run wanted them)
+    val stealPct: Option[Double] = for {
+      (s0, t0) <- stat0; (s1, t1) <- cpuStat() if t1 > t0
+    } yield (s1 - s0) * 100.0 / (t1 - t0)
     val failed = names.filter(n => validMin(samples(n)).isEmpty)
     val results = names.flatMap(n => validMin(samples(n)).map(n -> _)).toMap
     // host-speed calibration: min over a start and an end probe (also
@@ -391,7 +416,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"jitter":{"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
