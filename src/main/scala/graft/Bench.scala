@@ -432,7 +432,7 @@ object Bench {
     val hlNames = (top5 ++ headline.filter(results.contains).filterNot(top5.contains))
     var hl = hlNames.map(n => n -> results(n))
     def mkLine(entries: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_parallel":${f(calibPar)},"regressions":${regressions.size},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_parallel":${f(calibPar)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"regressions":${regressions.size},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
     var line = mkLine(hl)
     while (line.length > 1600 && hl.nonEmpty) {
       hl = hl.dropRight(1)
