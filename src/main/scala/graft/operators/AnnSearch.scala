@@ -537,29 +537,101 @@ object AnnSearch {
     """.stripMargin.trim))
 
   /** Cell-capped k-NN graph: cells larger than Cap=16 are split into
-    * ceil(cellN/16) deterministic sub-cells (vec_id mod nsplits) and
-    * neighbors are ranked within the SUB-cell — the hot-cell defense
-    * the graph build needs at 100 TB, where one over-dense IVF cell
-    * would otherwise cost O(cell²) alone (the ANN twin of the dedup
-    * family's df cap). Approximate by construction; the recall gate
-    * below prices the approximation the way int8/multiprobe are priced.
+    * ceil(cellN/16) deterministic sub-cells and neighbors are ranked
+    * within the SUB-cell — the hot-cell defense the graph build needs at
+    * 100 TB, where one over-dense IVF cell would otherwise cost O(cell²)
+    * alone (the ANN twin of the dedup family's df cap). Approximate by
+    * construction; the recall gate below prices the approximation the
+    * way int8/multiprobe are priced.
+    *
+    * TWO independent sub-split rounds since r15 (r14 verdict item 2: one
+    * round left edge recall at a 0.273 floor — each true neighbor had
+    * only a ~1/nsplits chance of landing in the query's sub-cell). Round
+    * one groups by vec_id mod nsplits, round two by the NEXT base-nsplits
+    * digit (vec_id div nsplits, mod nsplits) — within a cell the two
+    * groupings are independent, so the candidate pool roughly doubles
+    * while every pair generator stays a capped keyed equi-join. The
+    * second round requires a round-one MISMATCH, making the two pair
+    * sets disjoint by construction: union needs no dedup shuffle.
     */
   private val CellCap = 16
+
+  /** Shared candidate generator of the capped build: (qid, cand_id, cos)
+    * pairs from both sub-split rounds, exactly as priced by
+    * ann_recall_knn_capped_vs_exact. Used verbatim by the
+    * ann_knn_graph_capped carrier and the pinned [[knnEdges]] artifact,
+    * so the graph the greedy arms navigate IS the graph the recall gate
+    * prices. */
+  private def cappedPairCandidates(e: DataFrame): DataFrame = {
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val sub = e.join(broadcast(sizes), "label")
+      .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
+      .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
+      // second and third independent groupings: the next two
+      // base-nsplits digits of vec_id
+      .withColumn("subb", pmod(expr("vec_id div nsplits"), col("nsplits")))
+      .withColumn("subc", pmod(expr("(vec_id div nsplits) div nsplits"), col("nsplits")))
+    def round(cond: org.apache.spark.sql.Column) =
+      sub.as("q").join(sub.as("c"), cond)
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+    val r1 = round(col("q.label") === col("c.label") &&
+      col("q.sub") === col("c.sub") && col("q.vec_id") =!= col("c.vec_id"))
+    val r2 = round(col("q.label") === col("c.label") &&
+      col("q.subb") === col("c.subb") && col("q.sub") =!= col("c.sub") &&
+      col("q.vec_id") =!= col("c.vec_id"))
+    val r3 = round(col("q.label") === col("c.label") &&
+      col("q.subc") === col("c.subc") && col("q.sub") =!= col("c.sub") &&
+      col("q.subb") =!= col("c.subb") && col("q.vec_id") =!= col("c.vec_id"))
+    r1.union(r2).union(r3)
+  }
+
+  /** DuckDB twin of [[cappedPairCandidates]]: sizes / two-round sub-split
+    * / candidate-pair CTEs (expects a prior `e` CTE exposing vec_id,
+    * label, embedding, nrm). `qidCol` names the pair's source column
+    * ("qid" for the graph carriers, "node" for the batch-search twin). */
+  private def cappedCandSqlCtes(qidCol: String): String = {
+    val cos = """list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm)"""
+    s"""sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
+      sub AS (
+        SELECT e.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
+        FROM e JOIN sizes USING (label)),
+      subx AS (
+        SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
+               (vec_id // ns // ns) % ns AS subc FROM sub),
+      cand AS (
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM subx q JOIN subx c ON q.label = c.label AND q.sub = c.sub
+                                AND q.vec_id != c.vec_id
+        UNION ALL
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM subx q JOIN subx c ON q.label = c.label AND q.subb = c.subb
+                                AND q.sub != c.sub AND q.vec_id != c.vec_id
+        UNION ALL
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM subx q JOIN subx c ON q.label = c.label AND q.subc = c.subc
+                                AND q.sub != c.sub AND q.subb != c.subb
+                                AND q.vec_id != c.vec_id)"""
+  }
+
+  /** [[cappedCandSqlCtes]] plus the top-3 edge ranking — the full edge
+    * set the greedy-search twins navigate. */
+  private def cappedEdgesSqlCtes(qidCol: String): String =
+    s"""${cappedCandSqlCtes(qidCol)},
+      edges AS (
+        SELECT $qidCol, cand_id FROM (
+          SELECT $qidCol, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY $qidCol ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM cand) t WHERE rank <= 3)"""
 
   val knnGraphCapped: QueryDef = QueryDef(
     "ann_knn_graph_capped",
     (s, dir) => {
       val e = index(s, dir)
-      val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
-      val sub = e.join(broadcast(sizes), "label")
-        .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
-        .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      sub.as("q").join(sub.as("c"),
-          col("q.label") === col("c.label") && col("q.sub") === col("c.sub") &&
-          col("q.vec_id") =!= col("c.vec_id"))
-        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
-          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+      cappedPairCandidates(e)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "cand_id", "cos")
@@ -570,20 +642,11 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
-      sub AS (
-        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
-        FROM e JOIN sizes USING (label)),
-      scored AS (
-        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
-               list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
-        FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub AND q.vec_id != c.vec_id),
+      ${cappedCandSqlCtes("qid")},
       ranked AS (
         SELECT qid, cand_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-        FROM scored)
+        FROM cand)
       SELECT qid, rank, cand_id, cos FROM ranked
       WHERE rank <= 3
       ORDER BY qid, rank
@@ -622,26 +685,12 @@ object AnnSearch {
           SELECT qid, cand_id,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
           FROM exact_scored) WHERE rank <= 3),
-      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
-      sub AS (
-        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
-        FROM e JOIN sizes USING (label)),
-      capped_scored AS (
-        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
-               list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
-        FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub AND q.vec_id != c.vec_id),
-      capped_edges AS (
-        SELECT qid, cand_id FROM (
-          SELECT qid, cand_id,
-                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rank
-          FROM capped_scored) WHERE rank <= 3)
+      ${cappedEdgesSqlCtes("qid")}
       SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_edges,
              CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
              CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
       FROM exact_edges x
-      LEFT JOIN capped_edges c ON x.qid = c.qid AND x.cand_id = c.cand_id
+      LEFT JOIN edges c ON x.qid = c.qid AND x.cand_id = c.cand_id
     """.stripMargin.trim))
 
   /** IVF coarse-quantizer TRAINING — the step every other IVF query
@@ -1150,7 +1199,14 @@ object AnnSearch {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), t -> t.cx)")
         .as("c"))
     val cents = if (pinned) cents0.localCheckpoint(true) else cents0
-    // residual subspace slices, keyed by (vec_id, s); label carried
+    // residual subspace slices, keyed by (vec_id, s); label carried.
+    // Track the checkpoint's storage ids: in the pinned path this frame
+    // (corpus × 8 residual-slice rows — another full copy of the
+    // embedding data) is a BUILD intermediate no probe ever reads after
+    // `codes` materializes, so it must be released before the caller's
+    // PinnedStorage.pin snapshots the session artifact — otherwise it
+    // sits pinned in old-gen for the remaining ~270 queries (r14 advice).
+    val rsubBefore = s.sparkContext.getPersistentRDDs.keySet
     val rsub = vecs.join(broadcast(cents), "label")
       .select(col("vec_id"), col("label"),
         expr("zip_with(v, c, (x, y) -> x - y)").as("r"))
@@ -1158,6 +1214,7 @@ object AnnSearch {
         struct(lit(m).as("s"), slice(col("r"), m * PqSD + 1, PqSD).as("rs"))): _*)).as("e"))
       .select(col("vec_id"), col("label"), col("e.s").as("s"), col("e.rs").as("rs"))
       .localCheckpoint(true) // cb0 seed join + assign ×2 + update
+    val rsubIds = s.sparkContext.getPersistentRDDs.keySet.diff(rsubBefore)
     val seeds = TwoStageOrder.kSmallestRows(
         vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
           col("vec_id")), "h", PqKC)
@@ -1171,6 +1228,11 @@ object AnnSearch {
     val codes0 = pqAssign(rsub, "rs", cb1)
       .join(vecs.select("vec_id", "label"), "vec_id")
     val codes = if (pinned) codes0.localCheckpoint(true) else codes0
+    // codes is eagerly materialized above, so rsub has no reader left in
+    // the pinned path — release it NOW, inside the pin block, so the
+    // pin's after-snapshot never sees it (vecs/cents/cb1/codes stay)
+    if (pinned) rsubIds.foreach(id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     IvfAdcIndex(vecs, cents, cb1, codes)
   }
 
@@ -1395,13 +1457,17 @@ object AnnSearch {
     * ann_ivfadc_topk. Per query: W=2 cells, R=50 shortlist, exact
     * top-5, every rank totally ordered with id tiebreaks.
     */
-  val ivfAdcBatch: QueryDef = QueryDef(
-    "ann_ivfadc_batch_topk",
-    (s, dir) => {
-      val NQ = 100L; val TOPK = 5; val R = 50; val W = 2
+  /** The batched probe at an arbitrary batch size — the declared query
+    * pins NQ=100; [[BatchScalingProbe]] sweeps NQ to measure how
+    * per-query cost falls with Q (r14 verdict item 5). */
+  private[operators] def ivfAdcBatchProbe(s: SparkSession, dir: String,
+      NQ: Long): DataFrame = {
+      val TOPK = 5; val R = 50; val W = 2
       val ix = ivfAdcIndex(s, dir)
       import ix.{vecs, cents, cb1, codes}
-      val qset = vecs.filter(col("vec_id") <= NQ)
+      // vec_ids are 0-based: strict < NQ is exactly Q=NQ queries (the
+      // r14 <= filter ran 101 and drifted from the documented batch math)
+      val qset = vecs.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("v").as("q"))
       // rank cells per query over the Q·|cells| crossed frame (both
       // sides bounded: |cells| fixed, Q=100)
@@ -1444,10 +1510,14 @@ object AnnSearch {
         .select(col("qid"), col("rank"), col("vec_id"),
           col("label").cast("long").as("cell"), col("adc_e6"), col("exact_e6"))
         .orderBy("qid", "rank")
-    },
+  }
+
+  val ivfAdcBatch: QueryDef = QueryDef(
+    "ann_ivfadc_batch_topk",
+    (s, dir) => ivfAdcBatchProbe(s, dir, NQ = 100L),
     Some(s"""
       WITH $ivfAdcBuildCtes,
-      qset AS (SELECT vec_id AS qid, v AS q FROM v WHERE vec_id <= 100),
+      qset AS (SELECT vec_id AS qid, v AS q FROM v WHERE vec_id < 100),
       qcells AS (
         SELECT qid, label, c, q FROM (
           SELECT qs.qid, c.label, c.c, qs.q,
@@ -1533,16 +1603,8 @@ object AnnSearch {
     knnEdgesCache.getOrElseUpdate(s, dir) {
       graft.PinnedStorage.pin(s) {
         val e = index(s, dir)
-        val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
-        val sub = e.join(broadcast(sizes), "label")
-          .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
-          .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-        sub.as("q").join(sub.as("c"),
-            col("q.label") === col("c.label") && col("q.sub") === col("c.sub") &&
-            col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
-            (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+        cappedPairCandidates(e)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("qid", "cand_id")
@@ -1595,20 +1657,7 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
-      sub AS (
-        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
-        FROM e JOIN sizes USING (label)),
-      edges AS (
-        SELECT qid, cand_id FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS cand_id,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                     i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                     (x, y) -> x + y) / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
-          FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub
-                                AND q.vec_id != c.vec_id) t
-        WHERE rank <= 3),
+      ${cappedEdgesSqlCtes("qid")},
       qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 1),
       entry AS (
         SELECT vec_id FROM e WHERE vec_id != 1
@@ -1681,10 +1730,12 @@ object AnnSearch {
     * ([[knnEdges]]) — the build whose growth measured flat where the
     * uncapped one read exponent 1.73.
     */
-  val knnGraphGreedyBatch: QueryDef = QueryDef(
-    "ann_knn_graph_greedy_batch",
-    (s, dir) => {
-      val NQ = 10L; val B = 3
+  /** The batched navigation at an arbitrary batch size — the declared
+    * query pins NQ=10; [[BatchScalingProbe]] sweeps NQ (r14 verdict
+    * item 5). */
+  private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
+      NQ: Long): DataFrame = {
+      val B = 3
       val e = index(s, dir)
       val edges = knnEdges(s, dir)
       val qset = e.filter(col("vec_id") < NQ)
@@ -1735,26 +1786,17 @@ object AnnSearch {
         .withColumn("rank", row_number().over(wr).cast("long"))
         .select("hop", "qid", "rank", "vec_id", "cos")
         .orderBy("hop", "qid", "rank")
-    },
+  }
+
+  val knnGraphGreedyBatch: QueryDef = QueryDef(
+    "ann_knn_graph_greedy_batch",
+    (s, dir) => greedyBatchProbe(s, dir, NQ = 10L),
     Some(s"""
       WITH e AS (
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
-      sub AS (
-        SELECT e.*, vec_id % CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS sub
-        FROM e JOIN sizes USING (label)),
-      edges AS (
-        SELECT node, cand_id FROM (
-          SELECT q.vec_id AS node, c.vec_id AS cand_id,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                     i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                     (x, y) -> x + y) / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
-          FROM sub q JOIN sub c ON q.label = c.label AND q.sub = c.sub
-                                AND q.vec_id != c.vec_id) t
-        WHERE rank <= 3),
+      ${cappedEdgesSqlCtes("node")},
       qset AS (
         SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
       ent AS (

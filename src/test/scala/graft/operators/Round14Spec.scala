@@ -28,7 +28,10 @@ class Round14Spec extends SparkSpec {
   test("ivfadc batch: every query gets a full exact-ordered top-5 from ≤W cells") {
     val rows = SparkEntry.queries("ann_ivfadc_batch_topk")(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
-    assert(byQ.size >= 100 && rows.length == byQ.size * 5,
+    // EXACT batch size: vec_ids are 0-based, the filter is vec_id < 100,
+    // so the batch is exactly Q=100 queries × top-5 (the r14 <= filter
+    // silently ran 101 and this gate's >= let it drift)
+    assert(byQ.size == 100 && rows.length == 500,
       s"batch shape wrong: ${byQ.size} qids / ${rows.length} rows")
     byQ.foreach { case (q, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
@@ -60,18 +63,19 @@ class Round14Spec extends SparkSpec {
   test("capped knn-graph edge recall holds the floor the greedy search was re-baselined on") {
     // r13 verdict item 5: the uncapped knnEdges build measured exponent
     // 1.73 at sf0.5 (cells grow with the corpus, pairs with cells²), so
-    // the greedy search now navigates the CAPPED edge set. The price of
-    // that switch is exactly this recall number (0.273 at sf0.01 on
-    // near-noise synthetic embeddings when it was pinned) — if a capped
-    // -build change ever drops it below the level the re-baselining
-    // accepted, the navigable graph is quietly degrading and this gate
-    // must say so.
+    // the greedy search navigates the CAPPED edge set, and this gate
+    // prices the approximation. One sub-split round floored at 0.273 at
+    // sf0.01; the r15 three-round build (r14 verdict item 2: three
+    // independent base-nsplits digit groupings, disjoint capped
+    // equi-joins) measured 0.625 — the floor is raised to 0.55 so a
+    // capped-build change that quietly degrades the navigable graph
+    // fails here.
     val r = SparkEntry.queries("ann_recall_knn_capped_vs_exact")(spark, dir)
       .collect().head
     assert(r.getLong(0) > 0, "exact edge set is empty — recall undefined")
-    assert(r.getDouble(2) >= 0.27,
-      f"capped edge recall ${r.getDouble(2)}%.3f fell below the 0.27 floor " +
-        "the greedy re-baselining priced in")
+    assert(r.getDouble(2) >= 0.55,
+      f"capped edge recall ${r.getDouble(2)}%.3f fell below the 0.55 floor " +
+        "the r15 three-round re-baselining priced in")
   }
 
   test("greedy search navigates the capped edges without losing its convergence shape") {
