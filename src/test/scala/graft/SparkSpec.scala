@@ -13,6 +13,11 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same local-mode checkpoint manager as Bench/Verify (see
+    // LocalNioCheckpointFileManager): tests exercise the exact manager
+    // the measured entry points run
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "graft.streaming.LocalNioCheckpointFileManager")
     // RawLocalFileSystem: no .crc sibling files — Hadoop's checksum FS
     // builds them as relative paths, which explodes on the reference's
     // ISO-8601 (colon-bearing) payload filenames (see npm.Backfill)
