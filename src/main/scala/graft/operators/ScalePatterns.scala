@@ -223,9 +223,14 @@ object ScalePatterns {
   val incrementalAggMerge: QueryDef = QueryDef(
     "agg_incremental_merge",
     (s, dir) => {
+      // one materialized scan feeds BOTH state builds (r14 verdict item
+      // 1: base and delta each re-scanned the parquet projection; the
+      // monoid-merge demo should pay one scan — semantics unchanged, the
+      // two states stay disjoint)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
           col("value").cast(D).as("v"), col("ts"))
+        .localCheckpoint(true)
       def state(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("event_type").agg(
           count(lit(1)).as("n"), sum(col("v")).as("sv"),
