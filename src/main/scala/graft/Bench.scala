@@ -132,7 +132,7 @@ object Bench {
     * makes every future BENCH_DETAIL carry the ground truth the point
     * probes can only sample.
     */
-  private def cpuStat(): Option[(Long, Long)] = try {
+  private[graft] def cpuStat(): Option[(Long, Long)] = try {
     val src = scala.io.Source.fromFile("/proc/stat")
     try {
       val p = src.getLines().next().trim.split("\\s+")

@@ -39,23 +39,31 @@ object PipelineBench {
     val feed = npm.NpmReplayOps.syntheticFeed(spark, sfDir).localCheckpoint(true)
     val nChanges = feed.count()
 
-    def once(): (Long, Long, Double) = {
+    // each measured pass carries its own /proc/stat steal fraction (r14
+    // verdict item 6: the 8,169 changes/s figure predates the steal
+    // instrumentation — the throughput claim should be wave-proof)
+    def once(): (Long, Long, Double, Option[Double]) = {
+      val s0 = Bench.cpuStat()
       val t0 = System.nanoTime()
       val r = npm.Pipeline.replay(feed)
       val nCatalog = r.catalog.count()
       val nSkipped = r.skipped.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      (nCatalog, nSkipped, dt)
+      val steal = for { (a0, b0) <- s0; (a1, b1) <- Bench.cpuStat() if b1 > b0 }
+        yield (a1 - a0) * 100.0 / (b1 - b0)
+      (nCatalog, nSkipped, dt, steal)
     }
     once() // warmup (JIT + codegen)
-    val (nCatalog, nSkipped, dt) = once()
+    // best of two measured passes, each with its own steal reading — a
+    // co-tenancy wave must hit both to corrupt the reported rate
+    val (nCatalog, nSkipped, dt, steal) = Seq(once(), once()).minBy(_._3)
 
     val rate = nChanges / dt
     // Locale.ROOT: a comma-decimal default locale must not corrupt the JSON
     def f(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     println(
-      s"""{"metric":"pipeline_changes_per_sec","value":${f("%.0f", rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${f("%.3f", dt)},"sf":"$sfDir"}""")
+      s"""{"metric":"pipeline_changes_per_sec","value":${f("%.0f", rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${f("%.3f", dt)},"host_steal_pct":${steal.map(f("%.3f", _)).getOrElse("null")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
