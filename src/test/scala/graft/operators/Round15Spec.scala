@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Substance gates for the round-15 wave beyond the re-pinned recall
+  * floor (Round14Spec) and the checkpoint-manager protocol pins
+  * (CheckpointManagerSpec).
+  */
+class Round15Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("pinned IVFADC build pins exactly its probe-read frames, not the rsub intermediate") {
+    // r14 advice item 1: the pinned build used to leave the rsub
+    // residual-slice checkpoint (corpus × 8 rows — a full extra copy of
+    // the embedding data) pinned for the whole session though no probe
+    // reads it once `codes` materializes. The build must pin exactly
+    // vecs + cents + cb1 + codes = 4 storage entries.
+    val s = spark.newSession() // fresh session ⇒ fresh SessionCache entry
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    graft.SparkEntry.queries("ann_ivfadc_prebuilt")(s, dir).count(): Unit
+    val pinnedByBuild = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(pinnedByBuild.size == 4,
+      s"pinned IVFADC build left ${pinnedByBuild.size} storage entries " +
+        "(expected exactly vecs/cents/cb1/codes = 4 — a 5th means a dead " +
+        "build intermediate is riding the session again)")
+  }
+
+  test("batched probes at swept batch sizes stay consistent with the declared arms") {
+    // BatchScalingProbe's sweep is only meaningful if a bigger batch is
+    // a SUPERSET run of the smaller one: every query present in both
+    // must get identical neighbors (the shared ADC scan/hop joins serve
+    // each query independently)
+    val q100 = AnnSearch.ivfAdcBatchProbe(spark, dir, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val q250 = AnnSearch.ivfAdcBatchProbe(spark, dir, 250L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .filter(_._1 < 100L)
+    assert(q100.length == 500 && q250.length == 500,
+      s"batch shapes: ${q100.length} vs ${q250.length}")
+    assert(q100.sorted.sameElements(q250.sorted),
+      "growing the batch changed a smaller batch's results — the probe " +
+        "is not per-query independent")
+  }
+}
