@@ -76,6 +76,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivfadc_batch_topk",          // |cells|-row centroid frame × the 100-row query batch
     "ann_knn_graph_greedy_search",    // 1-row query-vector crossJoin per hop's point-fetch scoring
     "ann_knn_graph_greedy_batch",     // two 1-row entry-node frames crossJoined into the 10-row query set
+    "ann_recall_greedy_vs_exact",     // 10-row query set × corpus exact audit arm + the batch probe's entry frames
     "sample_stratified_neyman",       // 1-row Σweight crossJoin feeding the allocation
     "text_tokenizer_fertility",       // 1-row ranked-merge-table crossJoin into the dict apply
     "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
@@ -270,7 +271,8 @@ class PlanShapeSpec extends SparkSpec {
     // back to the embeddings pair — the artifact is embeddings-derived.
     val embFallback = Set("ann_pq_adc_topk", "ann_rq_reconstruction_gain",
       "ann_knn_graph_greedy_search", "ann_knn_graph_greedy_batch",
-      "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk")
+      "ann_ivfadc_prebuilt", "ann_ivfadc_batch_topk",
+      "ann_recall_greedy_vs_exact")
     def dims(name: String): (String, String, Double) = {
       val p = plan(name).toLowerCase
       if (p.contains("embeddings.parquet") || embFallback(name))
