@@ -30,6 +30,10 @@ object AnnSearch {
 
   private val dotExpr = "float_dot(q.embedding, c.embedding)"
 
+  /** Sub-cell cap for every capped graph derivation (declared ahead of
+    * all its use sites — SQL twins interpolate it at object init). */
+  private val CellCap = 16
+
   /** Prebuilt IVF index: (vec_id, label, embedding, nrm), computed ONCE
     * per (session, corpus) and pinned in storage — the amortization a
     * 100 TB deployment does by persisting the signature table bucketed by
@@ -489,27 +493,35 @@ object AnnSearch {
 
   /** INCREMENTAL k-NN graph growth: newly arrived vectors (vec_id % 7
     * == 3, the same arrival convention as [[ivfAssignDelta]]) get their
-    * top-3 neighbors by probing the EXISTING corpus members of their
-    * cell only — O(|delta| × cell) per batch, the graph grows by
-    * append, and corpus rows are never re-scored against each other.
-    * Completes the incremental triple (minhash delta dedup, IVF delta
-    * assignment, k-NN delta edges): every index this engine builds has
-    * a full-build gate AND an arrival path. The symmetric maintenance a
-    * production graph also wants — corpus vectors whose own top-3 now
-    * includes an arrival — reads the SAME delta⋈corpus join output
-    * partitioned by cand_id instead of qid; it is the identical plan
-    * shape, so only the forward direction is declared as a query.
+    * top-3 neighbors by probing the EXISTING corpus through the SAME
+    * capped three-round sub-split the canonical artifact is built with
+    * ([[cappedRounds]]; arrivals are placed into the existing census's
+    * sub-cells). Maintaining the CAPPED graph, not the uncapped one, is
+    * what keeps the arrival path linear: the r15 ×10 decade measurement
+    * read exponent 1.49 for the old label-scoped probe (|delta| grows
+    * with the corpus AND each cell grows with the corpus — a quadratic
+    * split across the two factors), while capped sub-cells bound the
+    * per-arrival candidate count at ~3·CellCap, so the batch cost is
+    * O(|delta|) at any corpus size. Completes the incremental triple
+    * (minhash delta dedup, IVF delta assignment, k-NN delta edges):
+    * every index this engine builds has a full-build gate AND an
+    * arrival path — and the graph the arrivals extend IS the graph the
+    * recall gate prices. The symmetric maintenance a production graph
+    * also wants — corpus vectors whose own top-3 now includes an
+    * arrival — reads the SAME delta⋈corpus join output partitioned by
+    * cand_id instead of qid; it is the identical plan shape, so only
+    * the forward direction is declared as a query.
     */
   val knnGraphDelta: QueryDef = QueryDef(
     "ann_knn_graph_delta",
     (s, dir) => {
       val e = index(s, dir)
       val isNew = col("vec_id") % 7 === 3
+      val old = e.filter(!isNew)
+      // census of the EXISTING corpus: arrivals adopt its sub-cell grid
+      val sizes = old.groupBy("label").agg(count(lit(1)).as("cellN"))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      broadcast(e.filter(isNew)).as("q")
-        .join(e.filter(!isNew).as("c"), col("q.label") === col("c.label"))
-        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
-          (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+      cappedRounds(subSplit(e.filter(isNew), sizes), subSplit(old, sizes))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "cand_id", "cos")
@@ -520,17 +532,26 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      scored AS (
-        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
-               list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
-        FROM e q JOIN e c ON q.label = c.label
-        WHERE q.vec_id % 7 = 3 AND c.vec_id % 7 <> 3),
+      old AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM old GROUP BY 1),
+      osub AS (
+        SELECT old.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
+        FROM old JOIN sizes USING (label)),
+      osubx AS (
+        SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
+               (vec_id // ns // ns) % ns AS subc FROM osub),
+      nsub AS (
+        SELECT e.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
+        FROM e JOIN sizes USING (label) WHERE e.vec_id % 7 = 3),
+      nsubx AS (
+        SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
+               (vec_id // ns // ns) % ns AS subc FROM nsub),
+      cand AS (
+        ${cappedCandBranchesSql("qid", "nsubx", "osubx")}),
       ranked AS (
         SELECT qid, cand_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-        FROM scored)
+        FROM cand)
       SELECT qid, rank, cand_id, cos FROM ranked
       WHERE rank <= 3
       ORDER BY qid, rank
@@ -555,25 +576,26 @@ object AnnSearch {
     * sets disjoint by construction: the union needs no dedup shuffle.
     * Measured at sf0.01: 0.273 → 0.472 (two rounds) → 0.625 (three).
     */
-  private val CellCap = 16
 
-  /** Shared candidate generator of the capped build: (qid, cand_id, cos)
-    * pairs from all three sub-split rounds, exactly as priced by
-    * ann_recall_knn_capped_vs_exact. Used verbatim by the
-    * ann_knn_graph_capped carrier and the pinned [[knnEdges]] artifact,
-    * so the graph the greedy arms navigate IS the graph the recall gate
-    * prices. */
-  private def cappedPairCandidates(e: DataFrame): DataFrame = {
-    val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
-    val sub = e.join(broadcast(sizes), "label")
+  /** The three-digit sub-split of a frame against a (label → cellN)
+    * census — the capped universe's coordinates. The census is passed
+    * in (not derived from `df`) so DELTA maintenance can place arrivals
+    * into the EXISTING corpus's sub-cells. */
+  private def subSplit(df: DataFrame, sizes: DataFrame): DataFrame =
+    df.join(broadcast(sizes), "label")
       .withColumn("nsplits", ceil(col("cellN") / lit(CellCap.toDouble)).cast("long"))
       .withColumn("sub", pmod(col("vec_id"), col("nsplits")))
       // second and third independent groupings: the next two
       // base-nsplits digits of vec_id
       .withColumn("subb", pmod(expr("vec_id div nsplits"), col("nsplits")))
       .withColumn("subc", pmod(expr("(vec_id div nsplits) div nsplits"), col("nsplits")))
+
+  /** The three capped rounds between a query-side and a candidate-side
+    * sub-split frame: each an equi-join on (label, digit), later rounds
+    * mismatch-gated so the union is disjoint. */
+  private def cappedRounds(qs: DataFrame, cs: DataFrame): DataFrame = {
     def round(cond: org.apache.spark.sql.Column) =
-      sub.as("q").join(sub.as("c"), cond)
+      qs.as("q").join(cs.as("c"), cond)
         .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
           (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
     val r1 = round(col("q.label") === col("c.label") &&
@@ -587,14 +609,43 @@ object AnnSearch {
     r1.union(r2).union(r3)
   }
 
+  /** Shared candidate generator of the capped build: (qid, cand_id, cos)
+    * pairs from all three sub-split rounds, exactly as priced by
+    * ann_recall_knn_capped_vs_exact. Used verbatim by the
+    * ann_knn_graph_capped carrier and the pinned [[knnEdges]] artifact,
+    * so the graph the greedy arms navigate IS the graph the recall gate
+    * prices. */
+  private def cappedPairCandidates(e: DataFrame): DataFrame = {
+    val s = subSplit(e, e.groupBy("label").agg(count(lit(1)).as("cellN")))
+    cappedRounds(s, s)
+  }
+
+  /** The three capped-round branches between SQL tables `qt` (query
+    * side) and `ct` (candidate side), both pre-annotated with
+    * sub/subb/subc — the [[cappedRounds]] twin. */
+  private def cappedCandBranchesSql(qidCol: String, qt: String, ct: String): String = {
+    val cos = """list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm)"""
+    s"""SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM $qt q JOIN $ct c ON q.label = c.label AND q.sub = c.sub
+                                AND q.vec_id != c.vec_id
+        UNION ALL
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM $qt q JOIN $ct c ON q.label = c.label AND q.subb = c.subb
+                                AND q.sub != c.sub AND q.vec_id != c.vec_id
+        UNION ALL
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM $qt q JOIN $ct c ON q.label = c.label AND q.subc = c.subc
+                                AND q.sub != c.sub AND q.subb != c.subb
+                                AND q.vec_id != c.vec_id"""
+  }
+
   /** DuckDB twin of [[cappedPairCandidates]]: sizes / three-round
     * sub-split / candidate-pair CTEs (expects a prior `e` CTE exposing vec_id,
     * label, embedding, nrm). `qidCol` names the pair's source column
     * ("qid" for the graph carriers, "node" for the batch-search twin). */
-  private def cappedCandSqlCtes(qidCol: String): String = {
-    val cos = """list_reduce(list_transform(generate_series(1, len(q.embedding)),
-                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (q.nrm * c.nrm)"""
+  private def cappedCandSqlCtes(qidCol: String): String =
     s"""sizes AS (SELECT label, COUNT(*) AS cellN FROM e GROUP BY 1),
       sub AS (
         SELECT e.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
@@ -603,19 +654,7 @@ object AnnSearch {
         SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
                (vec_id // ns // ns) % ns AS subc FROM sub),
       cand AS (
-        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
-        FROM subx q JOIN subx c ON q.label = c.label AND q.sub = c.sub
-                                AND q.vec_id != c.vec_id
-        UNION ALL
-        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
-        FROM subx q JOIN subx c ON q.label = c.label AND q.subb = c.subb
-                                AND q.sub != c.sub AND q.vec_id != c.vec_id
-        UNION ALL
-        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
-        FROM subx q JOIN subx c ON q.label = c.label AND q.subc = c.subc
-                                AND q.sub != c.sub AND q.subb != c.subb
-                                AND q.vec_id != c.vec_id)"""
-  }
+        ${cappedCandBranchesSql(qidCol, "subx", "subx")})"""
 
   /** [[cappedCandSqlCtes]] plus the top-3 edge ranking — the full edge
     * set the greedy-search twins navigate. */
