@@ -456,13 +456,21 @@ object AnnSearch {
     * broken by cand_id in both engines, so the graph is deterministic
     * even under equal cosines; vectors alone in their cell simply have
     * no edges (inner join, consistent in both engines).
+    *
+    * This is the family's UNCAPPED exactness baseline — O(Σ cell²) by
+    * design (r15 decade exponent 1.88), so the query side carries the
+    * [[AuditGuard]]: above 4k corpus rows only a deterministic ~2k-row
+    * systematic sample of qids is audited (candidates stay complete, so
+    * each audited row's edges are exact), bounding the whole query at
+    * O(keep · cell) at any corpus size. Every verification SF is below
+    * the threshold and unchanged.
     */
   val knnGraph: QueryDef = QueryDef(
     "ann_knn_graph_ivf",
     (s, dir) => {
       val e = index(s, dir)
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      e.as("q").join(e.as("c"),
+      AuditGuard.sample(e, "vec_id").as("q").join(e.as("c"),
           col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
         .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
           (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
@@ -481,7 +489,8 @@ object AnnSearch {
                list_reduce(list_transform(generate_series(1, len(q.embedding)),
                  i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
                  (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
-        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id),
+        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id
+        WHERE ${AuditGuard.sqlPred("q.vec_id", "embeddings")}),
       ranked AS (
         SELECT qid, cand_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
@@ -506,11 +515,19 @@ object AnnSearch {
     * (minhash delta dedup, IVF delta assignment, k-NN delta edges):
     * every index this engine builds has a full-build gate AND an
     * arrival path — and the graph the arrivals extend IS the graph the
-    * recall gate prices. The symmetric maintenance a production graph
-    * also wants — corpus vectors whose own top-3 now includes an
-    * arrival — reads the SAME delta⋈corpus join output partitioned by
-    * cand_id instead of qid; it is the identical plan shape, so only
-    * the forward direction is declared as a query.
+    * recall gate prices. The symmetric maintenance direction — corpus
+    * nodes whose own neighbor lists the arrivals should enter — is
+    * declared and oracle-checked as [[knnGraphDeltaReverse]] (r15
+    * verdict item 3: "same plan shape" deserves a green row, not a
+    * comment).
+    *
+    * New-cell behavior (r15 advice): an arrival whose label has no
+    * existing corpus member drops out of BOTH engines' inner join to
+    * the old-census `sizes` — a first-arrival-in-cell vector produces
+    * no edges (and no row) until the next full rebuild, because there
+    * is nothing in its cell to link it to and the capped rounds are
+    * cell-local by construction. The batch build ([[knnGraphCapped]])
+    * picks such vectors up on its next run.
     */
   val knnGraphDelta: QueryDef = QueryDef(
     "ann_knn_graph_delta",
@@ -555,6 +572,70 @@ object AnnSearch {
       SELECT qid, rank, cand_id, cos FROM ranked
       WHERE rank <= 3
       ORDER BY qid, rank
+    """.stripMargin.trim))
+
+  /** SYMMETRIC incremental maintenance — the reverse direction of
+    * [[knnGraphDelta]] (r15 verdict item 3): for every EXISTING corpus
+    * node the arrivals can reach through the capped sub-cell rounds,
+    * its top-3 candidate arrivals — the rows a merge step compares
+    * against the node's stored 3rd-best cosine to decide which stored
+    * adjacency lists change. Reads the SAME delta⋈corpus capped join as
+    * the forward direction with the pair frame re-keyed by the CORPUS
+    * side (partitioned by `node` = the old vector, ranked over the
+    * arrivals that probed it) — now declared, oracle-checked, and
+    * priced rather than argued identical-plan-shape in a comment.
+    *
+    * Scale shape: identical to the forward arm — the candidate frame is
+    * O(|delta| · CellCap) (each arrival generates ≤ ~3·CellCap pairs
+    * through the three mismatch-gated rounds), and re-keying is one
+    * shuffle of that bounded frame, so the batch cost stays O(|delta|)
+    * at any corpus size. Same new-cell behavior as the forward arm:
+    * first-arrival-in-cell vectors reach no corpus node until the next
+    * full rebuild.
+    */
+  val knnGraphDeltaReverse: QueryDef = QueryDef(
+    "ann_knn_graph_delta_reverse",
+    (s, dir) => {
+      val e = index(s, dir)
+      val isNew = col("vec_id") % 7 === 3
+      val old = e.filter(!isNew)
+      val sizes = old.groupBy("label").agg(count(lit(1)).as("cellN"))
+      val w = Window.partitionBy("cand_id").orderBy(desc("cos"), asc("qid"))
+      cappedRounds(subSplit(e.filter(isNew), sizes), subSplit(old, sizes))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cand_id").as("node"), col("rank"),
+          col("qid").as("arrival_id"), col("cos"))
+        .orderBy("node", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      old AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+      sizes AS (SELECT label, COUNT(*) AS cellN FROM old GROUP BY 1),
+      osub AS (
+        SELECT old.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
+        FROM old JOIN sizes USING (label)),
+      osubx AS (
+        SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
+               (vec_id // ns // ns) % ns AS subc FROM osub),
+      nsub AS (
+        SELECT e.*, CAST(ceil(cellN / $CellCap.0) AS BIGINT) AS ns
+        FROM e JOIN sizes USING (label) WHERE e.vec_id % 7 = 3),
+      nsubx AS (
+        SELECT *, vec_id % ns AS sub, (vec_id // ns) % ns AS subb,
+               (vec_id // ns // ns) % ns AS subc FROM nsub),
+      cand AS (
+        ${cappedCandBranchesSql("qid", "nsubx", "osubx")}),
+      ranked AS (
+        SELECT cand_id AS node, qid AS arrival_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY cos DESC, qid ASC) AS BIGINT) AS rank
+        FROM cand)
+      SELECT node, rank, arrival_id, cos FROM ranked
+      WHERE rank <= 3
+      ORDER BY node, rank
     """.stripMargin.trim))
 
   /** Cell-capped k-NN graph: cells larger than Cap=16 are split into
@@ -692,9 +773,163 @@ object AnnSearch {
       ORDER BY qid, rank
     """.stripMargin.trim))
 
+  /** Per-label centroid frame (label, pos, cx). Means use the decimal-
+    * sum discipline ([[kmeansTrain]]'s `update`): DECIMAL(20,10) sums,
+    * one final IEEE division — any residual engine tie in the 12th
+    * digit is absorbed because centroids only feed the adjacency ARGMAX
+    * below, whose margins are orders of magnitude wider. */
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("double").cast("decimal(20,10)")).cast("double")
+        / count(lit(1))).as("cx"))
+
+  /** Nearest-other-cell adjacency (label → blabel) by centroid cosine,
+    * blabel ASC tiebreak — the |cells|²-pair frame every IVF deployment
+    * already owns (its multiprobe neighbor ranking); bounded by the
+    * centroid count, never the corpus. Ranking by dot/|b| is ranking by
+    * cosine: |a| is constant within each label's partition. */
+  private def cellAdjacency(e: DataFrame): DataFrame = {
+    val cent = labelCentroids(e)
+    val cnorm = cent.groupBy("label")
+      .agg(sqrt(sum(col("cx") * col("cx"))).as("cn"))
+    val wl = Window.partitionBy("label").orderBy(desc("sim"), asc("blabel"))
+    cent.as("a").join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("blabel"))
+      .agg(sum(col("a.cx") * col("b.cx")).as("dot"))
+      .join(cnorm.select(col("label").as("blabel"), col("cn").as("bn")), "blabel")
+      .withColumn("sim", col("dot") / col("bn"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select("label", "blabel")
+  }
+
+  /** Cross-cell edges per node for the navigable graph. */
+  private val CrossK = 2
+
+  /** Cross-cell candidate pairs: each node against the members of its
+    * ADJACENT cell (nearest-centroid other cell) that share the node's
+    * sub-cell digit under the ADJACENT cell's own split grid — the same
+    * CellCap bound as the intra-cell rounds, so per-node candidates
+    * stay ~CellCap at any corpus size and the generator remains a keyed
+    * equi-join on (blabel, digit). */
+  private def crossCellCandidates(e: DataFrame): DataFrame = {
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val adj = cellAdjacency(e)
+    val bmeta = sizes.select(col("label").as("blabel"),
+      ceil(col("cellN") / lit(CellCap.toDouble)).cast("long").as("bns"))
+    val qside = e.join(broadcast(adj), "label")
+      .join(broadcast(bmeta), "blabel")
+      .withColumn("qsub", pmod(col("vec_id"), col("bns")))
+    val cside = subSplit(e, sizes)
+    qside.as("q").join(cside.as("c"),
+        col("q.blabel") === col("c.label") && col("q.qsub") === col("c.sub"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+        (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+  }
+
+  /** DuckDB twin of [[crossCellCandidates]] + the top-[[CrossK]] edge
+    * ranking. Expects the `e` CTE plus [[cappedCandSqlCtes]]'s `sizes`
+    * and `subx` (the candidate-side sub-split); unreferenced CTEs of
+    * that block (e.g. `cand`) are never evaluated by DuckDB. */
+  private def crossCellSqlCtes(qidCol: String): String = {
+    val cos = """list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                 i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
+                 (x, y) -> x + y) / (q.nrm * c.nrm)"""
+    s"""cent AS (
+        SELECT label, CAST(t.i AS INT) AS pos,
+               CAST(SUM(CAST(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cx
+        FROM e CROSS JOIN generate_series(1, $Dim) t(i)
+        GROUP BY 1, 2),
+      cnorm AS (SELECT label, sqrt(SUM(cx * cx)) AS cn FROM cent GROUP BY 1),
+      adj AS (
+        SELECT label, blabel FROM (
+          SELECT p.label, p.blabel,
+                 ROW_NUMBER() OVER (PARTITION BY p.label
+                   ORDER BY p.dot / n.cn DESC, p.blabel ASC) AS rn
+          FROM (
+            SELECT a.label AS label, b.label AS blabel, SUM(a.cx * b.cx) AS dot
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label != b.label
+            GROUP BY 1, 2) p
+          JOIN cnorm n ON p.blabel = n.label) t
+        WHERE rn = 1),
+      xq AS (
+        SELECT e.*, adj.blabel,
+               CAST(ceil(bs.cellN / $CellCap.0) AS BIGINT) AS bns
+        FROM e JOIN adj USING (label) JOIN sizes bs ON bs.label = adj.blabel),
+      xqs AS (SELECT *, vec_id % bns AS qsub FROM xq),
+      xcand AS (
+        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        FROM xqs q JOIN subx c ON q.blabel = c.label AND q.qsub = c.sub),
+      xedges AS (
+        SELECT $qidCol, cand_id FROM (
+          SELECT $qidCol, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY $qidCol ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM xcand) t WHERE rank <= $CrossK)"""
+  }
+
+  /** The NAVIGABLE edge set's SQL twin: capped intra-cell top-3 UNION
+    * cross-cell top-[[CrossK]] (disjoint by construction — cross edges
+    * land in a different label). This is what the greedy-search twins
+    * walk; [[cappedEdgesSqlCtes]] stays the intra-cell-only set the
+    * build recall gate prices. */
+  private def navEdgesSqlCtes(qidCol: String): String =
+    s"""${cappedEdgesSqlCtes(qidCol)},
+      ${crossCellSqlCtes(qidCol)},
+      nav_edges AS (
+        SELECT $qidCol, cand_id FROM edges
+        UNION ALL
+        SELECT $qidCol, cand_id FROM xedges)"""
+
+  /** Cross-cell edge layer AS A QUERY — the navigable graph's
+    * long-range links (r15 verdict item 2: a greedy walk over the
+    * intra-cell capped graph could never leave its entry cell — unlike
+    * NSW/HNSW, whose long-range links are the point of a navigable
+    * graph). Each node gets its top-[[CrossK]] cosine neighbors among
+    * the digit-matched members of its nearest-centroid ADJACENT cell,
+    * so the walk can escape the coarse quantizer's pruning; the recall
+    * gate's global column moves off zero. Scale shape: one |cells|²
+    * centroid-adjacency frame (bounded by the quantizer, not the
+    * corpus) + one keyed equi-join on (adjacent label, sub-digit) with
+    * per-node candidates ≤ ~CellCap — the same O(corpus · CellCap)
+    * pair volume as one capped build round.
+    */
+  val knnGraphCrossCell: QueryDef = QueryDef(
+    "ann_knn_graph_crosscell",
+    (s, dir) => {
+      val e = index(s, dir)
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+      crossCellCandidates(e)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= CrossK)
+        .select("qid", "rank", "cand_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        FROM embeddings),
+      ${cappedCandSqlCtes("qid")},
+      ${crossCellSqlCtes("qid")},
+      xranked AS (
+        SELECT qid, cand_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM xcand)
+      SELECT qid, rank, cand_id, cos FROM xranked
+      WHERE rank <= $CrossK
+      ORDER BY qid, rank
+    """.stripMargin.trim))
+
   /** Edge recall of the cell-capped graph vs the exact cell-scoped
     * graph — the dial that says what the hot-cell defense costs, next
     * to the ones already priced (int8 recall, multiprobe recall).
+    * The exact reference arm is [[knnGraph]], whose query side carries
+    * the [[AuditGuard]]: above 4k corpus rows the gate prices a
+    * deterministic ~2k-qid systematic sample (each sampled qid's edges
+    * still exact), so the PRICER itself stays O(keep · cell) instead of
+    * the unguarded O(Σ cell²) the r15 decade sweep measured at 1.84.
     */
   val recallKnnCapped: QueryDef = QueryDef(
     "ann_recall_knn_capped_vs_exact",
@@ -719,7 +954,8 @@ object AnnSearch {
                list_reduce(list_transform(generate_series(1, len(q.embedding)),
                  i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
                  (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
-        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id),
+        FROM e q JOIN e c ON q.label = c.label AND q.vec_id != c.vec_id
+        WHERE ${AuditGuard.sqlPred("q.vec_id", "embeddings")}),
       exact_edges AS (
         SELECT qid, cand_id FROM (
           SELECT qid, cand_id,
@@ -1497,11 +1733,30 @@ object AnnSearch {
     * ann_ivfadc_topk. Per query: W=2 cells, R=50 shortlist, exact
     * top-5, every rank totally ordered with id tiebreaks.
     */
+  /** Hard ceiling on the batched serving arms' batch size (r15 verdict
+    * item 6: the Q≈10⁵ broadcast ceiling was a DESIGN extrapolation —
+    * nothing stopped a caller from sailing past it). Everything
+    * query-sided in the batched probes is broadcast; the largest such
+    * frame is the IVFADC per-(query, cell) distance table at
+    * Q · [[AdcBroadcastRowsPerQuery]] rows (= Q·W·M·K = 256·Q). At
+    * [[MaxBatchQ]] that is 25.6M rows ≈ 1.6 GiB at a conservative 64 B
+    * per unsafe row — under Spark's 8 GiB broadcast-table hard limit
+    * with 5× headroom (Round16Spec pins the arithmetic). The greedy
+    * batch's largest broadcast (the expanded beam, ≤ Q·B·(k+1) ≈ 18·Q
+    * rows) is an order of magnitude smaller and shares the same cap.
+    * Batches beyond the cap must shuffle the query side instead of
+    * broadcasting it (a different, not-yet-needed arm); the probes fail
+    * fast rather than hand Spark an over-limit broadcast. */
+  val MaxBatchQ = 100000L
+  private[graft] val AdcBroadcastRowsPerQuery: Long = 2L * PqM * PqKC
+
   /** The batched probe at an arbitrary batch size — the declared query
     * pins NQ=100; [[BatchScalingProbe]] sweeps NQ to measure how
     * per-query cost falls with Q (r14 verdict item 5). */
   private[operators] def ivfAdcBatchProbe(s: SparkSession, dir: String,
       NQ: Long): DataFrame = {
+      require(NQ <= MaxBatchQ,
+        s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
       val TOPK = 5; val R = 50; val W = 2
       val ix = ivfAdcIndex(s, dir)
       import ix.{vecs, cents, cb1, codes}
@@ -1644,11 +1899,20 @@ object AnnSearch {
       graft.PinnedStorage.pin(s) {
         val e = index(s, dir)
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-        cappedPairCandidates(e)
+        val intra = cappedPairCandidates(e)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("qid", "cand_id")
-          .localCheckpoint(true)
+        // r15 verdict item 2: without long-range links the walk can
+        // never leave its entry cell (the capped rounds are all
+        // label-equal), so the navigable artifact adds each node's
+        // top-CrossK adjacent-cell edges — disjoint from the intra set
+        // by construction (different label), so the union needs no dedup
+        val cross = crossCellCandidates(e)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= CrossK)
+          .select("qid", "cand_id")
+        intra.union(cross).localCheckpoint(true)
       }
     }
 
@@ -1681,6 +1945,11 @@ object AnnSearch {
         .join(broadcast(qlab), col("label") === col("qlabel"))
         .agg(min_by(col("vec_id"),
           md5(col("vec_id").cast("string").cast("binary"))).as("vec_id"))
+        // singleton-cell guard (r15 advice): an ungrouped min_by over
+        // zero rows yields one NULL-keyed row, which would silently walk
+        // a NULL hop chain — drop it so an empty cell produces an
+        // explicitly empty trace instead (twin filters identically)
+        .filter(col("vec_id").isNotNull)
       def hop(beam: DataFrame): DataFrame = {
         val expanded = edges.join(broadcast(beam.select(col("vec_id").as("qid"))), "qid")
           .select(col("cand_id").as("vec_id"))
@@ -1707,18 +1976,20 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      ${cappedEdgesSqlCtes("qid")},
+      ${navEdgesSqlCtes("qid")},
       qv AS (SELECT embedding AS qe, nrm AS qn, label AS qlabel FROM e WHERE vec_id = 1),
       entry AS (
-        SELECT arg_min(e.vec_id, md5(CAST(e.vec_id AS VARCHAR))) AS vec_id
-        FROM e, qv WHERE e.label = qv.qlabel AND e.vec_id != 1),
+        SELECT vec_id FROM (
+          SELECT arg_min(e.vec_id, md5(CAST(e.vec_id AS VARCHAR))) AS vec_id
+          FROM e, qv WHERE e.label = qv.qlabel AND e.vec_id != 1) t
+        WHERE vec_id IS NOT NULL),
       b0 AS (
         SELECT e.vec_id,
                list_reduce(list_transform(generate_series(1, len(e.embedding)),
                  i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
                  (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
         FROM e JOIN entry USING (vec_id) CROSS JOIN qv),
-      n1 AS (SELECT DISTINCT cand_id AS vec_id FROM edges JOIN b0 ON edges.qid = b0.vec_id
+      n1 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b0 ON nav_edges.qid = b0.vec_id
              UNION SELECT vec_id FROM b0),
       b1 AS (
         SELECT e.vec_id,
@@ -1728,7 +1999,7 @@ object AnnSearch {
         FROM e JOIN n1 USING (vec_id) CROSS JOIN qv
         WHERE e.vec_id != 1
         ORDER BY cos DESC, e.vec_id ASC LIMIT 3),
-      n2 AS (SELECT DISTINCT cand_id AS vec_id FROM edges JOIN b1 ON edges.qid = b1.vec_id
+      n2 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b1 ON nav_edges.qid = b1.vec_id
              UNION SELECT vec_id FROM b1),
       b2 AS (
         SELECT e.vec_id,
@@ -1738,7 +2009,7 @@ object AnnSearch {
         FROM e JOIN n2 USING (vec_id) CROSS JOIN qv
         WHERE e.vec_id != 1
         ORDER BY cos DESC, e.vec_id ASC LIMIT 3),
-      n3 AS (SELECT DISTINCT cand_id AS vec_id FROM edges JOIN b2 ON edges.qid = b2.vec_id
+      n3 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b2 ON nav_edges.qid = b2.vec_id
              UNION SELECT vec_id FROM b2),
       b3 AS (
         SELECT e.vec_id,
@@ -1786,6 +2057,8 @@ object AnnSearch {
     * item 5). */
   private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
       NQ: Long): DataFrame = {
+      require(NQ <= MaxBatchQ,
+        s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
       val B = 3
       val e = index(s, dir)
       val edges = knnEdges(s, dir)
@@ -1851,7 +2124,7 @@ object AnnSearch {
     def hop(prev: String, n: String, b: String): String = s"""
       $n AS (
         SELECT DISTINCT qid, vec_id FROM (
-          SELECT b.qid, ed.cand_id AS vec_id FROM edges ed JOIN $prev b ON ed.node = b.vec_id
+          SELECT b.qid, ed.cand_id AS vec_id FROM nav_edges ed JOIN $prev b ON ed.node = b.vec_id
           UNION ALL SELECT qid, vec_id FROM $prev) t WHERE vec_id != qid),
       $b AS (
         SELECT qid, vec_id, cos FROM (
@@ -1884,7 +2157,7 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      ${cappedEdgesSqlCtes("node")},
+      ${navEdgesSqlCtes("node")},
       ${greedyBatchSqlCtes(10)},
       trace AS (
         SELECT 0 AS hop, qid, vec_id, cos FROM b0
@@ -1973,7 +2246,7 @@ object AnnSearch {
         SELECT vec_id, label, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
-      ${cappedEdgesSqlCtes("node")},
+      ${navEdgesSqlCtes("node")},
       ${greedyBatchSqlCtes(10)},
       exact0 AS (
         SELECT qs.qid, e.vec_id, (e.label = qs.qlabel) AS same_cell,
@@ -2012,7 +2285,8 @@ object AnnSearch {
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,
       int8QuantError, ivfMultiprobe, ivfAssignDelta, knnGraph, knnGraphDelta,
-      knnGraphCapped, recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain,
+      knnGraphDeltaReverse, knnGraphCapped, knnGraphCrossCell,
+      recallKnnCapped, kmeansTrain, pqAdcTopk, rqReconGain,
       ivfAdcTopk, ivfAdcPrebuilt, ivfAdcBatch, knnGraphGreedy, knnGraphGreedyBatch,
       recallGreedy)
 }

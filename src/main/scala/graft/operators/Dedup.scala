@@ -971,6 +971,12 @@ object Dedup {
     * DuckDB `list_reduce`) so the doubles are bit-identical.
     * Scale note: all-pairs is the sf0.x-correctness form; the scale path
     * is the LSH/IVF bucketing in AnnSearch — same scoring expression.
+    * As the whitelisted all-pairs baseline (r15 decade exponent 2.16)
+    * the LEFT side carries the [[AuditGuard]]: above 4k corpus rows only
+    * a deterministic ~2k-row sample of `ia` anchors is audited (each
+    * anchor's pair list stays exact), bounding the audit at
+    * O(keep · corpus) at any size; every verification SF is below the
+    * threshold and unchanged.
     */
   val embeddingCosine: QueryDef = QueryDef(
     "dedup_embedding_cosine",
@@ -980,14 +986,15 @@ object Dedup {
         col("vec_id"), col("embedding"),
         expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
         .localCheckpoint(true)  // both sides of the pair join
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      AuditGuard.sample(e, "vec_id")
+        .as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
           (expr("float_dot(a.embedding, b.embedding)")
             / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("ia", "ib")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, embedding,
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
@@ -1000,6 +1007,7 @@ object Dedup {
       WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
                i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)),
                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+        AND ${AuditGuard.sqlPred("a.vec_id", "embeddings")}
       ORDER BY ia, ib
     """.stripMargin.trim))
 

@@ -87,12 +87,21 @@ object PipelineCompositions {
     * sets compared — the curation question of whether the cheap text
     * path can stand in for the expensive embedding path (and where they
     * disagree). doc_id and vec_id are the same identifier space.
+    * As the whitelisted all-pairs recall oracle (r15 decade exponent
+    * 1.71) both pair sets carry the [[AuditGuard]] ABOVE 4k corpus
+    * rows: the embedding arm inherits it from
+    * [[Dedup.embeddingCosine]], and the text arm filters its `ia`
+    * anchors with the SAME embeddings census so the two audited pair
+    * universes stay aligned (a pair counted "text-only" must be one the
+    * embedding audit could have seen). Verification SFs unchanged.
     */
   val modalityAgreement: QueryDef = QueryDef(
     "pipeline_modality_agreement",
     (s, dir) => {
-      val txt = Dedup.pairSurface(s, dir)._1
-        .select(col("ia"), col("ib")).withColumn("in_text", lit(true))
+      val txt = AuditGuard.sample(
+          Dedup.pairSurface(s, dir)._1.select(col("ia"), col("ib")),
+          "ia", graft.Tables.embeddings(s, dir))
+        .withColumn("in_text", lit(true))
       val emb = Dedup.embeddingCosine.run(s, dir)
         .select(col("ia").as("ea"), col("ib").as("eb")).withColumn("in_emb", lit(true))
       txt.join(emb, col("ia") === col("ea") && col("ib") === col("eb"), "full_outer")
@@ -114,10 +123,14 @@ object PipelineCompositions {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)),
-                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+          AND ${AuditGuard.sqlPred("a.vec_id", "embeddings")}),
+      jpa AS (
+        SELECT ia, ib FROM jp
+        WHERE ${AuditGuard.sqlPred("ia", "embeddings")}),
       agr AS (
-        SELECT jp.ia IS NOT NULL AS text_dup, ep.ia IS NOT NULL AS emb_dup
-        FROM jp FULL OUTER JOIN ep ON jp.ia = ep.ia AND jp.ib = ep.ib)
+        SELECT jpa.ia IS NOT NULL AS text_dup, ep.ia IS NOT NULL AS emb_dup
+        FROM jpa FULL OUTER JOIN ep ON jpa.ia = ep.ia AND jpa.ib = ep.ib)
       SELECT text_dup, emb_dup, COUNT(*) AS n_pairs
       FROM agr GROUP BY 1, 2
       ORDER BY text_dup, emb_dup

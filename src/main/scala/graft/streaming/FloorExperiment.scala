@@ -6,13 +6,23 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 
 import graft.Tables
 
-/** Round-15 diagnostic main: break the ~0.23 s/micro-batch AvailableNow
-  * floor (measured by [[StreamFloorProbe]]'s batch-count sweep) into the
-  * engine's own durationMs phases (walCommit / getBatch / addBatch /
-  * queryPlanning / commitOffsets / latestOffset), then A/B the candidate
-  * fixed-cost knobs the r14 verdict item 4 names — checkpoint fsync
-  * behavior and log compaction — against the identical query. Results
-  * feed the DESIGN.md round-15 streaming-floor entry.
+/** Streaming-floor diagnostic main (r14 item 4 / r15 verdict item 5):
+  * break the per-micro-batch AvailableNow floor into the engine's own
+  * durationMs phases and A/B the fixed-cost knobs against the identical
+  * query. Round 15 attributed ~125 ms/batch to metadata-log I/O and cut
+  * it with [[LocalNioCheckpointFileManager]]; THIS round decomposes the
+  * remaining floor under the NIO manager: sink-manifest cost (memory
+  * sink arm), the trailing no-data batch (noDataMicroBatches arm), and
+  * the plain per-job scheduling floor the streaming numbers sit on
+  * (batch-loop arm — the same file written the same way, no streaming
+  * engine at all). Results feed the DESIGN.md round-16 entry.
+  *
+  * Phase accounting is PER RUN (r15 advice): each run registers its own
+  * listener + map and drains deterministically — poll until the
+  * listener has seen every batch the query reported (lastProgress
+  * batchId is the high-water mark), bounded by a timeout — so a slow
+  * bus can no longer bleed one run's late events into the next run's
+  * snapshot. The listener is removed before the method returns.
   *
   * `scripts/run_main.sh graft.streaming.FloorExperiment`
   */
@@ -26,23 +36,51 @@ object FloorExperiment {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // phase accounting: sum each durationMs key across every progress event
-    // (registered per CHILD session — the event bus is per-session)
-    val phases = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    def listen(s2: SparkSession): Unit = s2.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        e.progress.durationMs.forEach((k, v) =>
-          phases.merge(k, v.toLong, (a: Long, b: Long) => a + b): Unit)
-        phases.merge("n_batches", 1L, (a: Long, b: Long) => a + b): Unit
+    /** Run one streaming query with a PRIVATE listener; returns
+      * (wall seconds, summed phase map including n_batches). */
+    def timedRun(s2: SparkSession, tag: String)(
+        start: => org.apache.spark.sql.streaming.StreamingQuery): Map[String, Long] = {
+      val phases = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          e.progress.durationMs.forEach((k, v) =>
+            phases.merge(k, v.toLong, (a: Long, b: Long) => a + b): Unit)
+          phases.merge("n_batches", 1L, (a: Long, b: Long) => a + b): Unit
+          seen.incrementAndGet(): Unit
+        }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
-
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[exp] $name%-52s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
-      r
+      s2.streams.addListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val q = start
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // deterministic drain: the query's own progress array says how
+        // many batches ran; wait until the async bus delivered them all
+        val expected = q.recentProgress.length.toLong
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (seen.get() < expected && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        val n = math.max(phases.getOrDefault("n_batches", 1L), 1L)
+        val tm = new java.util.TreeMap[String, Long](phases)
+        println(f"[exp] $tag%-44s $wall%7.3f s  n=$n%2d  " +
+          f"perBatch=${wall * 1000 / n}%6.1f ms")
+        val tot = phases.getOrDefault("triggerExecution", 0L)
+        val named = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+          "walCommit", "commitOffsets").map(phases.getOrDefault(_, 0L)).sum
+        println(s"      phases: $tm")
+        println(f"      per-batch ms: trigger=${tot.toDouble / n}%6.1f " +
+          f"addBatch=${phases.getOrDefault("addBatch", 0L).toDouble / n}%6.1f " +
+          f"unattributed-in-trigger=${(tot - named).toDouble / n}%6.1f " +
+          f"outside-trigger=${(wall * 1000 - tot) / n}%6.1f")
+        phases.asInstanceOf[java.util.Map[String, Long]]
+          .entrySet().stream().toArray
+          .map(_.asInstanceOf[java.util.Map.Entry[String, Long]])
+          .map(e => e.getKey -> e.getValue).toMap
+      } finally s2.streams.removeListener(listener)
     }
 
     for (pass <- 1 to 2) {
@@ -54,66 +92,68 @@ object FloorExperiment {
         .select(col("user_id"), col("event_id").as("view_event_id"),
           col("ts").cast("timestamp").as("view_ts"))
 
-      def passthrough(tag: String, k: Int, tune: SparkSession => Unit): Unit = {
-        val s2 = spark.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", "4")
-        tune(s2)
-        listen(s2)
+      val K = 8
+      def stage(k: Int): String = {
         val baseK = graft.TmpDirs.create(s"floor-x$k")
         (0 until k).foreach { i =>
           views.filter(pmod(col("view_event_id"), lit(k)) === i).coalesce(1)
             .write.parquet(s"$baseK/in/d$i")
         }
-        phases.clear()
-        time(s"$tag, $k batches") {
+        baseK
+      }
+
+      def passthrough(tag: String, sink: String, tune: SparkSession => Unit): Unit = {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        s2.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          "graft.streaming.LocalNioCheckpointFileManager")
+        tune(s2)
+        val baseK = stage(K)
+        timedRun(s2, s"$tag, $K batches") {
+          val r = s2.readStream.schema(views.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$baseK/in/*")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$baseK/ckpt")
+            .trigger(Trigger.AvailableNow())
+          (if (sink == "memory") r.format("memory").queryName(s"m${System.nanoTime()}")
+           else r.format("parquet").option("path", s"$baseK/out")).start()
+        }: Unit
+      }
+
+      // r15 baseline pair (default manager vs NIO) kept for continuity
+      {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val baseK = stage(K)
+        timedRun(s2, s"default manager, $K batches") {
           s2.readStream.schema(views.schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$baseK/in/*")
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$baseK/ckpt")
             .trigger(Trigger.AvailableNow())
-            .format("parquet").option("path", s"$baseK/out")
-            .start().awaitTermination()
-        }
-        Thread.sleep(800) // listener bus is async; let events drain
-        val snap = new java.util.TreeMap[String, Long](phases)
-        println(s"      phases: $snap")
+            .format("parquet").option("path", s"$baseK/out").start()
+        }: Unit
       }
+      passthrough("nio manager", "parquet", _ => ())
+      // names the FileStreamSink manifest cost by difference
+      passthrough("nio + memory sink", "memory", _ => ())
+      // drops the trailing empty micro-batch AvailableNow schedules
+      passthrough("nio + noDataMicroBatches off", "parquet",
+        _.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false"))
 
-      passthrough("baseline", 8, _ => ())
-      passthrough("nio checkpoint manager", 8,
-        s2 => s2.conf.set("spark.sql.streaming.checkpointFileManagerClass",
-          "graft.streaming.LocalNioCheckpointFileManager"))
-      // 4-store stateful op for comparison
-      def statefulDedup(tag: String, tune: SparkSession => Unit): Unit = {
-        val s2 = spark.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", "4")
-        tune(s2)
-        listen(s2)
-        val baseD = graft.TmpDirs.create("floor-xd")
-        val evD = ev.select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_type"), col("value"))
-        evD.coalesce(1).write.parquet(s"$baseD/in/d0")
-        evD.coalesce(1).write.parquet(s"$baseD/in/d1")
-        phases.clear()
-        time(tag) {
-          s2.readStream.schema(evD.schema)
-            .option("maxFilesPerTrigger", "1").parquet(s"$baseD/in/*")
-            .withWatermark("ts", "35 days")
-            .dropDuplicatesWithinWatermark("event_id")
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", s"$baseD/ckpt")
-            .trigger(Trigger.AvailableNow())
-            .format("parquet").option("path", s"$baseD/out")
-            .start().awaitTermination()
+      // the non-streaming floor the per-batch number sits on: the same
+      // one-file read→write executed K times as plain batch jobs
+      {
+        val baseK = stage(K)
+        val t0 = System.nanoTime()
+        (0 until K).foreach { i =>
+          s.read.schema(views.schema).parquet(s"$baseK/in/d$i")
+            .write.mode("append").parquet(s"$baseK/outb")
         }
-        Thread.sleep(800) // listener bus is async; let events drain
-        val snap = new java.util.TreeMap[String, Long](phases)
-        println(s"      phases: $snap")
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[exp] batch-loop floor (no streaming), $K jobs     " +
+          f"$wall%7.3f s  perJob=${wall * 1000 / K}%6.1f ms")
       }
-      statefulDedup("dedup-within-watermark baseline", _ => ())
-      statefulDedup("dedup-within-watermark nio manager",
-        s2 => s2.conf.set("spark.sql.streaming.checkpointFileManagerClass",
-          "graft.streaming.LocalNioCheckpointFileManager"))
     }
     spark.stop()
   }

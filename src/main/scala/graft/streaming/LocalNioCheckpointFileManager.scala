@@ -30,9 +30,11 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   * durable checkpoint store keeps the default by simply not setting the
   * conf. Semantics preserved end to end: createAtomic stays
   * write-temp-then-atomic-rename (crash-consistent — a reader never
-  * observes a partial file), non-overwrite renames still raise Hadoop's
-  * FileAlreadyExistsException (HDFSMetadataLog's concurrent-writer
-  * protocol detects batch races through exactly that signal), and
+  * observes a partial file), non-overwrite commits publish via link(2)
+  * — atomic fail-if-exists, no check-then-rename race window — and
+  * raise Hadoop's FileAlreadyExistsException (HDFSMetadataLog's
+  * concurrent-writer protocol detects batch races through exactly that
+  * signal), and
   * open/list/delete delegate to [[RawLocalFileSystem]] so FileStatus and
   * seekable-stream behavior match the stock manager bit for bit.
   */
@@ -92,18 +94,33 @@ class LocalNioCheckpointFileManager(path: Path, hadoopConf: Configuration)
   private def renameTempFile(srcPath: Path, dstPath: Path,
       overwriteIfPossible: Boolean): Unit = {
     val src = nio(srcPath); val dst = nio(dstPath)
-    if (!overwriteIfPossible && Files.exists(dst)) {
-      // rename(2) would silently replace; HDFSMetadataLog requires the
-      // Hadoop exception type to detect a concurrent batch writer
-      Files.deleteIfExists(src)
-      throw new FileAlreadyExistsException(
-        s"Failed to rename $srcPath to $dstPath as destination already exists")
-    }
-    try Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new FileAlreadyExistsException(
-          s"Failed to rename $srcPath to $dstPath as destination already exists")
+    if (!overwriteIfPossible) {
+      // POSIX rename(2) silently replaces an existing target, and a
+      // check-then-rename pair leaves a race window in which a
+      // concurrent writer's committed file could be replaced with the
+      // loser's (r15 advice). link(2) is the atomic fail-if-exists
+      // publish: hard-link the temp to the final name (EEXIST → the
+      // Hadoop exception type HDFSMetadataLog's concurrent-writer
+      // protocol keys on), then drop the temp name.
+      try Files.createLink(dst, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(src)
+          throw new FileAlreadyExistsException(
+            s"Failed to rename $srcPath to $dstPath as destination already exists")
+      }
+      Files.deleteIfExists(src): Unit
+    } else {
+      try Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // ATOMIC_MOVE over an existing target is allowed to fail on
+          // some filesystems even when replacement was acceptable —
+          // don't leak the temp before surfacing the signal
+          Files.deleteIfExists(src)
+          throw new FileAlreadyExistsException(
+            s"Failed to rename $srcPath to $dstPath as destination already exists")
+      }
     }
   }
 

@@ -68,6 +68,8 @@ class PlanShapeSpec extends SparkSpec {
     "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
+    "ann_knn_graph_ivf",              // 1-row AuditGuard census crossJoin (r16 scale guard)
+    "ann_recall_knn_capped_vs_exact", // composes the guarded exact arm above
     "sketch_quantile_subsample_merge", // 5-row quantile frame broadcast into the summary probe
     "stats_cuped_adjusted_lift",      // 1-row pooled-moments frame broadcast into the variant stats
     "ann_pq_adc_topk",                // 1-row query-vector crossJoin feeding the exact arm

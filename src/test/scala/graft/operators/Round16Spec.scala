@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Substance gates for the round-16 wave: the cross-cell edge layer
+  * (global recall off zero), the symmetric delta direction, the
+  * audit-class SF guard, and the batched-serving broadcast ceiling.
+  */
+class Round16Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("cross-cell links move GLOBAL greedy recall off zero") {
+    // r15 verdict item 2: the capped graph was intra-cell by
+    // construction — zero cross-cell edges, so the composed index
+    // (quantizer routes, graph serves) pruned whatever the quantizer
+    // pruned and global recall was ~0 BY CONSTRUCTION. With each node
+    // carrying top-2 links into its nearest-centroid adjacent cell the
+    // walk escapes the cell: measured at sf0.01 global 4/30 (was 0),
+    // cell 11/30 (was 9), top-1 4/10 (was 3) — the long-range links
+    // help even within-cell navigation (beams escape local traps).
+    // Floors pinned with headroom below the measured deterministic
+    // values; regressing the edge union or the adjacency zeroes these.
+    val rows = graft.SparkEntry.queries("ann_recall_greedy_vs_exact")(spark, dir).collect()
+    val nGlobal = rows.map(_.getLong(3)).sum
+    val nCell = rows.map(_.getLong(1)).sum
+    val nTop1 = rows.count(_.getBoolean(2))
+    assert(nGlobal >= 2, s"global greedy recall back to ~zero: $nGlobal/30 — " +
+      "did the navigable edge set lose its cross-cell layer?")
+    assert(nCell >= 10, s"cell recall lost the cross-cell gain: $nCell/30")
+    assert(nTop1 >= 3, s"cell top-1 lost the cross-cell gain: $nTop1/10")
+  }
+
+  test("cross-cell edges are bounded, adjacent-cell-only, and CrossK per node") {
+    val df = graft.SparkEntry.queries("ann_knn_graph_crosscell")(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir).select("vec_id", "label")
+    val joined = df.join(e.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "qlabel"), "qid")
+      .join(e.withColumnRenamed("vec_id", "cand_id")
+        .withColumnRenamed("label", "clabel"), "cand_id")
+    // every cross edge leaves its own cell (that is its whole point)
+    assert(joined.filter(col("qlabel") === col("clabel")).count() == 0,
+      "cross-cell edge landed in its own cell")
+    // each node has at most CrossK=2 edges and exactly one target cell
+    val per = joined.groupBy("qid")
+      .agg(count(lit(1)).as("n"), countDistinct("clabel").as("cells"))
+    assert(per.filter(col("n") > 2).count() == 0, "more than CrossK edges on a node")
+    assert(per.filter(col("cells") > 1).count() == 0,
+      "a node's cross edges target more than its one adjacent cell")
+  }
+
+  test("reverse delta maintenance is the transpose universe of the forward arm") {
+    val rev = graft.SparkEntry.queries("ann_knn_graph_delta_reverse")(spark, dir)
+      .collect()
+    assert(rev.nonEmpty, "reverse delta produced no rows")
+    // nodes are existing corpus members, arrivals are the %7==3 cohort
+    rev.foreach { r =>
+      assert(r.getLong(0) % 7 != 3, s"node ${r.getLong(0)} is an arrival")
+      assert(r.getLong(2) % 7 == 3, s"arrival ${r.getLong(2)} is not in the delta cohort")
+    }
+    // per node, ranks are 1..k with cos non-increasing (the merge step's
+    // input contract: the best arrival candidate first)
+    rev.groupBy(_.getLong(0)).foreach { case (node, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"node $node ranks not contiguous")
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.drop(1)).forall { case (a, b) => a >= b - 1e-12 },
+        s"node $node cos not non-increasing")
+    }
+    // both directions read the same candidate frame: every reverse pair
+    // (arrival, node) must be one the capped rounds can generate — spot
+    // check via the forward arm's own pair set restricted to rank<=3
+    // is NOT a superset (different keying), so instead check cohort
+    // sizes are sane: reverse touches at most |old| nodes
+    val nNodes = rev.map(_.getLong(0)).distinct.length
+    val nOld = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 =!= 3).count()
+    assert(nNodes <= nOld, s"$nNodes reverse nodes > $nOld corpus nodes")
+  }
+
+  test("audit guard: exhaustive below threshold, fixed-size systematic sample above") {
+    import spark.implicits._
+    val small = spark.range(3000).toDF("id")
+    assert(AuditGuard.sample(small, "id").count() == 3000,
+      "guard must be a no-op below AuditFullRows")
+    val big = spark.range(20000).toDF("id")
+    // modulus = floor(20000 / 2000) = 10 → exactly the ids ≡ 0 (mod 10)
+    val kept = AuditGuard.sample(big, "id").collect().map(_.getLong(0))
+    assert(kept.length == 2000, s"expected 2000 audited rows, got ${kept.length}")
+    assert(kept.forall(_ % 10 == 0), "audit sample is not the systematic 1-in-M set")
+    // the guard keeps the audited cardinality ~constant as the corpus
+    // grows — the property that turns O(n²) audits into O(keep · n)
+    val bigger = spark.range(100000).toDF("id")
+    assert(AuditGuard.sample(bigger, "id").count() == 2000,
+      "audited cardinality must not grow with the corpus")
+  }
+
+  test("batched serving arms enforce the broadcast ceiling as code, not prose") {
+    // r15 verdict item 6: DESIGN extrapolated the IVFADC batch broadcast
+    // ceiling at Q≈10⁵; make the bound arithmetic + enforcement. The
+    // distance table is the largest query-sided broadcast at
+    // AdcBroadcastRowsPerQuery = W·M·K rows per query.
+    assert(AnnSearch.AdcBroadcastRowsPerQuery == 256L,
+      s"distance-table row formula drifted: ${AnnSearch.AdcBroadcastRowsPerQuery}")
+    val worstCaseBytes = AnnSearch.MaxBatchQ * AnnSearch.AdcBroadcastRowsPerQuery * 64L
+    assert(worstCaseBytes < 8L * 1024 * 1024 * 1024 / 4,
+      f"MaxBatchQ=${AnnSearch.MaxBatchQ} puts the distance table at " +
+        f"$worstCaseBytes%d B — inside 2 GiB (4x headroom under Spark's 8 GiB " +
+        "broadcast hard limit) is the contract")
+    // and the probes fail fast instead of handing Spark the broadcast
+    intercept[IllegalArgumentException] {
+      AnnSearch.ivfAdcBatchProbe(spark, dir, AnnSearch.MaxBatchQ + 1)
+    }
+    intercept[IllegalArgumentException] {
+      AnnSearch.greedyBatchProbe(spark, dir, AnnSearch.MaxBatchQ + 1)
+    }
+  }
+}
