@@ -3,6 +3,35 @@ import org.apache.spark.sql.SparkSession
 import java.util.Locale
 
 object Bench {
+  /** The cross-run stability statistic (r14 item 3; r16 refinements):
+    * given (cur, prev) per-query min pairs from two full runs of the
+    * same sf, returns (host_shift, n_over_1p3, median_two_sided_ratio).
+    *
+    *  - host_shift = MEDIAN per-query ratio cur/prev. Self-normalizing
+    *    over all pairs — the probe-based calibAdj stays with the
+    *    one-sided regression gate, where being conservative is correct;
+    *    for a two-sided count it is biased (measured 30.1% vs 4.0% on
+    *    one identical-code pair, DESIGN.md round-16 §7).
+    *  - a query counts toward n_over_1p3 only if its two-sided ratio
+    *    vs the shift-adjusted prev exceeds 1.3 AND the absolute delta
+    *    exceeds the same 0.15 s noise floor the regression gate has
+    *    carried since r12 — micro-query timer wobble is not drift.
+    *
+    * Pure function so CrossRunStatSpec can pin the arithmetic. */
+  private[graft] def crossRunStat(
+      pairs: Seq[(Double, Double)]): (Double, Int, Double) = {
+    val valid = pairs.filter { case (c, p) => c > 0 && p > 0 }
+    if (valid.isEmpty) return (1.0, 0, 1.0)
+    val shifts = valid.map { case (c, p) => c / p }.sorted
+    val hostShift = shifts(shifts.size / 2)
+    val ratios = valid.map { case (cur, prev) =>
+      val prevAdj = prev * hostShift
+      (math.max(cur, prevAdj) / math.min(cur, prevAdj), math.abs(cur - prevAdj))
+    }.sortBy(_._1)
+    val over = ratios.count { case (r, d) => r > 1.3 && d > 0.15 }
+    (hostShift, over, ratios(ratios.size / 2)._1)
+  }
+
   /** Representative queries whose per-query timings go into the printed
     * JSON line (one per operator family). The full per-query map is
     * written to BENCH_DETAIL.json: the driver's output-tail capture is
@@ -440,17 +469,8 @@ object Bench {
         case _ => None
       }
     }
-    val hostShift = {
-      val rs = crossPairs.map { case (c, p) => c / p }.sorted
-      if (rs.nonEmpty) rs(rs.size / 2) else 1.0
-    }
-    val crossRatios = crossPairs.map { case (cur, prev) =>
-      val prevAdj = prev * hostShift
-      (math.max(cur, prevAdj) / math.min(cur, prevAdj), math.abs(cur - prevAdj))
-    }.sortBy(_._1)
-    val crossOver = crossRatios.count { case (r, d) => r > 1.3 && d > 0.15 }
-    val crossMed =
-      if (crossRatios.nonEmpty) crossRatios(crossRatios.size / 2)._1 else 1.0
+    val (hostShift, crossOver, crossMed) = crossRunStat(crossPairs)
+    val crossCompared = crossPairs.count { case (c, p) => c > 0 && p > 0 }
     // the tracked artifact records FULL-suite runs only; a SPARK_GRAFT_ONLY
     // subset A/B run must not overwrite the committed full-run record
     if (only.isEmpty) {
@@ -467,7 +487,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"jitter":{"informational":true,"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"cross_run":{"n_over_1p3":$crossOver,"median_ratio":${f(crossMed)},"host_shift":${f(hostShift)},"noise_floor_s":0.15,"n_compared":${crossRatios.size},"target":"n_over_1p3 <= 10% of n_compared on unchanged code; improves with pass count"},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"jitter":{"informational":true,"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"cross_run":{"n_over_1p3":$crossOver,"median_ratio":${f(crossMed)},"host_shift":${f(hostShift)},"noise_floor_s":0.15,"n_compared":$crossCompared,"target":"n_over_1p3 <= 10% of n_compared on unchanged code; improves with pass count"},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
