@@ -5,7 +5,7 @@ import java.util.Locale
 object Bench {
   /** The cross-run stability statistic (r14 item 3; r16 refinements):
     * given (cur, prev) per-query min pairs from two full runs of the
-    * same sf, returns (host_shift, n_over_1p3, median_two_sided_ratio).
+    * same sf, returns (host_shift, n_over_1p3, median_two_sided_ratio, n_compared).
     *
     *  - host_shift = MEDIAN per-query ratio cur/prev. Self-normalizing
     *    over all pairs — the probe-based calibAdj stays with the
@@ -19,9 +19,9 @@ object Bench {
     *
     * Pure function so CrossRunStatSpec can pin the arithmetic. */
   private[graft] def crossRunStat(
-      pairs: Seq[(Double, Double)]): (Double, Int, Double) = {
+      pairs: Seq[(Double, Double)]): (Double, Int, Double, Int) = {
     val valid = pairs.filter { case (c, p) => c > 0 && p > 0 }
-    if (valid.isEmpty) return (1.0, 0, 1.0)
+    if (valid.isEmpty) return (1.0, 0, 1.0, 0)
     val shifts = valid.map { case (c, p) => c / p }.sorted
     val hostShift = shifts(shifts.size / 2)
     val ratios = valid.map { case (cur, prev) =>
@@ -29,7 +29,7 @@ object Bench {
       (math.max(cur, prevAdj) / math.min(cur, prevAdj), math.abs(cur - prevAdj))
     }.sortBy(_._1)
     val over = ratios.count { case (r, d) => r > 1.3 && d > 0.15 }
-    (hostShift, over, ratios(ratios.size / 2)._1)
+    (hostShift, over, ratios(ratios.size / 2)._1, valid.size)
   }
 
   /** Representative queries whose per-query timings go into the printed
@@ -469,8 +469,9 @@ object Bench {
         case _ => None
       }
     }
-    val (hostShift, crossOver, crossMed) = crossRunStat(crossPairs)
-    val crossCompared = crossPairs.count { case (c, p) => c > 0 && p > 0 }
+    // n_compared comes back from crossRunStat itself so the reported
+    // denominator can never drift from the population actually counted
+    val (hostShift, crossOver, crossMed, crossCompared) = crossRunStat(crossPairs)
     // the tracked artifact records FULL-suite runs only; a SPARK_GRAFT_ONLY
     // subset A/B run must not overwrite the committed full-run record
     if (only.isEmpty) {

@@ -19,10 +19,11 @@ import graft.Tables
   *
   * Phase accounting is PER RUN (r15 advice): each run registers its own
   * listener + map and drains deterministically — poll until the
-  * listener has seen every batch the query reported (lastProgress
-  * batchId is the high-water mark), bounded by a timeout — so a slow
-  * bus can no longer bleed one run's late events into the next run's
-  * snapshot. The listener is removed before the method returns.
+  * listener has seen one event per entry of the query's own
+  * recentProgress array, bounded by a timeout that WARNs on partial
+  * sums — so a slow bus can no longer bleed one run's late events into
+  * the next run's snapshot. The listener is removed before the method
+  * returns.
   *
   * `scripts/run_main.sh graft.streaming.FloorExperiment`
   */
@@ -36,10 +37,15 @@ object FloorExperiment {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    /** Run one streaming query with a PRIVATE listener; returns
-      * (wall seconds, summed phase map including n_batches). */
+    /** Run one streaming query with a PRIVATE listener and print its
+      * wall time + per-batch durationMs phase decomposition. The drain
+      * polls until the async bus has delivered one progress event per
+      * entry in the query's own recentProgress array (ring-buffered at
+      * spark.sql.streaming.numRecentProgressUpdates = 100 — fine for
+      * the K=8 sweeps here; a >100-batch sweep would under-count and
+      * the timeout warning below would fire). */
     def timedRun(s2: SparkSession, tag: String)(
-        start: => org.apache.spark.sql.streaming.StreamingQuery): Map[String, Long] = {
+        start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val phases = new java.util.concurrent.ConcurrentHashMap[String, Long]()
       val seen = new java.util.concurrent.atomic.AtomicLong(0L)
       val listener = new StreamingQueryListener {
@@ -64,6 +70,9 @@ object FloorExperiment {
         val deadline = System.nanoTime() + 10_000_000_000L
         while (seen.get() < expected && System.nanoTime() < deadline)
           Thread.sleep(20)
+        if (seen.get() < expected)
+          println(s"[exp] WARN: drain timed out at ${seen.get()}/$expected " +
+            "progress events — phase sums below are PARTIAL")
         val n = math.max(phases.getOrDefault("n_batches", 1L), 1L)
         val tm = new java.util.TreeMap[String, Long](phases)
         println(f"[exp] $tag%-44s $wall%7.3f s  n=$n%2d  " +
@@ -76,10 +85,6 @@ object FloorExperiment {
           f"addBatch=${phases.getOrDefault("addBatch", 0L).toDouble / n}%6.1f " +
           f"unattributed-in-trigger=${(tot - named).toDouble / n}%6.1f " +
           f"outside-trigger=${(wall * 1000 - tot) / n}%6.1f")
-        phases.asInstanceOf[java.util.Map[String, Long]]
-          .entrySet().stream().toArray
-          .map(_.asInstanceOf[java.util.Map.Entry[String, Long]])
-          .map(e => e.getKey -> e.getValue).toMap
       } finally s2.streams.removeListener(listener)
     }
 
@@ -115,9 +120,14 @@ object FloorExperiment {
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$baseK/ckpt")
             .trigger(Trigger.AvailableNow())
-          (if (sink == "memory") r.format("memory").queryName(s"m${System.nanoTime()}")
+          (if (sink == "memory") r.format("memory").queryName("floor_mem")
            else r.format("parquet").option("path", s"$baseK/out")).start()
-        }: Unit
+        }
+        // the memory sink retains the full stream output on the driver
+        // heap behind the registered temp view — drop it so GC pressure
+        // from one arm cannot skew the ~15-25 ms residuals the LATER
+        // arms exist to measure
+        if (sink == "memory") s2.catalog.dropTempView("floor_mem"): Unit
       }
 
       // r15 baseline pair (default manager vs NIO) kept for continuity
@@ -132,7 +142,7 @@ object FloorExperiment {
             .option("checkpointLocation", s"$baseK/ckpt")
             .trigger(Trigger.AvailableNow())
             .format("parquet").option("path", s"$baseK/out").start()
-        }: Unit
+        }
       }
       passthrough("nio manager", "parquet", _ => ())
       // names the FileStreamSink manifest cost by difference

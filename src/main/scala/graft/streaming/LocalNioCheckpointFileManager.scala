@@ -94,6 +94,25 @@ class LocalNioCheckpointFileManager(path: Path, hadoopConf: Configuration)
   private def renameTempFile(srcPath: Path, dstPath: Path,
       overwriteIfPossible: Boolean): Unit = {
     val src = nio(srcPath); val dst = nio(dstPath)
+    def collision(): Nothing = {
+      Files.deleteIfExists(src)
+      throw new FileAlreadyExistsException(
+        s"Failed to rename $srcPath to $dstPath as destination already exists")
+    }
+    // the pre-r16 non-overwrite path, kept as the fallback for
+    // filesystems without link(2): check-then-rename has a (mostly
+    // theoretical, single-driver local mode) race window but works
+    // everywhere ATOMIC_MOVE does
+    def checkThenMove(): Unit = {
+      if (!overwriteIfPossible && Files.exists(dst)) collision()
+      try Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // ATOMIC_MOVE over an existing target may fail on some
+        // filesystems even in the overwrite case — don't leak the temp
+        // before surfacing the signal
+        case _: java.nio.file.FileAlreadyExistsException => collision()
+      }
+    }
     if (!overwriteIfPossible) {
       // POSIX rename(2) silently replaces an existing target, and a
       // check-then-rename pair leaves a race window in which a
@@ -102,26 +121,20 @@ class LocalNioCheckpointFileManager(path: Path, hadoopConf: Configuration)
       // publish: hard-link the temp to the final name (EEXIST → the
       // Hadoop exception type HDFSMetadataLog's concurrent-writer
       // protocol keys on), then drop the temp name.
-      try Files.createLink(dst, src)
+      try { Files.createLink(dst, src); Files.deleteIfExists(src): Unit }
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(src)
-          throw new FileAlreadyExistsException(
-            s"Failed to rename $srcPath to $dstPath as destination already exists")
+        case _: java.nio.file.FileAlreadyExistsException => collision()
+        case _: UnsupportedOperationException => checkThenMove()
+        case _: java.nio.file.FileSystemException =>
+          // the nio spec marks FileAlreadyExistsException as an
+          // OPTIONAL specific exception for createLink — a provider may
+          // surface EEXIST as a plain FileSystemException. Disambiguate
+          // by looking at the target: present → it was a collision;
+          // absent → a linkless filesystem (exFAT, some network
+          // mounts) → fall back to the pre-r16 rename path.
+          if (Files.exists(dst)) collision() else checkThenMove()
       }
-      Files.deleteIfExists(src): Unit
-    } else {
-      try Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // ATOMIC_MOVE over an existing target is allowed to fail on
-          // some filesystems even when replacement was acceptable —
-          // don't leak the temp before surfacing the signal
-          Files.deleteIfExists(src)
-          throw new FileAlreadyExistsException(
-            s"Failed to rename $srcPath to $dstPath as destination already exists")
-      }
-    }
+    } else checkThenMove()
   }
 
   override def open(p: Path): FSDataInputStream = fs.open(p)
