@@ -424,18 +424,6 @@ object Bench {
     val serialAdj = prevCalib.filter(_ > 0).map(pc => calib / pc)
     val parAdj = prevCalibPar.filter(_ > 0).map(pc => calibPar / pc)
     val calibAdj = (serialAdj.toSeq ++ parAdj.toSeq).maxOption.getOrElse(1.0)
-    val regressions: Seq[(String, String)] = names.flatMap { n =>
-      (results.get(n), prevMins.get(n)) match {
-        case (Some(cur), Some(prev)) if prev > 0 =>
-          val prevAdj = prev * calibAdj
-          val sp = spreadOf(samples(n))
-          val isReg = cur > prevAdj * math.max(sp, 1.25) && cur - prevAdj > 0.15
-          if (isReg) Some(n ->
-            s"""{"prev":${f(prev)},"prev_adj":${f(prevAdj)},"cur":${f(cur)},"spread":${f(sp)}}""")
-          else None
-        case _ => None
-      }
-    }
     // Cross-run stability (r14 verdict item 3): the in-run jitter count
     // n_ratio_over_1p3 is bounded below by host-capacity wave frequency
     // (in-run max/min CANNOT converge under waves — more passes only
@@ -463,6 +451,9 @@ object Bench {
     //    carried since r12: a 0.25 s → 0.14 s micro-query wobble is a
     //    1.7× ratio but pure measurement noise, and the cross-run count
     //    exists to find real drift, not to count timer jitter.
+    //
+    // Computed BEFORE the regression block since r17: each regression
+    // flag self-adjudicates against the median host_shift (see inside).
     val crossPairs = names.flatMap { n =>
       (results.get(n), prevMins.get(n)) match {
         case (Some(cur), Some(prev)) if prev > 0 && cur > 0 => Some((cur, prev))
@@ -472,6 +463,40 @@ object Bench {
     // n_compared comes back from crossRunStat itself so the reported
     // denominator can never drift from the population actually counted
     val (hostShift, crossOver, crossMed, crossCompared) = crossRunStat(crossPairs)
+    val regressions: Seq[(String, String)] = names.flatMap { n =>
+      (results.get(n), prevMins.get(n)) match {
+        case (Some(cur), Some(prev)) if prev > 0 =>
+          val prevAdj = prev * calibAdj
+          val sp = spreadOf(samples(n))
+          val isReg = cur > prevAdj * math.max(sp, 1.25) && cur - prevAdj > 0.15
+          if (isReg) {
+            // Self-adjudication (r16 verdict, What's wrong #1): the
+            // probe-based calibAdj systematically under-corrects
+            // contended windows (r16: calib_adj 1.014 while the same
+            // artifact's median per-query host shift read 1.167, so 33
+            // window-noise flags landed on untouched code). Each flag
+            // therefore carries its MEDIAN-shift-adjusted ratio and a
+            // `window` verdict: true ⇔ re-running the same gate against
+            // prev·host_shift no longer trips it — the flag is explained
+            // by the host window, not by code. Code signals are the
+            // `"window":false` residue; `n_code` counts them.
+            val prevShift = prev * hostShift
+            val isWindow =
+              !(cur > prevShift * math.max(sp, 1.25) && cur - prevShift > 0.15)
+            Some(n ->
+              s"""{"prev":${f(prev)},"prev_adj":${f(prevAdj)},"cur":${f(cur)},"spread":${f(sp)},"ratio_shift_adj":${f(cur / prevShift)},"window":$isWindow}""")
+          } else None
+        case _ => None
+      }
+    }
+    val nWindow = regressions.count(_._2.contains("\"window\":true"))
+    // host_shift sanity band (r16 advice): the median self-normalization
+    // absorbs any drift shared by more than half the suite — a uniform
+    // REAL regression would read n_over_1p3 ≈ 0. The one-sided calibAdj
+    // gate remains the backstop, but flag the condition in the artifact
+    // itself so a suite-wide shift is surfaced rather than silently
+    // normalized away.
+    val hostShiftWarn = hostShift < 0.7 || hostShift > 1.4
     // the tracked artifact records FULL-suite runs only; a SPARK_GRAFT_ONLY
     // subset A/B run must not overwrite the committed full-run record
     if (only.isEmpty) {
@@ -488,7 +513,7 @@ object Bench {
       val regBlock = regressions
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"jitter":{"informational":true,"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"cross_run":{"n_over_1p3":$crossOver,"median_ratio":${f(crossMed)},"host_shift":${f(hostShift)},"noise_floor_s":0.15,"n_compared":$crossCompared,"target":"n_over_1p3 <= 10% of n_compared on unchanged code; improves with pass count"},"regressions":{"n":${regressions.size},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_start":${f(calibStart)},"calibration_end":${f(calibEnd)},"calibration_prewarm":${f(calibPrewarm)},"calibration_parallel":${f(calibPar)},"calibration_parallel_start":${f(calibParStart)},"calibration_parallel_end":${f(calibParEnd)},"calibration_parallel_prewarm":${f(calibParPrewarm)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"jitter":{"informational":true,"median_max_over_min":${f(medRatio)},"n_ratio_over_1p3":$nOver,"n_third_pass":${needThird.size},"n_fourth_pass":${needFourth.size}},"cross_run":{"n_over_1p3":$crossOver,"median_ratio":${f(crossMed)},"host_shift":${f(hostShift)},"host_shift_warn":$hostShiftWarn,"noise_floor_s":0.15,"n_compared":$crossCompared,"target":"n_over_1p3 <= 10% of n_compared on unchanged code; improves with pass count"},"regressions":{"n":${regressions.size},"n_window":$nWindow,"n_code":${regressions.size - nWindow},"host_shift":${f(hostShift)},"prev_detail":"$prevPath","prev_calibration":${prevCalib.map(f).getOrElse("null")},"calib_adj":${f(calibAdj)},"items":$regBlock},"failed":$failedArr,"queries":${obj(results.toSeq.sortBy(_._1))},"pass1":${obj(pass1.toSeq.sortBy(_._1))},"pass2":${obj(pass2.toSeq.sortBy(_._1))},"pass3":${obj(pass3.toSeq.sortBy(_._1))},"pass4":${obj(pass4.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
       catch { case _: Throwable => () }
     }
@@ -504,7 +529,7 @@ object Bench {
     val hlNames = (top5 ++ headline.filter(results.contains).filterNot(top5.contains))
     var hl = hlNames.map(n => n -> results(n))
     def mkLine(entries: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_parallel":${f(calibPar)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"regressions":${regressions.size},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"calibration":${f(calib)},"calibration_parallel":${f(calibPar)},"host_steal_pct":${stealPct.map(f).getOrElse("null")},"regressions":${regressions.size},"regressions_code":${regressions.size - nWindow},"queries":${obj(entries)},"detail":"$detailPath","sf":"$sfDir"}"""
     var line = mkLine(hl)
     while (line.length > 1600 && hl.nonEmpty) {
       hl = hl.dropRight(1)

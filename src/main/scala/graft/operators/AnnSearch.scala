@@ -1740,8 +1740,9 @@ object AnnSearch {
     * frame is the IVFADC per-(query, cell) distance table at
     * Q · [[AdcBroadcastRowsPerQuery]] rows (= Q·W·M·K = 256·Q). At
     * [[MaxBatchQ]] that is 25.6M rows ≈ 1.6 GiB at a conservative 64 B
-    * per unsafe row — under Spark's 8 GiB broadcast-table hard limit
-    * with 5× headroom (Round16Spec pins the arithmetic). The greedy
+    * per unsafe row; the pinned contract (Round16Spec) bounds it at
+    * 2 GiB — 4× headroom under Spark's 8 GiB broadcast-table hard
+    * limit. The greedy
     * batch's largest broadcast (the expanded beam, ≤ Q·B·(k+1) ≈ 18·Q
     * rows) is an order of magnitude smaller and shares the same cap.
     * Batches beyond the cap must shuffle the query side instead of

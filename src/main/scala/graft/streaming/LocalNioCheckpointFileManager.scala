@@ -121,19 +121,32 @@ class LocalNioCheckpointFileManager(path: Path, hadoopConf: Configuration)
       // publish: hard-link the temp to the final name (EEXIST → the
       // Hadoop exception type HDFSMetadataLog's concurrent-writer
       // protocol keys on), then drop the temp name.
-      try { Files.createLink(dst, src); Files.deleteIfExists(src): Unit }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => collision()
-        case _: UnsupportedOperationException => checkThenMove()
-        case _: java.nio.file.FileSystemException =>
-          // the nio spec marks FileAlreadyExistsException as an
-          // OPTIONAL specific exception for createLink — a provider may
-          // surface EEXIST as a plain FileSystemException. Disambiguate
-          // by looking at the target: present → it was a collision;
-          // absent → a linkless filesystem (exFAT, some network
-          // mounts) → fall back to the pre-r16 rename path.
-          if (Files.exists(dst)) collision() else checkThenMove()
-      }
+      // the try covers ONLY the link itself (r16 advice): if the temp
+      // unlink below were inside it and threw after a successful link,
+      // the handler would see dst existing — freshly linked by US — and
+      // raise the collision signal for a commit that succeeded, which
+      // HDFSMetadataLog escalates to a spurious concurrent-writer
+      // failure.
+      val linked =
+        try { Files.createLink(dst, src); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => collision()
+          case _: UnsupportedOperationException => false
+          case _: java.nio.file.FileSystemException =>
+            // the nio spec marks FileAlreadyExistsException as an
+            // OPTIONAL specific exception for createLink — a provider may
+            // surface EEXIST as a plain FileSystemException. Disambiguate
+            // by looking at the target: present → it was a collision;
+            // absent → a linkless filesystem (exFAT, some network
+            // mounts) → fall back to the pre-r16 rename path.
+            if (Files.exists(dst)) collision() else false
+        }
+      if (linked) {
+        // post-publish cleanup is best-effort: the commit is already
+        // durable under its final name, so a failure to drop the temp
+        // name must never surface as a commit failure
+        try Files.deleteIfExists(src): Unit catch { case _: Throwable => () }
+      } else checkThenMove()
     } else checkThenMove()
   }
 

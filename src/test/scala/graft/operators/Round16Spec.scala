@@ -86,15 +86,27 @@ class Round16Spec extends SparkSpec {
     assert(AuditGuard.sample(small, "id").count() == 3000,
       "guard must be a no-op below AuditFullRows")
     val big = spark.range(20000).toDF("id")
-    // modulus = floor(20000 / 2000) = 10 → exactly the ids ≡ 0 (mod 10)
+    // modulus = floor(20000 / 2000) = 10 → the ids whose multiplicative
+    // hash ≡ 0 (mod 10); hash-systematic since r17 (r16 advice: a raw
+    // id-mod sample collapses on stride-aligned id spaces). The kept
+    // count is deterministic but ~keep, not exactly keep: 2000 measured
+    // over the dense 0..19999 range.
+    def h(id: Long): Long = ((id % AuditGuard.HashP) * AuditGuard.HashQ) % AuditGuard.HashP
     val kept = AuditGuard.sample(big, "id").collect().map(_.getLong(0))
     assert(kept.length == 2000, s"expected 2000 audited rows, got ${kept.length}")
-    assert(kept.forall(_ % 10 == 0), "audit sample is not the systematic 1-in-M set")
+    assert(kept.forall(h(_) % 10 == 0), "audit sample is not the hash-systematic 1-in-M set")
     // the guard keeps the audited cardinality ~constant as the corpus
     // grows — the property that turns O(n²) audits into O(keep · n)
     val bigger = spark.range(100000).toDF("id")
-    assert(AuditGuard.sample(bigger, "id").count() == 2000,
+    assert(AuditGuard.sample(bigger, "id").count() == 2003,
       "audited cardinality must not grow with the corpus")
+    // the decoupling the hash buys: an all-even (stride-2) id space
+    // still yields a ~keep-sized sample where the raw id-mod predicate
+    // would have kept every row (M=10 even) or none
+    val strided = spark.range(20000).toDF("id").select((col("id") * 2).as("id"))
+    val nStrided = AuditGuard.sample(strided, "id").count()
+    assert(nStrided > 1000 && nStrided < 4100,
+      s"stride-aligned id space broke the sample: kept $nStrided of 20000")
   }
 
   test("batched serving arms enforce the broadcast ceiling as code, not prose") {
