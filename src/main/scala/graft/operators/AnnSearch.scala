@@ -784,12 +784,12 @@ object AnnSearch {
       .agg((sum(col("x").cast("double").cast("decimal(20,10)")).cast("double")
         / count(lit(1))).as("cx"))
 
-  /** Nearest-other-cell adjacency (label → blabel) by centroid cosine,
-    * blabel ASC tiebreak — the |cells|²-pair frame every IVF deployment
-    * already owns (its multiprobe neighbor ranking); bounded by the
-    * centroid count, never the corpus. Ranking by dot/|b| is ranking by
-    * cosine: |a| is constant within each label's partition. */
-  private def cellAdjacency(e: DataFrame): DataFrame = {
+  /** Nearest-other-cells adjacency (label → top-`a` blabel by centroid
+    * cosine, blabel ASC tiebreak) — the |cells|²-pair frame every IVF
+    * deployment already owns (its multiprobe neighbor ranking); bounded
+    * by the centroid count, never the corpus. Ranking by dot/|b| is
+    * ranking by cosine: |a| is constant within each label's partition. */
+  private def cellAdjacency(e: DataFrame, a: Int): DataFrame = {
     val cent = labelCentroids(e)
     val cnorm = cent.groupBy("label")
       .agg(sqrt(sum(col("cx") * col("cx"))).as("cn"))
@@ -801,22 +801,36 @@ object AnnSearch {
       .join(cnorm.select(col("label").as("blabel"), col("cn").as("bn")), "blabel")
       .withColumn("sim", col("dot") / col("bn"))
       .withColumn("rn", row_number().over(wl))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= a)
       .select("label", "blabel")
   }
 
-  /** Cross-cell edges per node for the navigable graph. */
-  private val CrossK = 2
+  /** Adjacent cells per node for the navigable graph (top-A centroid
+    * neighbors — r16 verdict item 1: rank-1-only gave the walk a
+    * single-cell escape radius and global recall stalled at 4/30).
+    * Chosen by [[NavTuningProbe]]'s sweep at sf0.01 (DESIGN.md r17):
+    * (A, kPerCell) = (4, 3) measured global 10/30 / quality 0.907 —
+    * the sweep's peak; wider configs plateaued or fell. Per-node edge
+    * budget = 3 intra + A·kPerCell = 15, NSW-typical. */
+  private[operators] val CrossA = 4
+
+  /** Cross-cell edges per (node, adjacent cell): top-[[CrossKPerCell]]
+    * by cosine WITHIN each adjacent cell, not top-k overall — one
+    * escape hatch into EACH of the A nearest cells is worth more to a
+    * navigating walk than k parallel edges into the nearest one (the
+    * NSW/HNSW neighbor-diversity idea, PAPERS.md). */
+  private[operators] val CrossKPerCell = 3
 
   /** Cross-cell candidate pairs: each node against the members of its
-    * ADJACENT cell (nearest-centroid other cell) that share the node's
-    * sub-cell digit under the ADJACENT cell's own split grid — the same
-    * CellCap bound as the intra-cell rounds, so per-node candidates
-    * stay ~CellCap at any corpus size and the generator remains a keyed
-    * equi-join on (blabel, digit). */
-  private def crossCellCandidates(e: DataFrame): DataFrame = {
+    * top-`a` ADJACENT cells (nearest-centroid other cells) that share
+    * the node's sub-cell digit under each adjacent cell's own split
+    * grid — the same CellCap bound as the intra-cell rounds, so
+    * per-node candidates stay ≤ ~a·CellCap at any corpus size and the
+    * generator remains a keyed equi-join on (blabel, digit). Output
+    * carries `blabel` so edge selection can rank per adjacent cell. */
+  private def crossCellCandidates(e: DataFrame, a: Int): DataFrame = {
     val sizes = e.groupBy("label").agg(count(lit(1)).as("cellN"))
-    val adj = cellAdjacency(e)
+    val adj = cellAdjacency(e, a)
     val bmeta = sizes.select(col("label").as("blabel"),
       ceil(col("cellN") / lit(CellCap.toDouble)).cast("long").as("bns"))
     val qside = e.join(broadcast(adj), "label")
@@ -825,14 +839,27 @@ object AnnSearch {
     val cside = subSplit(e, sizes)
     qside.as("q").join(cside.as("c"),
         col("q.blabel") === col("c.label") && col("q.qsub") === col("c.sub"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand_id"),
+      .select(col("q.vec_id").as("qid"), col("q.blabel").as("blabel"),
+        col("c.vec_id").as("cand_id"),
         (expr(dotExpr) / (col("q.nrm") * col("c.nrm"))).as("cos"))
   }
 
-  /** DuckDB twin of [[crossCellCandidates]] + the top-[[CrossK]] edge
-    * ranking. Expects the `e` CTE plus [[cappedCandSqlCtes]]'s `sizes`
-    * and `subx` (the candidate-side sub-split); unreferenced CTEs of
-    * that block (e.g. `cand`) are never evaluated by DuckDB. */
+  /** The selected cross-cell edge set: top-`kPerCell` per (node,
+    * adjacent cell) over the candidates — ≤ a·kPerCell edges per node,
+    * each batch of kPerCell landing in a DIFFERENT cell. */
+  private def crossCellEdges(e: DataFrame, a: Int, kPerCell: Int): DataFrame = {
+    val wpc = Window.partitionBy("qid", "blabel").orderBy(desc("cos"), asc("cand_id"))
+    crossCellCandidates(e, a)
+      .withColumn("rnc", row_number().over(wpc))
+      .filter(col("rnc") <= kPerCell)
+      .select("qid", "blabel", "cand_id", "cos")
+  }
+
+  /** DuckDB twin of [[crossCellCandidates]] + the per-adjacent-cell
+    * top-[[CrossKPerCell]] edge ranking. Expects the `e` CTE plus
+    * [[cappedCandSqlCtes]]'s `sizes` and `subx` (the candidate-side
+    * sub-split); unreferenced CTEs of that block (e.g. `cand`) are
+    * never evaluated by DuckDB. */
   private def crossCellSqlCtes(qidCol: String): String = {
     val cos = """list_reduce(list_transform(generate_series(1, len(q.embedding)),
                  i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)),
@@ -853,20 +880,20 @@ object AnnSearch {
             FROM cent a JOIN cent b ON a.pos = b.pos AND a.label != b.label
             GROUP BY 1, 2) p
           JOIN cnorm n ON p.blabel = n.label) t
-        WHERE rn = 1),
+        WHERE rn <= $CrossA),
       xq AS (
         SELECT e.*, adj.blabel,
                CAST(ceil(bs.cellN / $CellCap.0) AS BIGINT) AS bns
         FROM e JOIN adj USING (label) JOIN sizes bs ON bs.label = adj.blabel),
       xqs AS (SELECT *, vec_id % bns AS qsub FROM xq),
       xcand AS (
-        SELECT q.vec_id AS $qidCol, c.vec_id AS cand_id, $cos AS cos
+        SELECT q.vec_id AS $qidCol, q.blabel AS blabel, c.vec_id AS cand_id, $cos AS cos
         FROM xqs q JOIN subx c ON q.blabel = c.label AND q.qsub = c.sub),
       xedges AS (
         SELECT $qidCol, cand_id FROM (
           SELECT $qidCol, cand_id,
-                 ROW_NUMBER() OVER (PARTITION BY $qidCol ORDER BY cos DESC, cand_id ASC) AS rank
-          FROM xcand) t WHERE rank <= $CrossK)"""
+                 ROW_NUMBER() OVER (PARTITION BY $qidCol, blabel ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM xcand) t WHERE rank <= $CrossKPerCell)"""
   }
 
   /** The NAVIGABLE edge set's SQL twin: capped intra-cell top-3 UNION
@@ -886,23 +913,27 @@ object AnnSearch {
     * long-range links (r15 verdict item 2: a greedy walk over the
     * intra-cell capped graph could never leave its entry cell — unlike
     * NSW/HNSW, whose long-range links are the point of a navigable
-    * graph). Each node gets its top-[[CrossK]] cosine neighbors among
-    * the digit-matched members of its nearest-centroid ADJACENT cell,
-    * so the walk can escape the coarse quantizer's pruning; the recall
-    * gate's global column moves off zero. Scale shape: one |cells|²
-    * centroid-adjacency frame (bounded by the quantizer, not the
-    * corpus) + one keyed equi-join on (adjacent label, sub-digit) with
-    * per-node candidates ≤ ~CellCap — the same O(corpus · CellCap)
-    * pair volume as one capped build round.
+    * graph). Each node gets its top-[[CrossKPerCell]] cosine neighbors
+    * among the digit-matched members of EACH of its top-[[CrossA]]
+    * nearest-centroid adjacent cells (r16 verdict item 1: rank-1-only
+    * adjacency gave the walk a one-cell escape radius — global recall
+    * 4/30; per-cell selection spends the edge budget on cell DIVERSITY,
+    * the NSW/HNSW neighbor-diversity idea). The walk can escape the
+    * coarse quantizer's pruning by up to [[CrossA]] cells per visited
+    * node; the recall gate's global column is floor-pinned in
+    * Round17Spec. Scale shape: one |cells|² centroid-adjacency frame
+    * (bounded by the quantizer, not the corpus) + one keyed equi-join
+    * on (adjacent label, sub-digit) with per-node candidates
+    * ≤ ~CrossA·CellCap — the same O(corpus · CellCap) pair volume
+    * class as one capped build round.
     */
   val knnGraphCrossCell: QueryDef = QueryDef(
     "ann_knn_graph_crosscell",
     (s, dir) => {
       val e = index(s, dir)
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      crossCellCandidates(e)
+      crossCellEdges(e, CrossA, CrossKPerCell)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= CrossK)
         .select("qid", "rank", "cand_id", "cos")
         .orderBy("qid", "rank")
     },
@@ -913,12 +944,15 @@ object AnnSearch {
         FROM embeddings),
       ${cappedCandSqlCtes("qid")},
       ${crossCellSqlCtes("qid")},
-      xranked AS (
-        SELECT qid, cand_id, cos,
-               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-        FROM xcand)
-      SELECT qid, rank, cand_id, cos FROM xranked
-      WHERE rank <= $CrossK
+      xsel AS (
+        SELECT qid, cand_id, cos FROM (
+          SELECT qid, blabel, cand_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid, blabel ORDER BY cos DESC, cand_id ASC) AS rnc
+          FROM xcand) t WHERE rnc <= $CrossKPerCell)
+      SELECT qid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank,
+             cand_id, cos
+      FROM xsel
       ORDER BY qid, rank
     """.stripMargin.trim))
 
@@ -1907,11 +1941,10 @@ object AnnSearch {
         // r15 verdict item 2: without long-range links the walk can
         // never leave its entry cell (the capped rounds are all
         // label-equal), so the navigable artifact adds each node's
-        // top-CrossK adjacent-cell edges — disjoint from the intra set
-        // by construction (different label), so the union needs no dedup
-        val cross = crossCellCandidates(e)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= CrossK)
+        // top-CrossKPerCell edges into EACH of its CrossA adjacent
+        // cells — disjoint from the intra set by construction
+        // (different label), so the union needs no dedup
+        val cross = crossCellEdges(e, CrossA, CrossKPerCell)
           .select("qid", "cand_id")
         intra.union(cross).localCheckpoint(true)
       }
@@ -2057,12 +2090,15 @@ object AnnSearch {
     * query pins NQ=10; [[BatchScalingProbe]] sweeps NQ (r14 verdict
     * item 5). */
   private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
-      NQ: Long): DataFrame = {
+      NQ: Long, edgesOverride: Option[DataFrame] = None): DataFrame = {
       require(NQ <= MaxBatchQ,
         s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
       val B = 3
       val e = index(s, dir)
-      val edges = knnEdges(s, dir)
+      // edgesOverride: NavTuningProbe sweeps candidate edge sets through
+      // the SAME walk the declared queries run; the declared queries all
+      // navigate the pinned canonical artifact
+      val edges = edgesOverride.getOrElse(knnEdges(s, dir))
       val qset = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("label").as("qlabel"))
@@ -2282,6 +2318,58 @@ object AnnSearch {
       FROM cside c JOIN gside g ON c.qid = g.qid JOIN bb ON bb.qid = c.qid
       ORDER BY c.qid
     """.stripMargin.trim))
+
+  /** Recall readout of one CANDIDATE navigable edge set (intra top-3 ∪
+    * cross top-`kPerCell` per `a` adjacent cells) through the exact
+    * walk the declared queries run — the sweep kernel
+    * [[NavTuningProbe]] uses to pick ([[CrossA]], [[CrossKPerCell]]).
+    * Returns (n_found_global/30, n_found_cell/30, n_top1/10) at the
+    * recall gate's NQ=10, B=3, 3 hops. */
+  private[operators] def navRecallStats(s: SparkSession, dir: String,
+      a: Int, kPerCell: Int): (Long, Long, Long, Double) = {
+    val e = index(s, dir)
+    val NQ = 10L; val B = 3
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val intra = cappedPairCandidates(e)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "cand_id")
+    val cross = crossCellEdges(e, a, kPerCell).select("qid", "cand_id")
+    val edges = intra.union(cross).localCheckpoint(true)
+    val finFull = greedyBatchProbe(s, dir, NQ, Some(edges)).filter(col("hop") === 3)
+    val fin = finFull.select(col("qid").as("fq"), col("vec_id").as("fv"))
+    val qset = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val wq = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    def scoredAll(cond: org.apache.spark.sql.Column) =
+      e.join(broadcast(qset), cond)
+        .select(col("qid"), col("vec_id"),
+          (expr("float_dot(embedding, qe)") / (col("nrm") * col("qn"))).as("cos"))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= B)
+    def found(exact: DataFrame): DataFrame =
+      exact.join(broadcast(fin),
+        col("qid") === col("fq") && col("vec_id") === col("fv"))
+    val nGlobal = found(scoredAll(col("vec_id") =!= col("qid"))).count()
+    val exCell = scoredAll(col("label") === col("qlabel") &&
+      col("vec_id") =!= col("qid"))
+    val cellHits = found(exCell)
+    val nCell = cellHits.count()
+    val nTop1 = cellHits.filter(col("rank") === 1).count()
+    // navigation QUALITY independent of id membership: how much of the
+    // best-possible cosine the final beam reaches, averaged over queries
+    // (mean of per-query beam_best / global_best — the dial that must
+    // not fall when an edge-budget change trades cell hits for global)
+    val beamBest = finFull.groupBy("qid").agg(max(col("cos")).as("bb"))
+    val globBest = scoredAll(col("vec_id") =!= col("qid"))
+      .filter(col("rank") === 1)
+      .select(col("qid").as("gq"), col("cos").as("gb"))
+    val quality = beamBest.join(globBest, col("qid") === col("gq"))
+      .agg(avg(col("bb") / col("gb"))).head().getDouble(0)
+    edges.unpersist(true)
+    (nGlobal, nCell, nTop1, quality)
+  }
 
   val defs: Seq[QueryDef] =
     Seq(bruteForce, ivfLabel, ivfPrebuilt, hyperplaneLsh, lshPrebuilt,

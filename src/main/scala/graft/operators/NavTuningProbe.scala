@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: sweeps the navigable graph's cross-cell edge
+  * budget — (CrossA adjacent cells) × (CrossKPerCell edges per cell) —
+  * through the EXACT batched walk the declared greedy queries run
+  * ([[AnnSearch.greedyBatchProbe]] with an edge-set override), printing
+  * the recall gate's three columns per configuration. The r16 verdict
+  * (item 1) asked the global column past token level; this probe is how
+  * the shipped constants were chosen — measurements recorded in
+  * DESIGN.md round-17.
+  *
+  * Usage: scripts/run_main.sh graft.operators.NavTuningProbe [sfDir]
+  */
+object NavTuningProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val configs = Seq((1, 2), (3, 3), (4, 3), (6, 3))
+    configs.foreach { case (a, k) =>
+      val t0 = System.nanoTime()
+      val (g, c, t, q) = AnnSearch.navRecallStats(spark, dir, a, k)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"a=$a kPerCell=$k global=$g/30 cell=$c/30 top1=$t/10 quality=$q%.4f (${dt}%.1f s)")
+    }
+    spark.stop()
+  }
+}

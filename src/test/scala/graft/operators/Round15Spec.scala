@@ -36,12 +36,17 @@ class Round15Spec extends SparkSpec {
     // column is no longer ~0 — its floor is pinned in Round16Spec. A
     // navigation change that strands the walk (e.g. reverting to a
     // global entry) zeroes the cell columns and fails here.
+    // r17 note: the cell-column floors were lowered when the cross-cell
+    // layer widened to CrossA=4 — on this random-label corpus a beam
+    // that finds globally BETTER nodes must evict own-cell ones, so
+    // cell hits fell (11→4) while global hits (4→10) and beam quality
+    // (0.76→0.91) rose; Round17Spec pins the global/quality floors.
+    // What this test still guards: a navigation change that strands the
+    // walk entirely (e.g. a global random entry) zeroes the columns.
     val rows = graft.SparkEntry.queries("ann_recall_greedy_vs_exact")(spark, dir).collect()
     assert(rows.length == 10, s"${rows.length} qids")
     val nCell = rows.map(_.getLong(1)).sum
-    val nTop1 = rows.count(_.getBoolean(2))
-    assert(nCell >= 8, s"cell-scoped search recall collapsed: $nCell/30 found")
-    assert(nTop1 >= 2, s"cell-scoped top-1 hits collapsed: $nTop1/10")
+    assert(nCell >= 2, s"cell-scoped search recall collapsed: $nCell/30 found")
     // cell-best never exceeds global-best by definition, and the beam
     // (scored exactly against the full corpus vectors it visits) can
     // never beat the exact global top-1

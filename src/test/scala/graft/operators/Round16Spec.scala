@@ -15,24 +15,26 @@ class Round16Spec extends SparkSpec {
     // r15 verdict item 2: the capped graph was intra-cell by
     // construction — zero cross-cell edges, so the composed index
     // (quantizer routes, graph serves) pruned whatever the quantizer
-    // pruned and global recall was ~0 BY CONSTRUCTION. With each node
-    // carrying top-2 links into its nearest-centroid adjacent cell the
-    // walk escapes the cell: measured at sf0.01 global 4/30 (was 0),
-    // cell 11/30 (was 9), top-1 4/10 (was 3) — the long-range links
-    // help even within-cell navigation (beams escape local traps).
-    // Floors pinned with headroom below the measured deterministic
-    // values; regressing the edge union or the adjacency zeroes these.
+    // pruned and global recall was ~0 BY CONSTRUCTION. r17 widened the
+    // layer to CrossA=4 adjacent cells × CrossKPerCell=3 (measured at
+    // sf0.01: global 10/30, quality 0.907 — the NavTuningProbe sweep's
+    // peak). The old cell-column floors (cell ≥ 10, top-1 ≥ 3) are
+    // deliberately superseded: on this corpus labels are random w.r.t.
+    // cosine (TESTDATA), so the own-cell top-3 and the global top-3 are
+    // nearly disjoint sets and a B=3 beam that finds globally BETTER
+    // nodes must evict own-cell ones — cell hits falling while global
+    // hits and beam quality rise is the index working. Round17Spec
+    // pins the new global and quality floors; here only the
+    // off-zero sanity of both columns remains.
     val rows = graft.SparkEntry.queries("ann_recall_greedy_vs_exact")(spark, dir).collect()
     val nGlobal = rows.map(_.getLong(3)).sum
     val nCell = rows.map(_.getLong(1)).sum
-    val nTop1 = rows.count(_.getBoolean(2))
     assert(nGlobal >= 2, s"global greedy recall back to ~zero: $nGlobal/30 — " +
       "did the navigable edge set lose its cross-cell layer?")
-    assert(nCell >= 10, s"cell recall lost the cross-cell gain: $nCell/30")
-    assert(nTop1 >= 3, s"cell top-1 lost the cross-cell gain: $nTop1/10")
+    assert(nCell >= 2, s"cell recall collapsed: $nCell/30")
   }
 
-  test("cross-cell edges are bounded, adjacent-cell-only, and CrossK per node") {
+  test("cross-cell edges are bounded, adjacent-cell-only, per-cell-capped") {
     val df = graft.SparkEntry.queries("ann_knn_graph_crosscell")(spark, dir)
     val e = graft.Tables.embeddings(spark, dir).select("vec_id", "label")
     val joined = df.join(e.withColumnRenamed("vec_id", "qid")
@@ -42,12 +44,18 @@ class Round16Spec extends SparkSpec {
     // every cross edge leaves its own cell (that is its whole point)
     assert(joined.filter(col("qlabel") === col("clabel")).count() == 0,
       "cross-cell edge landed in its own cell")
-    // each node has at most CrossK=2 edges and exactly one target cell
+    // each node: at most CrossA target cells, ≤ CrossKPerCell edges
+    // into each, so ≤ CrossA·CrossKPerCell edges total
+    val maxN = AnnSearch.CrossA * AnnSearch.CrossKPerCell
     val per = joined.groupBy("qid")
       .agg(count(lit(1)).as("n"), countDistinct("clabel").as("cells"))
-    assert(per.filter(col("n") > 2).count() == 0, "more than CrossK edges on a node")
-    assert(per.filter(col("cells") > 1).count() == 0,
-      "a node's cross edges target more than its one adjacent cell")
+    assert(per.filter(col("n") > maxN).count() == 0,
+      s"more than CrossA*CrossKPerCell=$maxN edges on a node")
+    assert(per.filter(col("cells") > AnnSearch.CrossA).count() == 0,
+      s"a node's cross edges target more than CrossA=${AnnSearch.CrossA} cells")
+    val perCell = joined.groupBy("qid", "clabel").agg(count(lit(1)).as("n"))
+    assert(perCell.filter(col("n") > AnnSearch.CrossKPerCell).count() == 0,
+      s"more than CrossKPerCell=${AnnSearch.CrossKPerCell} edges into one cell")
   }
 
   test("reverse delta maintenance is the transpose universe of the forward arm") {
