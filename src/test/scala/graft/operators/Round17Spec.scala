@@ -35,4 +35,47 @@ class Round17Spec extends SparkSpec {
         s"qid=${r.getLong(0)} beam ${r.getDouble(4)} beat global ${r.getDouble(6)}")
     }
   }
+
+  test("delta apply: maintained graph EQUALS the from-scratch rebuild on the stored grid") {
+    // r16 verdict item 3: forward and reverse delta candidates were
+    // both green rows, but the merge APPLY — and its defining invariant
+    // — was neither declared nor gated. The invariant: stored top-3 ∪
+    // forward ∪ reverse ∪ new×new, re-ranked top-3 per node, equals the
+    // capped graph rebuilt over corpus+delta on the stored census grid.
+    // Bit-for-bit equality expected: every cosine on both sides comes
+    // from the same float_dot/nrm expressions.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val maintained = graft.SparkEntry.queries("ann_knn_graph_delta_apply")(spark, dir)
+      .collect().map(key).toSeq
+    val rebuilt = AnnSearch.deltaApplyRebuild(spark, dir)
+      .collect().map(key).toSeq
+    assert(maintained.nonEmpty, "delta apply produced no rows")
+    assert(maintained == rebuilt,
+      s"maintained graph diverged from the rebuild: ${maintained.size} vs " +
+        s"${rebuilt.size} rows; first diff: " +
+        maintained.zip(rebuilt).find { case (a, b) => a != b }
+          .orElse(Some((maintained.size, rebuilt.size))).get)
+  }
+
+  test("audit_guard_engaged_parity actually engages the sampled branch (modulus > 1)") {
+    // r16 verdict, What's wrong #3: the declared query must exercise
+    // modulus > 1 — the exact expected audited cardinality over the
+    // fixed id range 0..5999 at modulus 3 is computable in closed form
+    // from the hash predicate, so pin it rather than a band.
+    val rows = graft.SparkEntry.queries("audit_guard_engaged_parity")(spark, dir).collect()
+    assert(rows.length == 7, s"expected 7 id-mod-7 groups, got ${rows.length}")
+    val nAudited = rows.map(_.getLong(1)).sum
+    val expected = (0L until 6000L).count(id =>
+      ((id % AuditGuard.HashP) * AuditGuard.HashQ) % AuditGuard.HashP % 3 == 0)
+    assert(nAudited == expected && nAudited < 6000,
+      s"audited cardinality $nAudited != expected $expected — is the " +
+        "sampled branch (modulus = floor(6000/2000) = 3) actually engaged?")
+    // each audited row pairs with its full 119-row bucket remainder:
+    // the candidate side must stay COMPLETE (that is what makes each
+    // audited row's own readout exact)
+    val nPairs = rows.map(_.getLong(2)).sum
+    assert(nPairs == nAudited * 119L,
+      s"pair count $nPairs != audited $nAudited x 119 — candidate side decimated?")
+  }
 }
