@@ -64,6 +64,48 @@ object PipelineBench {
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     println(
       s"""{"metric":"pipeline_changes_per_sec","value":${f("%.0f", rate)},"unit":"changes/sec","changes":$nChanges,"catalog":$nCatalog,"dlq":$nSkipped,"sec":${f("%.3f", dt)},"host_steal_pct":${steal.map(f("%.3f", _)).getOrElse("null")},"sf":"$sfDir"}""")
+
+    // Batch-size amortization sweep (r16 verdict item 6): the r16 floor
+    // decomposition (DESIGN.md r16 §5) showed the streaming-specific
+    // engine cost is a FIXED ~15–25 ms/micro-batch plus a per-job
+    // scheduling floor, i.e. cost/change ∝ 1/batch-size — the 100 TB
+    // amortization claim. Demonstrate it IN NUMBERS: the same feed
+    // replicated to ~100k changes (seq-shifted so the class mix is
+    // preserved exactly — see syntheticFeedReplicated), streamed through
+    // the FULL pipeline (file source staged one-file-per-micro-batch,
+    // foreachBatch writing all four sinks) at micro-batch sizes
+    // 1k / 10k / 100k rows. Skippable with SPARK_GRAFT_PIPE_SWEEP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_PIPE_SWEEP", "1") != "0") {
+      val feedBig = npm.NpmReplayOps.syntheticFeedReplicated(spark, sfDir, 5)
+        .localCheckpoint(true)
+      val nBig = feedBig.count()
+      def deleteRec(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(deleteRec))
+        p.delete(): Unit
+      }
+      Seq(1000L, 10000L, 100000L).foreach { bs =>
+        val nFiles = math.max(1L, math.round(nBig.toDouble / bs)).toInt
+        val stage = TmpDirs.create("graft-pipesweep-feed")
+        // round-robin repartition → nFiles near-equal text files, each
+        // one micro-batch under maxFilesPerTrigger=1
+        feedBig.repartition(nFiles).write.mode("overwrite").text(stage)
+        val outDir = TmpDirs.create("graft-pipesweep-out")
+        val ck = TmpDirs.create("graft-pipesweep-ck")
+        val src = streaming.NpmStream.fileSource(spark, stage, maxFilesPerTrigger = 1)
+        val s0 = Bench.cpuStat()
+        val t0 = System.nanoTime()
+        val q = streaming.NpmStream.start(spark, src, outDir, ck)
+        q.awaitTermination()
+        val dt2 = (System.nanoTime() - t0) / 1e9
+        val steal2 = for { (a0, b0) <- s0; (a1, b1) <- Bench.cpuStat() if b1 > b0 }
+          yield (a1 - a0) * 100.0 / (b1 - b0)
+        val nBatches = Option(new java.io.File(s"$outDir/catalog").listFiles())
+          .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+        println(
+          s"""{"metric":"pipeline_sweep_changes_per_sec","batch_rows":$bs,"value":${f("%.0f", nBig / dt2)},"unit":"changes/sec","changes":$nBig,"n_batches":$nBatches,"sec":${f("%.3f", dt2)},"host_steal_pct":${steal2.map(f("%.3f", _)).getOrElse("null")},"sf":"$sfDir"}""")
+        Seq(stage, outDir, ck).foreach(p => deleteRec(new java.io.File(p)))
+      }
+    }
     spark.stop()
   }
 }

@@ -53,8 +53,30 @@ object NpmReplayOps {
   def syntheticFeed(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     feed(s, dir)
 
-  private def feed(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = Tables.part(s, dir)
+  /** The feed replicated `rep`× for throughput sweeps that need more
+    * changes than `part` carries (PipelineBench's batch-size
+    * amortization rows): replica r shifts every p_partkey by
+    * r · 300,300 — the lcm of every modulus the feed classes use
+    * (5·7·11·13 · 12 · 50 · 100), so seqs stay globally unique while
+    * each replica reproduces the exact class mix (scoped names,
+    * malformed semvers, no-doc and oversized-tarball DLQ routes). The
+    * correctness-gate feed is untouched (rep = 1 is that feed). */
+  def syntheticFeedReplicated(s: org.apache.spark.sql.SparkSession, dir: String,
+      rep: Int): org.apache.spark.sql.DataFrame = {
+    val base = Tables.part(s, dir)
+    val reps = base
+      .crossJoin(s.range(rep.toLong).select(col("id").as("r")))
+      .withColumn("p_partkey", col("p_partkey") + col("r") * lit(300300L))
+      .drop("r")
+    feedFrom(reps, s)
+  }
+
+  private def feed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    feedFrom(Tables.part(s, dir), s)
+
+  private def feedFrom(part: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession) = {
+    val p = part
       .withColumn("id",
         when(col("p_partkey") % 5 === 0, concat(lit("@graft/pkg-"), col("p_partkey")))
           .otherwise(concat(lit("pkg-"), col("p_partkey"))))

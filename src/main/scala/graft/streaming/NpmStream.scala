@@ -75,11 +75,17 @@ object NpmStream {
 
   /** S1-parity test source: a directory of JSONL change files. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
+    fileSource(spark, dir, maxFilesPerTrigger = 4)
+
+  /** As above with an explicit per-trigger file cap — PipelineBench's
+    * batch-size sweep stages one file per intended micro-batch and sets
+    * the cap to 1, so `file rows = maxOffsetsPerTrigger` in effect. */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", "4")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .text(dir)
 
   /** Write one micro-batch's four outputs idempotently: each sink is

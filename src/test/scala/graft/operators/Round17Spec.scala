@@ -78,4 +78,32 @@ class Round17Spec extends SparkSpec {
     assert(nPairs == nAudited * 119L,
       s"pair count $nPairs != audited $nAudited x 119 — candidate side decimated?")
   }
+
+  test("streaming pipeline sustains the amortized-throughput floor at one large batch") {
+    // r16 verdict item 6: the floor decomposition said per-batch cost is
+    // fixed and amortizes — PipelineBench's sweep shows it in numbers
+    // (392 / 2,231 / 13,428 changes/s at 1k/10k/100k-row micro-batches,
+    // DESIGN.md r17). This pins the claim's floor in CI at the largest-
+    // batch shape: the sf0.01 feed (2,001 changes) as ONE micro-batch
+    // through the FULL streaming pipeline (file source → foreachBatch →
+    // all four sinks) must sustain ≥ 100 changes/s — 2.5× the
+    // reference's deployed ~40 changes/s envelope, with ~7× headroom
+    // under the measured rate so host waves don't flake the suite.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val feed = graft.npm.NpmReplayOps.syntheticFeed(spark, dir).localCheckpoint(true)
+    val n = feed.count()
+    val stage = graft.TmpDirs.create("graft-pipesweep-feed")
+    feed.coalesce(1).write.mode("overwrite").text(stage)
+    val outDir = graft.TmpDirs.create("graft-pipesweep-out")
+    val ck = graft.TmpDirs.create("graft-pipesweep-ck")
+    val src = graft.streaming.NpmStream.fileSource(spark, stage, maxFilesPerTrigger = 1)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.NpmStream.start(spark, src, outDir, ck)
+    q.awaitTermination()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val rate = n / dt
+    assert(rate >= 100.0,
+      f"streaming pipeline sustained only $rate%.0f changes/s over $n changes " +
+        f"($dt%.1f s) — below the 100/s floor (2.5x the deployed contract)")
+  }
 }
