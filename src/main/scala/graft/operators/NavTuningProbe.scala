@@ -24,7 +24,10 @@ object NavTuningProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val configs = Seq((1, 2), (3, 3), (4, 3), (6, 3))
+    // the r17 sweep that chose (CrossA, CrossKPerCell) = (4, 3) — full
+    // results in DESIGN.md round-17 §2
+    val configs = Seq((1, 2), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+      (4, 2), (4, 3), (4, 4), (5, 2), (5, 3), (6, 3))
     configs.foreach { case (a, k) =>
       val t0 = System.nanoTime()
       val (g, c, t, q) = AnnSearch.navRecallStats(spark, dir, a, k)
