@@ -2226,7 +2226,7 @@ object AnnSearch {
     * query pins NQ=10; [[BatchScalingProbe]] sweeps NQ (r14 verdict
     * item 5). */
   private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
-      NQ: Long, edgesOverride: Option[DataFrame] = None): DataFrame = {
+      NQ: Long, edgesOverride: Option[DataFrame] = None, hops: Int = 3): DataFrame = {
       require(NQ <= MaxBatchQ,
         s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
       val B = 3
@@ -2275,9 +2275,12 @@ object AnnSearch {
           .localCheckpoint(true)
       }
       val b0 = scoredB(entries).localCheckpoint(true)
-      val b1 = hopB(b0); val b2 = hopB(b1); val b3 = hopB(b2)
+      // b0..b{hops}; the declared queries pin hops=3, NavTuningProbe
+      // sweeps the budget dial (hopB's localCheckpoint keeps each step
+      // eager, so the chain cost is linear in hops)
+      val beams = Iterator.iterate(b0)(hopB).take(hops + 1).toSeq
       val wr = Window.partitionBy("hop", "qid").orderBy(desc("cos"), asc("vec_id"))
-      Seq(b0, b1, b2, b3).zipWithIndex
+      beams.zipWithIndex
         .map { case (b, h) =>
           b.select(lit(h.toLong).as("hop"), col("qid"), col("vec_id"), col("cos")) }
         .reduce(_ union _)
@@ -2536,7 +2539,7 @@ object AnnSearch {
     * Returns (n_found_global/30, n_found_cell/30, n_top1/10) at the
     * recall gate's NQ=10, B=3, 3 hops. */
   private[operators] def navRecallStats(s: SparkSession, dir: String,
-      a: Int, kPerCell: Int): (Long, Long, Long, Double) = {
+      a: Int, kPerCell: Int, hops: Int = 3): (Long, Long, Long, Double) = {
     val e = index(s, dir)
     val NQ = 10L; val B = 3
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
@@ -2546,7 +2549,8 @@ object AnnSearch {
       .select("qid", "cand_id")
     val cross = crossCellEdges(e, a, kPerCell).select("qid", "cand_id")
     val edges = intra.union(cross).localCheckpoint(true)
-    val finFull = greedyBatchProbe(s, dir, NQ, Some(edges)).filter(col("hop") === 3)
+    val finFull = greedyBatchProbe(s, dir, NQ, Some(edges), hops)
+      .filter(col("hop") === hops)
     val fin = finFull.select(col("qid").as("fq"), col("vec_id").as("fv"))
     val qset = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
