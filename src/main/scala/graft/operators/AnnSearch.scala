@@ -2226,10 +2226,11 @@ object AnnSearch {
     * query pins NQ=10; [[BatchScalingProbe]] sweeps NQ (r14 verdict
     * item 5). */
   private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
-      NQ: Long, edgesOverride: Option[DataFrame] = None, hops: Int = 3): DataFrame = {
+      NQ: Long, edgesOverride: Option[DataFrame] = None, hops: Int = 3,
+      beamB: Int = 3): DataFrame = {
       require(NQ <= MaxBatchQ,
         s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
-      val B = 3
+      val B = beamB
       val e = index(s, dir)
       // edgesOverride: NavTuningProbe sweeps candidate edge sets through
       // the SAME walk the declared queries run; the declared queries all
@@ -2539,8 +2540,10 @@ object AnnSearch {
     * Returns (n_found_global/30, n_found_cell/30, n_top1/10) at the
     * recall gate's NQ=10, B=3, 3 hops. */
   private[operators] def navRecallStats(s: SparkSession, dir: String,
-      a: Int, kPerCell: Int, hops: Int = 3): (Long, Long, Long, Double) = {
+      a: Int, kPerCell: Int, hops: Int = 3, beamB: Int = 3): (Long, Long, Long, Double) = {
     val e = index(s, dir)
+    // the exact universe stays the recall gate's top-3 regardless of
+    // the walk's beam width — a wider beam is judged on the same target
     val NQ = 10L; val B = 3
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     val intra = cappedPairCandidates(e)
@@ -2549,7 +2552,7 @@ object AnnSearch {
       .select("qid", "cand_id")
     val cross = crossCellEdges(e, a, kPerCell).select("qid", "cand_id")
     val edges = intra.union(cross).localCheckpoint(true)
-    val finFull = greedyBatchProbe(s, dir, NQ, Some(edges), hops)
+    val finFull = greedyBatchProbe(s, dir, NQ, Some(edges), hops, beamB)
       .filter(col("hop") === hops)
     val fin = finFull.select(col("qid").as("fq"), col("vec_id").as("fv"))
     val qset = e.filter(col("vec_id") < NQ)

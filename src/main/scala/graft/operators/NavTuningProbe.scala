@@ -23,6 +23,8 @@ object NavTuningProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val hopSweep = args.drop(1).headOption
       .map(_.split(",").map(_.trim.toInt).toSeq)
+    val beamSweep = args.drop(2).headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(3))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -33,12 +35,12 @@ object NavTuningProbe {
     spark.sparkContext.setLogLevel("ERROR")
     hopSweep match {
       case Some(hopsList) =>
-        hopsList.foreach { h =>
+        for (h <- hopsList; b <- beamSweep) {
           val t0 = System.nanoTime()
           val (g, c, t, q) = AnnSearch.navRecallStats(spark, dir,
-            AnnSearch.CrossA, AnnSearch.CrossKPerCell, hops = h)
+            AnnSearch.CrossA, AnnSearch.CrossKPerCell, hops = h, beamB = b)
           val dt = (System.nanoTime() - t0) / 1e9
-          println(f"hops=$h global=$g/30 cell=$c/30 top1=$t/10 quality=$q%.4f (${dt}%.1f s)")
+          println(f"hops=$h beam=$b global=$g/30 cell=$c/30 top1=$t/10 quality=$q%.4f (${dt}%.1f s)")
         }
       case None =>
         // the r17 sweep that chose (CrossA, CrossKPerCell) = (4, 3) —
