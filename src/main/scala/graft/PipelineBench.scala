@@ -76,7 +76,15 @@ object PipelineBench {
     // foreachBatch writing all four sinks) at micro-batch sizes
     // 1k / 10k / 100k rows. Skippable with SPARK_GRAFT_PIPE_SWEEP=0.
     if (sys.env.getOrElse("SPARK_GRAFT_PIPE_SWEEP", "1") != "0") {
-      val feedBig = npm.NpmReplayOps.syntheticFeedReplicated(spark, sfDir, 5)
+      // replica count derived from a TARGET row count (r17 advice: a
+      // hardcoded rep=5 meant a smaller sfDir ran the bs=100000 arm as
+      // one micro-batch of far fewer rows while still labeling it
+      // 100000) — and each arm reports its ACTUAL rows per batch next
+      // to the requested size.
+      val sweepTarget = 100000L
+      val rep = math.max(1L, math.round(
+        sweepTarget.toDouble / math.max(1L, nChanges))).toInt
+      val feedBig = npm.NpmReplayOps.syntheticFeedReplicated(spark, sfDir, rep)
         .localCheckpoint(true)
       val nBig = feedBig.count()
       def deleteRec(p: java.io.File): Unit = {
@@ -101,8 +109,9 @@ object PipelineBench {
           yield (a1 - a0) * 100.0 / (b1 - b0)
         val nBatches = Option(new java.io.File(s"$outDir/catalog").listFiles())
           .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+        val actualRows = if (nBatches > 0) nBig / nBatches else nBig
         println(
-          s"""{"metric":"pipeline_sweep_changes_per_sec","batch_rows":$bs,"value":${f("%.0f", nBig / dt2)},"unit":"changes/sec","changes":$nBig,"n_batches":$nBatches,"sec":${f("%.3f", dt2)},"host_steal_pct":${steal2.map(f("%.3f", _)).getOrElse("null")},"sf":"$sfDir"}""")
+          s"""{"metric":"pipeline_sweep_changes_per_sec","batch_rows":$bs,"batch_rows_actual":$actualRows,"value":${f("%.0f", nBig / dt2)},"unit":"changes/sec","changes":$nBig,"n_batches":$nBatches,"sec":${f("%.3f", dt2)},"host_steal_pct":${steal2.map(f("%.3f", _)).getOrElse("null")},"sf":"$sfDir"}""")
         Seq(stage, outDir, ck).foreach(p => deleteRec(new java.io.File(p)))
       }
     }

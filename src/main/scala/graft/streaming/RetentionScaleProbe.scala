@@ -19,9 +19,24 @@ import graft.npm.Retention.ZipArrival
   * memoryUsedBytes, RocksDB custom metrics when that provider is
   * active). Results recorded in DESIGN.md round-17.
   *
-  * Usage: scripts/run_main.sh graft.streaming.RetentionScaleProbe
+  * A second mode (`sweep` argument, r17 verdict item 4) root-causes the
+  * 250k-key RocksDB inversion (24.6 s vs HDFS-backed 9.7 s in the r17
+  * table): the same workload under RocksDB knob arms — changelog
+  * checkpointing (skip the full-SST-set upload each commit),
+  * trackTotalNumberOfRows=false (skip the read-before-write each put
+  * pays to maintain the row counter), a bigger memtable, and the
+  * combinations — next to an HDFS-backed reference in the same window.
+  * Results recorded in DESIGN.md round-18.
+  *
+  * Usage: scripts/run_main.sh graft.streaming.RetentionScaleProbe [sweep]
   */
 object RetentionScaleProbe {
+  private val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val Rdb = "spark.sql.streaming.stateStore.rocksdb"
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -33,14 +48,36 @@ object RetentionScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val providers = Seq(
-      "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    for (k <- Seq(25000, 250000); (pname, pclass) <- providers) {
+    // (arm name, keys, provider, extra conf) per run; default mode is the
+    // r16-verdict decade table, sweep mode the r17-verdict knob matrix
+    val runs: Seq[(String, Int, String, Map[String, String])] =
+      if (args.headOption.contains("sweep")) {
+        val k = 250000
+        Seq(
+          ("hdfs_ref", k, HdfsProvider, Map.empty),
+          ("rocksdb_default", k, RocksProvider, Map.empty),
+          ("rocksdb_changelog", k, RocksProvider,
+            Map(s"$Rdb.changelogCheckpointing.enabled" -> "true")),
+          ("rocksdb_notrack", k, RocksProvider,
+            Map(s"$Rdb.trackTotalNumberOfRows" -> "false")),
+          ("rocksdb_changelog_notrack", k, RocksProvider,
+            Map(s"$Rdb.changelogCheckpointing.enabled" -> "true",
+              s"$Rdb.trackTotalNumberOfRows" -> "false")),
+          ("rocksdb_changelog_notrack_wb256", k, RocksProvider,
+            Map(s"$Rdb.changelogCheckpointing.enabled" -> "true",
+              s"$Rdb.trackTotalNumberOfRows" -> "false",
+              s"$Rdb.writeBufferSizeMB" -> "256")))
+      } else {
+        for (k <- Seq(25000, 250000); (p, c) <- Seq(
+          "hdfs" -> HdfsProvider, "rocksdb" -> RocksProvider))
+          yield (p, k, c, Map.empty[String, String])
+      }
+    for ((pname, k, pclass, extra) <- runs) {
       // isolated session per run: own SQLConf so the provider swap and
       // checkpoint never leak across arms
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+      extra.foreach { case (ck, cv) => s2.conf.set(ck, cv) }
       import s2.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
       val ckpt = graft.TmpDirs.create("graft-retscale-ck")
