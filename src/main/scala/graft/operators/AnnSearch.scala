@@ -692,6 +692,18 @@ object AnnSearch {
     * re-key, new×new bounded the same way) plus one top-3 re-rank
     * keyed by node over stored(3/node) ∪ bounded candidates — linear
     * in corpus with a small constant, O(|delta|) in the delta.
+    *
+    * NO-NEW-CELLS ASSUMPTION (r17 advice, now declared): an arrival
+    * whose label has ZERO members in the stored census vanishes from
+    * the maintained graph — subSplit inner-joins the arrival against
+    * the OLD census, so a brand-new cell produces no rows (and
+    * [[deltaApplyRebuild]] shares the same join, so the equality gate
+    * cannot see the omission either). The assumption is AUDITABLE, not
+    * silent: [[newCellArrivals]] names exactly the dropped arrivals,
+    * and [[rebuildDue]] declares that a non-empty audit — like
+    * cumulative delta crossing [[DeltaRebuildFrac]] — forces the next
+    * full re-census. Round18Spec gates both directions (empty on this
+    * corpus; detected on a synthetic new-cell batch).
     */
   val knnGraphDeltaApply: QueryDef = QueryDef(
     "ann_knn_graph_delta_apply",
@@ -700,18 +712,8 @@ object AnnSearch {
       val isNew = col("vec_id") % 7 === 3
       val old = e.filter(!isNew)
       val sizes = old.groupBy("label").agg(count(lit(1)).as("cellN"))
-      val oldS = subSplit(old, sizes)
-      val newS = subSplit(e.filter(isNew), sizes)
-      val fwd = cappedRounds(newS, oldS)
-      val rev = fwd.select(col("cand_id").as("qid"), col("qid").as("cand_id"),
-        col("cos"))
-      val nn = cappedRounds(newS, newS)
-      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-      storedOldEdges(s, dir)
-        .union(fwd).union(rev).union(nn)
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("qid", "rank", "cand_id", "cos")
+      applyDeltaStep(storedOldEdges(s, dir),
+          subSplit(old, sizes), subSplit(e.filter(isNew), sizes))
         .orderBy("qid", "rank")
     },
     Some(s"""
@@ -772,6 +774,156 @@ object AnnSearch {
       .filter(col("rank") <= 3)
       .select("qid", "rank", "cand_id", "cos")
       .orderBy("qid", "rank")
+  }
+
+  /** ONE apply step of incremental maintenance as a pure frame
+    * function — the kernel [[knnGraphDeltaApply]] declares once and the
+    * SEQUENTIAL contract iterates: given the current maintained edge
+    * set (qid, cand_id, cos — top-3 per node over the current corpus
+    * on the stored grid), the current corpus and an arrival batch
+    * (both sub-split on the STORED grid), returns the maintained set
+    * after the batch: stored ∪ forward ∪ reverse ∪ arrival×arrival,
+    * re-ranked top-3 per node. The inductive invariant (gated apply∘
+    * apply in Round18Spec): if `stored` is the exact capped top-3 over
+    * the current corpus, the result is the exact capped top-3 over
+    * corpus ∪ batch — so any chain of disjoint batches equals the
+    * from-scratch rebuild on the stored grid. */
+  private[operators] def applyDeltaStep(stored: DataFrame, curS: DataFrame,
+      newS: DataFrame): DataFrame = {
+    val fwd = cappedRounds(newS, curS)
+    val rev = fwd.select(col("cand_id").as("qid"), col("qid").as("cand_id"),
+      col("cos"))
+    val nn = cappedRounds(newS, newS)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    stored.select("qid", "cand_id", "cos")
+      .union(fwd).union(rev).union(nn)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "cand_id", "cos")
+  }
+
+  /** TWO-batch sequential maintenance (r17 verdict item 3): corpus0 =
+    * residues ∉ {3, 5} under its OWN census grid; batch1 = %7==3,
+    * batch2 = %7==5 — disjoint by construction. Applies batch1 then
+    * batch2 through [[applyDeltaStep]] on the STORED grid (each
+    * intermediate graph localCheckpointed — a deployment persists the
+    * maintained artifact between batches, and the lineage would
+    * otherwise double per step). Round18Spec gates the result equal,
+    * bit for bit, to [[deltaApplySequentialRebuild]]. */
+  private[operators] def deltaApplySequential(s: SparkSession, dir: String): DataFrame = {
+    val e = index(s, dir)
+    val isB1 = col("vec_id") % 7 === 3
+    val isB2 = col("vec_id") % 7 === 5
+    val c0 = e.filter(!isB1 && !isB2)
+    val sizes = c0.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val c0S = subSplit(c0, sizes)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val stored0 = cappedRounds(c0S, c0S)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "cand_id", "cos")
+    val m1 = applyDeltaStep(stored0, c0S, subSplit(e.filter(isB1), sizes))
+      .select("qid", "cand_id", "cos")
+      .localCheckpoint(true)
+    val m2 = applyDeltaStep(m1, c0S.union(subSplit(e.filter(isB1), sizes)),
+      subSplit(e.filter(isB2), sizes))
+    m2.orderBy("qid", "rank")
+  }
+
+  /** Reference arm of the sequential contract: the capped top-3 graph
+    * rebuilt from scratch over corpus0 ∪ batch1 ∪ batch2 on the
+    * STORED (corpus0-census) grid. */
+  private[operators] def deltaApplySequentialRebuild(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = index(s, dir)
+    val isB1 = col("vec_id") % 7 === 3
+    val isB2 = col("vec_id") % 7 === 5
+    val c0 = e.filter(!isB1 && !isB2)
+    val sizes = c0.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val allS = subSplit(e, sizes)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    cappedRounds(allS, allS)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "cand_id", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** The arrivals the delta path CANNOT place: labels absent from the
+    * stored census (the inner join to `sizes` drops them — see the
+    * no-new-cells note on [[knnGraphDeltaApply]]). A maintenance
+    * deployment routes this frame to the rebuild trigger rather than
+    * assuming it is empty; Round18Spec gates both the empty case (this
+    * corpus) and detection on a synthetic new-cell batch. */
+  private[operators] def newCellArrivals(e: DataFrame,
+      isNew: org.apache.spark.sql.Column): DataFrame = {
+    val census = e.filter(!isNew).select("label").distinct()
+    e.filter(isNew).join(broadcast(census), Seq("label"), "left_anti")
+  }
+
+  /** The generalized apply core over an arbitrary embeddings frame
+    * (vec_id, label, embedding, nrm) — what the declared query runs on
+    * the pinned corpus, exposed so the new-cell gate can feed a
+    * synthetic frame whose arrival labels are absent from the census. */
+  private[operators] def applyDeltaOn(e: DataFrame,
+      isNew: org.apache.spark.sql.Column): DataFrame = {
+    val old = e.filter(!isNew)
+    val sizes = old.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val oldS = subSplit(old, sizes)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val stored = cappedRounds(oldS, oldS)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "cand_id", "cos")
+    applyDeltaStep(stored, oldS, subSplit(e.filter(isNew), sizes))
+  }
+
+  /** Declared REBUILD TRIGGER for incremental maintenance (r17 verdict
+    * item 3 — previously stale-grid prose): re-census (full rebuild on
+    * a fresh grid) once cumulative |delta| exceeds
+    * [[DeltaRebuildFrac]] × |corpus at last census|, or immediately
+    * when [[newCellArrivals]] is non-empty. The fraction is MEASURED,
+    * not chosen ([[DeltaGridProbe]], DESIGN r18): the frozen grid
+    * inflates the capped maintenance pair frame vs a re-censused one
+    * (occupancy grows with (1+f) while nsplits stays frozen) — at
+    * cumulative f ≈ 1/3, 2/3, 1, 4/3 the stale/fresh pair ratio reads
+    * 1.08/1.22/1.30/1.45 at sf0.01 and 1.20/1.55/1.74/1.91 at sf0.1:
+    * the larger corpus crosses 1.5× — the hot-cell territory the cap
+    * exists to bound — between f = 1/3 and f = 2/3. The trigger at
+    * 0.5 re-censuses before that measured crossing at both sizes
+    * (inflation ≤ ~1.4× everywhere below it). */
+  private[operators] val DeltaRebuildFrac = 0.5
+  private[operators] def rebuildDue(cumDelta: Long, censusCorpus: Long,
+      newCells: Long): Boolean =
+    newCells > 0 || cumDelta > DeltaRebuildFrac * censusCorpus
+
+  /** Grid-staleness kernel behind [[DeltaRebuildFrac]]'s measured
+    * crossover ([[DeltaGridProbe]]): census corpus = residues {0,1,2},
+    * cumulative delta = `deltaResidues` ⊆ {3..6}. Returns (delta
+    * fraction f = |delta|/|census corpus|, capped pair count on the
+    * STALE corpus0 grid, pair count on a FRESH re-census grid, max
+    * stale sub-cell occupancy ÷ CellCap). The stale/fresh pair ratio
+    * is the maintenance cost inflation a frozen grid accumulates —
+    * sub-cell occupancy grows with (1+f) while nsplits stays frozen,
+    * so pairs grow ~(1+f)² against a flat fresh-grid baseline. */
+  private[operators] def gridStalenessStats(s: SparkSession, dir: String,
+      deltaResidues: Seq[Int]): (Double, Long, Long, Double) = {
+    val e = index(s, dir)
+    val res = pmod(col("vec_id"), lit(7L))
+    val isC0 = res.isin(0, 1, 2)
+    val isNew = res.isin(deltaResidues.map(r => r: Any): _*)
+    val c0 = e.filter(isC0)
+    val all = e.filter(isC0 || isNew)
+    val sizes0 = c0.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val sizesF = all.groupBy("label").agg(count(lit(1)).as("cellN"))
+    val f = e.filter(isNew).count().toDouble / c0.count()
+    val staleS = subSplit(all, sizes0)
+    val freshS = subSplit(all, sizesF)
+    val stalePairs = cappedRounds(staleS, staleS).count()
+    val freshPairs = cappedRounds(freshS, freshS).count()
+    val maxOcc = staleS.groupBy("label", "sub").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    (f, stalePairs, freshPairs, maxOcc.toDouble / CellCap)
   }
 
   /** Cell-capped k-NN graph: cells larger than Cap=16 are split into
@@ -956,6 +1108,60 @@ object AnnSearch {
     * navigating walk than k parallel edges into the nearest one (the
     * NSW/HNSW neighbor-diversity idea, PAPERS.md). */
   private[operators] val CrossKPerCell = 3
+
+  /** Declared navigation dials, folded from the r17 measured laws
+    * (NavTuningProbe, DESIGN.md r17 §2 → r18 fold):
+    *
+    *  - HOP BUDGET: the walk converges by hop 5 at BOTH measured corpus
+    *    sizes (sf0.01: global 10→11/30, top1 3→4/10, quality
+    *    0.907→0.936 at hop 5, then hops 7/9 bit-identical; sf0.1 the
+    *    same shape) — so the declared budget is [[NavHops]] = 5, the
+    *    graph-local optimum of a B-wide beam.
+    *  - BEAM WIDTH is the corpus-aware dial: B=3 is the measured
+    *    optimum at the 500-vector sf0.01 corpus, and at the 4× corpus
+    *    (2,000 vectors, sf0.1) B=12 restores exactly the recall/
+    *    quality B=3 has at sf0.01 (global 10/30, quality 0.907 — the
+    *    HNSW ef-scaling law reproduced: recall at a bigger corpus is
+    *    bought with beam width). Hop cost is Q·B·k edge fetches +
+    *    Q·B·k point fetches — linear in B and corpus-INdependent, so
+    *    the dial preserves the scan-free property; the threshold sits
+    *    between the two measured corpus sizes.
+    *
+    * Both engines dial identically: the Spark side counts the pinned
+    * index once at plan time, the DuckDB twin computes the same CASE
+    * over COUNT(*) in its `dial` CTE ([[navDialSqlCte]]). */
+  private[operators] val NavHops = 5
+  private[operators] val NavBeamSmall = 3
+  private[operators] val NavBeamLarge = 12
+  private[operators] val NavSmallCorpusMax = 1000L
+  private[operators] def navBeam(corpusN: Long): Int =
+    if (corpusN <= NavSmallCorpusMax) NavBeamSmall else NavBeamLarge
+
+  /** The beam dial as a DuckDB CTE — the twin of [[navBeam]] over the
+    * same corpus (expects the `e` CTE). Referenced as a scalar subquery
+    * `(SELECT b FROM dial)` wherever the Spark side uses the dialed B. */
+  private def navDialSqlCte: String =
+    s"""dial AS (SELECT CASE WHEN (SELECT COUNT(*) FROM e) <= $NavSmallCorpusMax
+            THEN $NavBeamSmall ELSE $NavBeamLarge END AS b)"""
+
+  /** One single-query hop of the DuckDB greedy-walk twin: expand the
+    * previous beam's nav_edges neighbors (plus the beam itself), score
+    * exactly against the query vector `qv`, keep the dialed-B best. */
+  private def greedySingleHopSql(prev: String, n: String, b: String): String = s"""
+      $n AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN $prev ON nav_edges.qid = $prev.vec_id
+             UNION SELECT vec_id FROM $prev),
+      $b AS (
+        SELECT vec_id, cos FROM (
+          SELECT t.vec_id, t.cos,
+                 ROW_NUMBER() OVER (ORDER BY t.cos DESC, t.vec_id ASC) AS rn
+          FROM (
+            SELECT e.vec_id,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
+                     (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
+            FROM e JOIN $n USING (vec_id) CROSS JOIN qv
+            WHERE e.vec_id != 1) t) u
+        WHERE rn <= (SELECT b FROM dial))"""
 
   /** Cross-cell candidate pairs: each node against the members of its
     * top-`a` ADJACENT cells (nearest-centroid other cells) that share
@@ -2030,12 +2236,14 @@ object AnnSearch {
     * search arm (Malkov & Yashunin's HNSW layer-0 routine) that makes
     * [[knnGraph]]'s artifact an index rather than a report, and the
     * fourth ANN paradigm next to brute/IVF-or-LSH/PQ: start at a fixed
-    * content-hash entry node, and for three synchronous hops expand the
-    * current beam's graph neighbors, score them EXACTLY against the
-    * query, and keep the best B=3 (cos DESC, id ASC). The output is the
-    * full hop trace (hop 0 = the scored entry), so convergence — the
-    * beam's best cosine is non-decreasing per hop — is part of the
-    * checked artifact.
+    * content-hash entry node, and for [[NavHops]]=5 synchronous hops
+    * (the measured convergence budget — hops 7/9 are bit-identical to
+    * 5 at both measured corpus sizes) expand the current beam's graph
+    * neighbors, score them EXACTLY against the query, and keep the best
+    * B (cos DESC, id ASC) where B is the corpus-aware [[navBeam]] dial.
+    * The output is the full hop trace (hop 0 = the scored entry), so
+    * convergence — the beam's best cosine is non-decreasing per hop —
+    * is part of the checked artifact.
     *
     * At 100 TB this is the navigate-don't-scan shape: each hop touches
     * B·k graph edges (keyed equi-join on the node id) and fetches B·k
@@ -2089,8 +2297,11 @@ object AnnSearch {
   val knnGraphGreedy: QueryDef = QueryDef(
     "ann_knn_graph_greedy_search",
     (s, dir) => {
-      val QID = 1L; val B = 3; val HOPS = 3
+      val QID = 1L
       val e = index(s, dir)
+      // corpus-aware beam dial: one count over the pinned index at plan
+      // time (milliseconds; the twin's dial CTE computes the same CASE)
+      val B = navBeam(e.count())
       val edges = knnEdges(s, dir)
       val qfull = e.filter(col("vec_id") === QID)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
@@ -2132,9 +2343,9 @@ object AnnSearch {
           .localCheckpoint(true)
       }
       val b0 = scored(entry).localCheckpoint(true)
-      val b1 = hop(b0); val b2 = hop(b1); val b3 = hop(b2)
+      val beams = Iterator.iterate(b0)(hop).take(NavHops + 1).toSeq
       val wr = Window.partitionBy("hop").orderBy(desc("cos"), asc("vec_id"))
-      Seq(b0, b1, b2, b3).zipWithIndex
+      beams.zipWithIndex
         .map { case (b, h) => b.select(lit(h.toLong).as("hop"), col("vec_id"), col("cos")) }
         .reduce(_ union _)
         .withColumn("rank", row_number().over(wr).cast("long"))
@@ -2147,6 +2358,7 @@ object AnnSearch {
                sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         FROM embeddings),
       ${navEdgesSqlCtes("qid")},
+      $navDialSqlCte,
       qv AS (SELECT embedding AS qe, nrm AS qn, label AS qlabel FROM e WHERE vec_id = 1),
       entry AS (
         SELECT vec_id FROM (
@@ -2159,41 +2371,10 @@ object AnnSearch {
                  i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
                  (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
         FROM e JOIN entry USING (vec_id) CROSS JOIN qv),
-      n1 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b0 ON nav_edges.qid = b0.vec_id
-             UNION SELECT vec_id FROM b0),
-      b1 AS (
-        SELECT e.vec_id,
-               list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
-        FROM e JOIN n1 USING (vec_id) CROSS JOIN qv
-        WHERE e.vec_id != 1
-        ORDER BY cos DESC, e.vec_id ASC LIMIT 3),
-      n2 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b1 ON nav_edges.qid = b1.vec_id
-             UNION SELECT vec_id FROM b1),
-      b2 AS (
-        SELECT e.vec_id,
-               list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
-        FROM e JOIN n2 USING (vec_id) CROSS JOIN qv
-        WHERE e.vec_id != 1
-        ORDER BY cos DESC, e.vec_id ASC LIMIT 3),
-      n3 AS (SELECT DISTINCT cand_id AS vec_id FROM nav_edges JOIN b2 ON nav_edges.qid = b2.vec_id
-             UNION SELECT vec_id FROM b2),
-      b3 AS (
-        SELECT e.vec_id,
-               list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qv.qe[CAST(i AS INT)] AS DOUBLE)),
-                 (x, y) -> x + y) / (e.nrm * qv.qn) AS cos
-        FROM e JOIN n3 USING (vec_id) CROSS JOIN qv
-        WHERE e.vec_id != 1
-        ORDER BY cos DESC, e.vec_id ASC LIMIT 3),
+      ${(1 to NavHops).map(h => greedySingleHopSql(s"b${h - 1}", s"n$h", s"b$h")).mkString(",")},
       trace AS (
         SELECT 0 AS hop, vec_id, cos FROM b0
-        UNION ALL SELECT 1, vec_id, cos FROM b1
-        UNION ALL SELECT 2, vec_id, cos FROM b2
-        UNION ALL SELECT 3, vec_id, cos FROM b3)
+        ${(1 to NavHops).map(h => s"UNION ALL SELECT $h, vec_id, cos FROM b$h").mkString("\n        ")})
       SELECT CAST(hop AS BIGINT) AS hop,
              CAST(ROW_NUMBER() OVER (PARTITION BY hop ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
              vec_id, cos
@@ -2208,7 +2389,7 @@ object AnnSearch {
     * one batched point-fetch scoring join — the per-hop stage launches
     * (the single-query arm's whole cost at this scale) are paid once
     * and shared by every query, and each query's beam stays an
-    * independent B=3 row set ranked per qid. Per-query entry is the
+    * independent dialed-B row set ranked per qid. Per-query entry is the
     * smallest-content-hash member of the query's OWN coarse cell
     * (self-excluded) — the IVF-seeded routing the recall gate forced
     * (the capped graph is intra-cell; a global entry strands the walk
@@ -2224,14 +2405,16 @@ object AnnSearch {
     */
   /** The batched navigation at an arbitrary batch size — the declared
     * query pins NQ=10; [[BatchScalingProbe]] sweeps NQ (r14 verdict
-    * item 5). */
+    * item 5). `hops`/`beamB` default to the declared dials ([[NavHops]],
+    * corpus-aware [[navBeam]]); [[NavTuningProbe]] passes explicit
+    * values to sweep them. */
   private[operators] def greedyBatchProbe(s: SparkSession, dir: String,
-      NQ: Long, edgesOverride: Option[DataFrame] = None, hops: Int = 3,
-      beamB: Int = 3): DataFrame = {
+      NQ: Long, edgesOverride: Option[DataFrame] = None,
+      hops: Int = NavHops, beamB: Option[Int] = None): DataFrame = {
       require(NQ <= MaxBatchQ,
         s"batch Q=$NQ exceeds MaxBatchQ=$MaxBatchQ (broadcast ceiling)")
-      val B = beamB
       val e = index(s, dir)
+      val B = beamB.getOrElse(navBeam(e.count()))
       // edgesOverride: NavTuningProbe sweeps candidate edge sets through
       // the SAME walk the declared queries run; the declared queries all
       // navigate the pinned canonical artifact
@@ -2276,9 +2459,9 @@ object AnnSearch {
           .localCheckpoint(true)
       }
       val b0 = scoredB(entries).localCheckpoint(true)
-      // b0..b{hops}; the declared queries pin hops=3, NavTuningProbe
-      // sweeps the budget dial (hopB's localCheckpoint keeps each step
-      // eager, so the chain cost is linear in hops)
+      // b0..b{hops}; the declared queries run the NavHops=5 convergence
+      // budget, NavTuningProbe sweeps the dial (hopB's localCheckpoint
+      // keeps each step eager, so the chain cost is linear in hops)
       val beams = Iterator.iterate(b0)(hopB).take(hops + 1).toSeq
       val wr = Window.partitionBy("hop", "qid").orderBy(desc("cos"), asc("vec_id"))
       beams.zipWithIndex
@@ -2291,9 +2474,10 @@ object AnnSearch {
   }
 
   /** DuckDB twin of [[greedyBatchProbe]]'s hop chain (expects the `e`
-    * and `edges` CTEs): query set, per-query entry node, and the four
-    * exact-scored beams b0..b3. Shared by the batch-search twin and the
-    * greedy recall gate so the searched trace IS the priced trace. */
+    * and `edges` CTEs; emits its own `dial` CTE): query set, per-query
+    * entry node, and the exact-scored beams b0..b[[NavHops]] at the
+    * dialed beam width. Shared by the batch-search twin and the greedy
+    * recall gate so the searched trace IS the priced trace. */
   private def greedyBatchSqlCtes(nq: Int): String = {
     val cosQ = """list_reduce(list_transform(generate_series(1, len(e.embedding)),
                  i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(qs.qe[CAST(i AS INT)] AS DOUBLE)),
@@ -2310,8 +2494,9 @@ object AnnSearch {
           FROM (
             SELECT n.qid, n.vec_id, $cosQ AS cos
             FROM $n n JOIN e USING (vec_id) JOIN qset qs ON n.qid = qs.qid) s1) t
-        WHERE rn <= 3)"""
-    s"""qset AS (
+        WHERE rn <= (SELECT b FROM dial))"""
+    s"""$navDialSqlCte,
+      qset AS (
         SELECT vec_id AS qid, embedding AS qe, nrm AS qn, label AS qlabel
         FROM e WHERE vec_id < $nq),
       entries AS (
@@ -2321,9 +2506,7 @@ object AnnSearch {
       b0 AS (
         SELECT en.qid, en.vec_id, $cosQ AS cos
         FROM entries en JOIN e USING (vec_id) JOIN qset qs ON en.qid = qs.qid),
-      ${hop("b0", "n1", "b1")},
-      ${hop("b1", "n2", "b2")},
-      ${hop("b2", "n3", "b3")}"""
+      ${(1 to NavHops).map(h => hop(s"b${h - 1}", s"n$h", s"b$h")).mkString(",")}"""
   }
 
   val knnGraphGreedyBatch: QueryDef = QueryDef(
@@ -2338,9 +2521,7 @@ object AnnSearch {
       ${greedyBatchSqlCtes(10)},
       trace AS (
         SELECT 0 AS hop, qid, vec_id, cos FROM b0
-        UNION ALL SELECT 1, qid, vec_id, cos FROM b1
-        UNION ALL SELECT 2, qid, vec_id, cos FROM b2
-        UNION ALL SELECT 3, qid, vec_id, cos FROM b3)
+        ${(1 to NavHops).map(h => s"UNION ALL SELECT $h, qid, vec_id, cos FROM b$h").mkString("\n        ")})
       SELECT CAST(hop AS BIGINT) AS hop, qid,
              CAST(ROW_NUMBER() OVER (PARTITION BY hop, qid ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
              vec_id, cos
@@ -2351,7 +2532,8 @@ object AnnSearch {
   /** SEARCH recall of the greedy graph navigation — the gate that
     * prices the search itself, completing the family's pricing story:
     * ann_recall_knn_capped_vs_exact prices the BUILD (capped edges vs
-    * the exact cell graph) and this prices what 3 hops × B=3 from the
+    * the exact cell graph) and this prices what the declared dials —
+    * [[NavHops]]=5 hops × the corpus-aware [[navBeam]] beam — from the
     * cell-seeded entry actually FIND. TWO recall universes per query,
     * exactly the IVFADC dual (shortlist recall vs global
     * in_exact_top10):
@@ -2391,7 +2573,7 @@ object AnnSearch {
       val exGlobal = scoredAll(col("vec_id") =!= col("qid"))
       val exCell = scoredAll(col("label") === col("qlabel") &&
         col("vec_id") =!= col("qid"))
-      val fin = greedyBatchProbe(s, dir, NQ).filter(col("hop") === 3)
+      val fin = greedyBatchProbe(s, dir, NQ).filter(col("hop") === NavHops)
         .select(col("qid").as("fq"), col("vec_id").as("fv"), col("cos").as("fcos"))
       val beamBest = fin.groupBy("fq").agg(max(col("fcos")).as("beam_best_cos"))
       val cellSide = exCell
@@ -2439,19 +2621,19 @@ object AnnSearch {
         SELECT qid, vec_id, cos,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
         FROM exact0 WHERE same_cell),
-      bb AS (SELECT qid, MAX(cos) AS beam_best_cos FROM b3 GROUP BY qid),
+      bb AS (SELECT qid, MAX(cos) AS beam_best_cos FROM b$NavHops GROUP BY qid),
       cside AS (
         SELECT x.qid,
                CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found_cell,
                BOOL_OR(x.rank = 1 AND b.vec_id IS NOT NULL) AS found_cell_top1,
                MAX(CASE WHEN x.rank = 1 THEN x.cos END) AS cell_best_cos
-        FROM exc x LEFT JOIN b3 b ON x.qid = b.qid AND x.vec_id = b.vec_id
+        FROM exc x LEFT JOIN b$NavHops b ON x.qid = b.qid AND x.vec_id = b.vec_id
         WHERE x.rank <= 3 GROUP BY x.qid),
       gside AS (
         SELECT x.qid,
                CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found_global,
                MAX(CASE WHEN x.rank = 1 THEN x.cos END) AS global_best_cos
-        FROM exg x LEFT JOIN b3 b ON x.qid = b.qid AND x.vec_id = b.vec_id
+        FROM exg x LEFT JOIN b$NavHops b ON x.qid = b.qid AND x.vec_id = b.vec_id
         WHERE x.rank <= 3 GROUP BY x.qid)
       SELECT c.qid, c.n_found_cell, c.found_cell_top1, g.n_found_global,
              bb.beam_best_cos, c.cell_best_cos, g.global_best_cos
@@ -2537,10 +2719,12 @@ object AnnSearch {
     * cross top-`kPerCell` per `a` adjacent cells) through the exact
     * walk the declared queries run — the sweep kernel
     * [[NavTuningProbe]] uses to pick ([[CrossA]], [[CrossKPerCell]]).
-    * Returns (n_found_global/30, n_found_cell/30, n_top1/10) at the
-    * recall gate's NQ=10, B=3, 3 hops. */
+    * Returns (n_found_global/30, n_found_cell/30, n_top1/10, quality)
+    * at the recall gate's NQ=10; `hops`/`beamB` default to the declared
+    * dials so the no-arg kernel measures the shipped configuration. */
   private[operators] def navRecallStats(s: SparkSession, dir: String,
-      a: Int, kPerCell: Int, hops: Int = 3, beamB: Int = 3): (Long, Long, Long, Double) = {
+      a: Int, kPerCell: Int, hops: Int = NavHops,
+      beamB: Option[Int] = None): (Long, Long, Long, Double) = {
     val e = index(s, dir)
     // the exact universe stays the recall gate's top-3 regardless of
     // the walk's beam width — a wider beam is judged on the same target

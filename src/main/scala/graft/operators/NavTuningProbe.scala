@@ -38,7 +38,7 @@ object NavTuningProbe {
         for (h <- hopsList; b <- beamSweep) {
           val t0 = System.nanoTime()
           val (g, c, t, q) = AnnSearch.navRecallStats(spark, dir,
-            AnnSearch.CrossA, AnnSearch.CrossKPerCell, hops = h, beamB = b)
+            AnnSearch.CrossA, AnnSearch.CrossKPerCell, hops = h, beamB = Some(b))
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"hops=$h beam=$b global=$g/30 cell=$c/30 top1=$t/10 quality=$q%.4f (${dt}%.1f s)")
         }

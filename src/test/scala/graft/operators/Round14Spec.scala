@@ -78,35 +78,44 @@ class Round14Spec extends SparkSpec {
         "the r15 three-round re-baselining priced in")
   }
 
+  // r18: the declared dials folded to NavHops=5 × corpus-aware beam —
+  // at this 500-vector corpus the dial picks B=3, so the trace is
+  // hops 0..5 with 1 + 5·3 rows; the shape checks below derive from
+  // the declared constants rather than re-pinning literals.
+  private val hops = AnnSearch.NavHops.toLong
+  private val beamB = 3
+
   test("greedy search navigates the capped edges without losing its convergence shape") {
     // the re-baselined artifact must still be a working navigable graph:
-    // all four hops full, beams exactly sorted, best-of-beam monotone
+    // all hops full, beams exactly sorted, best-of-beam monotone
     val rows = SparkEntry.queries("ann_knn_graph_greedy_search")(spark, dir).collect()
     val byHop = rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
-    assert(byHop(0L).length == 1 && (1L to 3L).forall(byHop(_).length == 3),
+    assert(byHop(0L).length == 1 && (1L to hops).forall(byHop(_).length == beamB),
       s"trace shape wrong on capped edges: ${rows.length} rows")
-    val best = (0L to 3L).map(h => byHop(h).head.getDouble(3))
+    val best = (0L to hops).map(h => byHop(h).head.getDouble(3))
     assert(best.zip(best.tail).forall { case (a, c) => c >= a },
       s"greedy best-of-beam degraded across hops on capped edges: ${best.mkString(", ")}")
   }
 
   test("batched greedy search: every query navigates independently and converges") {
     // the batch arm must be Q independent NSW searches sharing one plan:
-    // full trace per query (1+3+3+3 rows), per-query beams exactly
+    // full trace per query (1 + hops·B rows), per-query beams exactly
     // sorted, per-query best-of-beam monotone across hops, no query ever
     // returning itself
     val rows = SparkEntry.queries("ann_knn_graph_greedy_batch")(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(1))
-    assert(byQ.size == 10 && rows.length == 100, s"${byQ.size} qids / ${rows.length} rows")
+    val expect = 10 * (1 + hops.toInt * beamB)
+    assert(byQ.size == 10 && rows.length == expect,
+      s"${byQ.size} qids / ${rows.length} rows (expected $expect)")
     byQ.foreach { case (q, rs) =>
       val byHop = rs.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(2))).toMap
-      assert(byHop(0L).length == 1 && (1L to 3L).forall(byHop(_).length == 3),
+      assert(byHop(0L).length == 1 && (1L to hops).forall(byHop(_).length == beamB),
         s"qid=$q trace shape wrong")
       byHop.values.foreach { b =>
         val cs = b.map(_.getDouble(4))
         assert(cs.zip(cs.tail).forall { case (a, c) => a >= c }, s"qid=$q beam not sorted")
       }
-      val best = (0L to 3L).map(h => byHop(h).head.getDouble(4))
+      val best = (0L to hops).map(h => byHop(h).head.getDouble(4))
       assert(best.zip(best.tail).forall { case (a, c) => c >= a },
         s"qid=$q best-of-beam degraded: ${best.mkString(", ")}")
       assert(rs.forall(_.getLong(3) != q), s"qid=$q returned itself")

@@ -41,12 +41,20 @@ class Round15Spec extends SparkSpec {
     // that finds globally BETTER nodes must evict own-cell ones, so
     // cell hits fell (11→4) while global hits (4→10) and beam quality
     // (0.76→0.91) rose; Round17Spec pins the global/quality floors.
-    // What this test still guards: a navigation change that strands the
-    // walk entirely (e.g. a global random entry) zeroes the columns.
+    // r18 (r17 advice): the 2/30 floor was nearly vacuous — a change
+    // collapsing cell recall while keeping global intact passed every
+    // spec. At the folded dials (NavHops=5, corpus-aware beam) the
+    // deterministic measurement is cell 5/30 + global 11/30 at sf0.01;
+    // pin cell at measured−1 AND a combined floor so a cell-path
+    // regression is observable even when the global column holds.
     val rows = graft.SparkEntry.queries("ann_recall_greedy_vs_exact")(spark, dir).collect()
     assert(rows.length == 10, s"${rows.length} qids")
     val nCell = rows.map(_.getLong(1)).sum
-    assert(nCell >= 2, s"cell-scoped search recall collapsed: $nCell/30 found")
+    val nGlobal = rows.map(_.getLong(3)).sum
+    assert(nCell >= 4, s"cell-scoped search recall collapsed: $nCell/30 found " +
+      "(measured 5/30 at the folded NavHops=5 dial)")
+    assert(nCell + nGlobal >= 13,
+      s"combined recall fell: cell $nCell + global $nGlobal < 13 (measured 5+11)")
     // cell-best never exceeds global-best by definition, and the beam
     // (scored exactly against the full corpus vectors it visits) can
     // never beat the exact global top-1

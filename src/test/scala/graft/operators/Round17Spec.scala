@@ -19,8 +19,10 @@ class Round17Spec extends SparkSpec {
     // 10/30 (was 4), beam quality — mean over queries of
     // beam_best_cos / global_best_cos — 0.907 (was 0.755). Floors
     // pinned with headroom under the deterministic measured values.
-    // The navigation budget stays HOPS=3 × B=3: per-node edges are
-    // 3 intra + 12 cross, so hop cost is still corpus-size-independent.
+    // r18: the measured dials folded into the declared queries
+    // (NavHops=5, corpus-aware beam — B=3 here at 2,000 vectors), so
+    // this gate now reads global 11/30 / quality 0.936; the floors
+    // below still hold and Round18Spec pins the post-fold values.
     val rows = graft.SparkEntry.queries("ann_recall_greedy_vs_exact")(spark, dir).collect()
     assert(rows.length == 10, s"${rows.length} qids")
     val nGlobal = rows.map(_.getLong(3)).sum
