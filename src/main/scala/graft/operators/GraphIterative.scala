@@ -38,9 +38,17 @@ object GraphIterative {
   private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.lineitem(s, dir)
       .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
+    // ONE distinct over the symmetrized stream instead of
+    // distinct → union → repartition(src): flipping is a bijection with
+    // no self-loops (even↔odd ids), so distinct(e0 ∪ flip(e0)) is the
+    // same edge set — one exchange instead of two (r18). The dropped
+    // repartition(src) bought nothing anyway: localCheckpoint drops
+    // outputPartitioning at the physical level (measured r18 — a
+    // groupBy on the repartition key still plans an Exchange after the
+    // checkpoint), and distinct-last also keeps the checkpoint at the
+    // configured partition count rather than the union's doubled one.
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .distinct()
       .localCheckpoint()
   }
 
@@ -77,12 +85,19 @@ object GraphIterative {
   val pagerank: QueryDef = QueryDef(
     "graph_pagerank_bipartite",
     (s, dir) => {
-      // symmetric closure, materialized once ALREADY HASH-PARTITIONED BY
-      // src: the three supersteps' edges⋈contrib joins then reuse this
-      // layout (only the node-sized rank table moves per iteration — the
-      // cluster analogue is bucketing the edge list by src once). Built
-      // inline (not via the pinned surface): pagerank is the honest
-      // full-build carrier, but through the SAME buildEdges definition.
+      // symmetric closure, materialized once. Built inline (not via the
+      // pinned surface): pagerank is the honest full-build carrier, but
+      // through the SAME buildEdges definition. Each superstep BUILDS
+      // the node-sized contrib table and broadcasts it into the edge
+      // scan (r18: the un-hinted plan broadcast the EDGE side — the
+      // 1.1M-row list shipped as a fresh HashedRelation every
+      // iteration while the ~13k-row rank table streamed; the explicit
+      // hint flips it, so per superstep only the rank table moves and
+      // the big operand is scanned in place — measured 1.9 → 1.5 s).
+      // Deployment note: contrib is O(nodes); at corpus sizes where the
+      // node table outgrows the broadcast budget the superstep becomes
+      // a shuffled join against a bucketed-by-src edge table — the
+      // standard Pregel layout — with identical algebra.
       val edges = buildEdges(s, dir)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
@@ -91,7 +106,7 @@ object GraphIterative {
       for (_ <- 1 to 3) {
         val contrib = ranks.join(deg, "node")
           .select(col("node"), expr("rank DIV deg").as("c"))
-        ranks = edges.join(contrib, edges("src") === contrib("node"))
+        ranks = edges.join(broadcast(contrib), edges("src") === contrib("node"))
           .groupBy(col("dst").as("node"))
           .agg(expr("CAST(150000 + (85 * SUM(c)) DIV 100 AS BIGINT)").as("rank"))
       }
@@ -217,14 +232,26 @@ object GraphIterative {
     * shared by [[triangleCount]] (which builds it inline — the family's
     * honest full-build carrier) and the pinned [[coOrderSurface]] that
     * probes like [[linkPrediction]] read. */
-  private[operators] def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    sp.as("x").join(sp.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+  /** Ordered co-member pairs (a < b) exploded CODEGEN-SIDE from a
+    * sorted per-group member set — the shared idiom that replaces the
+    * `distinct → self-equi-join` pair generator: one groupBy of the
+    * fact table builds the per-group set (map-side partial
+    * collect_set), the pairs are generated by array HOFs with no join
+    * and no second shuffle of the fact rows (r18; the join form paid a
+    * distinct exchange on (group, member) PLUS a re-shuffle of both
+    * sides onto the group key). Work is Σ_groups k² exactly like the
+    * self-join, bounded by group width. */
+  private[operators] def orderedPairsFromSet(setCol: String) = expr(
+    s"""flatten(transform($setCol, (x, i) ->
+        transform(slice($setCol, i + 2, size($setCol)), y -> struct(x AS a, y AS b))))""")
+
+  private[operators] def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(orderedPairsFromSet("ps")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .localCheckpoint(true)
-  }
 
   /** DuckDB twin of [[buildCoOrderEdges]]: CTEs `sp` + `und`. */
   private val coOrderDuck: String =

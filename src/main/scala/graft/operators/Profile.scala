@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main — contents vary per investigation (currently:
-  * round-11 items — (a) ER min-label convergence rounds, one-hop vs
-  * pointer doubling; (b) graph_triangle_count build-vs-census
-  * attribution; prior investigations' measured numbers live in
-  * DESIGN.md).
+  * round-18 optimization A/Bs — (a) pagerank superstep build side:
+  * edges-broadcast [declared] vs node-sized-contrib-broadcast; (b) the
+  * co-occurrence pair generator: distinct+self-join vs groupBy+sorted-
+  * array pair explosion; (c) theil-sen phase attribution; (d) whether
+  * localCheckpoint preserves outputPartitioning for downstream
+  * exchange reuse. Prior rounds' measured numbers live in DESIGN.md.)
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -20,203 +22,163 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $name%-38s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      println(f"[prof] $name%-46s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       r
+    }
+    def settle(): Unit = {
+      graft.PinnedStorage.sweep(spark, blocking = true)
+      System.gc()
     }
     val what = args.headOption.getOrElse("all")
 
-    if (what == "all" || what == "er") {
-      // --- ER components: one-hop propagation vs pointer doubling -----
-      for (pass <- 1 to 2) {
-        println(s"-- er pass $pass")
-        val (_, m) = EntityResolution.erMatches(spark, dir)
-        val pairs = m.select(col("ka").as("ia"), col("kb").as("ib"))
-          .localCheckpoint(true)
-        t("doubling: propagateMinLabels") {
-          val n = Dedup.propagateMinLabels(pairs).count()
-          println(s"[prof]   labels=$n rounds=${Dedup.lastPropagationRounds.get()}")
-        }
-        // one-hop-only replica of the pre-r11 loop body for the A/B
-        t("one-hop: replica loop") {
-          val edgesFull = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-            .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-            .localCheckpoint(true)
-          val parts = math.max(1, math.ceil(edgesFull.count() / 4194304.0).toInt)
-          val edges = edgesFull.coalesce(parts)
-          var labels = edges.select(col("src").as("doc_id")).distinct()
-            .withColumn("comp", col("doc_id")).coalesce(parts).localCheckpoint(true)
-          var changed = 1L
-          var rounds = 0
-          while (changed > 0) {
-            val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-              .groupBy(col("src")).agg(min("comp").as("ncomp"))
-            val next = labels.as("l").join(prop, col("l.doc_id") === col("src"), "left")
-              .select(col("l.doc_id").as("doc_id"), col("l.comp").as("prev"),
-                least(col("l.comp"), coalesce(col("ncomp"), col("l.comp"))).as("comp"))
-              .localCheckpoint(true)
-            changed = next.filter(col("comp") =!= col("prev")).count()
-            labels = next.select("doc_id", "comp")
-            rounds += 1
-          }
-          println(s"[prof]   labels=${labels.count()} rounds=$rounds")
-        }
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
-      }
-    }
-
-    if (what == "erq") {
-      for (pass <- 1 to 2) {
-        println(s"-- erq pass $pass")
-        val m = t("erMatches build") {
-          val mm = EntityResolution.erMatches(spark, dir)._2; mm.count(); mm
-        }
-        t("2hop aug + distinct + propagate") {
-          val e1 = m.select(col("ka").as("src"), col("kb").as("dst"))
-            .union(m.select(col("kb").as("src"), col("ka").as("dst")))
-          val twoHop = e1.as("x").join(e1.as("y"), col("x.dst") === col("y.src"))
-            .select(least(col("x.src"), col("y.dst")).as("ia"),
-              greatest(col("x.src"), col("y.dst")).as("ib"))
-            .filter(col("ia") =!= col("ib"))
-          val n = Dedup.propagateMinLabels(
-            m.select(col("ka").as("ia"), col("kb").as("ib"))
-              .union(twoHop).distinct()).count()
-          println(s"[prof]   labels=$n rounds=${Dedup.lastPropagationRounds.get()}")
-        }
-        t("full er_customer_components") {
-          val n = EntityResolution.customerComponents.run(spark, dir).count()
-          println(s"[prof]   rows=$n rounds=${Dedup.lastPropagationRounds.get()}")
-        }
-        // decomposition over a WARM matches frame
-        val comp0 = t("  [warm] aug+propagate") {
-          val e1 = m.select(col("ka").as("src"), col("kb").as("dst"))
-            .union(m.select(col("kb").as("src"), col("ka").as("dst")))
-          val twoHop = e1.as("x").join(e1.as("y"), col("x.dst") === col("y.src"))
-            .select(least(col("x.src"), col("y.dst")).as("ia"),
-              greatest(col("x.src"), col("y.dst")).as("ib"))
-            .filter(col("ia") =!= col("ib"))
-          val c = Dedup.propagateMinLabels(
-            m.select(col("ka").as("ia"), col("kb").as("ib"))
-              .union(twoHop).distinct())
-          c.count(); c
-        }
-        t("  [warm] census from comp+matches") {
-          val nations = m.select(col("ka").as("doc_id"), col("nation"))
-            .union(m.select(col("kb").as("doc_id"), col("nation"))).distinct()
-          val greedy = m.groupBy(col("kb").as("doc_id"))
-            .agg(count(lit(1)).as("n_smaller"))
-          val perRecord = nations.join(comp0, Seq("doc_id"))
-            .join(greedy, Seq("doc_id"), "left_outer")
-            .select(col("nation").cast("long").as("nation"), col("doc_id"),
-              col("comp"), col("n_smaller").isNull.as("greedy_kept"))
-          val compSizes = perRecord.groupBy("nation", "comp").agg(count(lit(1)).as("sz"))
-          perRecord.groupBy("nation")
-            .agg(count(lit(1)).as("n_matched"),
-              countDistinct(col("comp")).as("n_components"),
-              count(when(col("greedy_kept"), 1)).as("greedy_kept"))
-            .join(compSizes.groupBy("nation").agg(max(col("sz")).as("max_component_size")), Seq("nation"))
-            .count()
-        }
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
-      }
-    }
-
-    if (what == "rank") {
-      import org.apache.spark.sql.expressions.Window
-      val D = org.apache.spark.sql.types.DecimalType(12, 2)
+    if (what == "all" || what == "pr") {
+      // --- pagerank: which side should each superstep build? ---------
       for (pass <- 1 to 3) {
-        println(s"-- rank pass $pass")
-        val perUser = graft.Tables.events(spark, dir)
-          .groupBy("user_id")
-          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
-            sum((col("value").cast(D) * 100).cast("long")).as("cents"))
-          .localCheckpoint(true)
-        val order = Seq(asc("cents"), asc("user_id"))
-        t("rank A: pid-window") {
-          val parts = 32
-          val local = perUser
-            .repartitionByRange(parts, order: _*)
-            .withColumn("__pid", spark_partition_id())
-            .withColumn("__lrank", row_number().over(
-              Window.partitionBy(col("__pid")).orderBy(order: _*)))
-            .localCheckpoint(false)
-          val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
-            .withColumn("__one", pmod(col("__pid"), lit(1)))
-          val offsets = counts.as("a")
-            .join(broadcast(counts.as("b")), col("a.__one") === col("b.__one"))
-            .groupBy(col("a.__pid").as("__pid"))
-            .agg(coalesce(sum(when(col("b.__pid") < col("a.__pid"), col("b.__pcnt"))), lit(0L)).as("__offset"),
-              sum(col("b.__pcnt")).as("nt"))
-          local.join(broadcast(offsets), "__pid")
-            .withColumn("rk", col("__offset") + col("__lrank"))
-            .agg(sum("rk")).head()
+        println(s"-- pr pass $pass")
+        t("declared graph_pagerank_bipartite") {
+          GraphIterative.pagerank.run(spark, dir).count()
         }
-        t("rank B: sort+mid") {
-          val parts = 32
-          val local = perUser
-            .repartitionByRange(parts, order: _*)
-            .sortWithinPartitions(order: _*)
-            .withColumn("__mid", monotonically_increasing_id())
-            .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-            .withColumn("__lrank", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
-            .drop("__mid")
-            .localCheckpoint(false)
-          val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
-            .withColumn("__one", pmod(col("__pid"), lit(1)))
-          val offsets = counts.as("a")
-            .join(broadcast(counts.as("b")), col("a.__one") === col("b.__one"))
-            .groupBy(col("a.__pid").as("__pid"))
-            .agg(coalesce(sum(when(col("b.__pid") < col("a.__pid"), col("b.__pcnt"))), lit(0L)).as("__offset"),
-              sum(col("b.__pcnt")).as("nt"))
-          local.join(broadcast(offsets), "__pid")
-            .withColumn("rk", col("__offset") + col("__lrank"))
-            .agg(sum("rk")).head()
+        settle()
+        t("variant: broadcast(contrib) supersteps") {
+          val e0 = graft.Tables.lineitem(spark, dir)
+            .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+            .distinct()
+          val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+            .localCheckpoint()
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .select(col("src").as("node"), col("deg"))
+            .localCheckpoint()
+          var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+          for (_ <- 1 to 3) {
+            val contrib = ranks.join(deg, "node")
+              .select(col("node"), expr("rank DIV deg").as("c"))
+            ranks = edges.join(broadcast(contrib), edges("src") === contrib("node"))
+              .groupBy(col("dst").as("node"))
+              .agg(expr("CAST(150000 + (85 * SUM(c)) DIV 100 AS BIGINT)").as("rank"))
+          }
+          ranks.select(
+              when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("node_type"),
+              expr("node DIV 2").as("key"), col("node").as("node_id"), col("rank"))
+            .orderBy(desc("rank"), asc("node_id")).limit(20).count()
         }
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
+        settle()
       }
     }
 
-    if (what == "all" || what == "tri") {
-      // --- triangle: surface build vs closure census ------------------
+    if (what == "all" || what == "pairs") {
+      // --- co-purchase pair generation ---------------------------------
+      for (pass <- 1 to 3) {
+        println(s"-- pairs pass $pass")
+        t("declared rec_copurchase_lift") {
+          StatsExtra.copurchaseLift.run(spark, dir).count()
+        }
+        settle()
+        t("variant: groupBy+array pair explosion") {
+          val sets = graft.Tables.lineitem(spark, dir)
+            .groupBy("l_orderkey")
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+            .localCheckpoint(false)
+          val pairs = sets.select(explode(expr(
+              """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+              .as("p"))
+            .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+            .agg(count(lit(1)).as("n_ab"))
+          val partOrders = sets.select(explode(col("ps")).as("l_partkey"))
+            .groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+          val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+          pairs
+            .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_a")
+              .withColumnRenamed("n_part", "n_a")), "part_a")
+            .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_b")
+              .withColumnRenamed("n_part", "n_b")), "part_b")
+            .crossJoin(broadcast(nOrders))
+            .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+              expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)
+                          DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+                .as("lift_ppm"))
+            .orderBy(desc("n_ab"), desc("lift_ppm"), asc("part_a"), asc("part_b"))
+            .limit(20).count()
+        }
+        settle()
+      }
+    }
+
+    if (what == "all" || what == "tri2") {
+      // --- triangle surface build: join vs explosion -------------------
       graft.functions.BloomExpressions.register(spark)
-      for (pass <- 1 to 2) {
-        println(s"-- tri pass $pass")
-        val und = t("build: co-order edge list") {
-          GraphIterative.buildCoOrderEdges(spark, dir)
+      for (pass <- 1 to 3) {
+        println(s"-- tri2 pass $pass")
+        t("declared: buildCoOrderEdges (join)") {
+          GraphIterative.buildCoOrderEdges(spark, dir).count()
         }
-        val deg = t("build: degrees") {
-          val d = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-            .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint(true)
-          d
+        settle()
+        t("variant: explode pairs + distinct") {
+          graft.Tables.lineitem(spark, dir)
+            .groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+            .select(explode(expr(
+              """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+              .as("p"))
+            .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+            .localCheckpoint(true).count()
         }
-        val ori = t("build: orientation") {
-          und.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-            .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-            .select(
-              when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-                col("a")).otherwise(col("b")).as("u"),
-              when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-                col("b")).otherwise(col("a")).as("w"))
+        settle()
+      }
+    }
+
+    if (what == "all" || what == "ts") {
+      // --- theil-sen phase attribution ---------------------------------
+      for (pass <- 1 to 3) {
+        println(s"-- ts pass $pass")
+        t("declared stats_theil_sen_mann_kendall") {
+          StatsExtra.theilSenMk.run(spark, dir).count()
+        }
+        settle()
+        val daily = t("  phase: daily grain + checkpoint") {
+          graft.Tables.orders(spark, dir)
+            .groupBy(to_date(col("o_orderdate")).as("d"))
+            .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+              .as("rc"))
+            .select(datediff(col("d"), lit("1992-01-01")).cast("long").as("di"),
+              col("rc"))
             .localCheckpoint(true)
         }
-        t("census: bloom + SHJ closure + agg") {
-          val bf = ori.withColumn("k", expr("xxhash64(u, w)"))
-            .stat.bloomFilter("k", 2000000L, 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          val wedgeClose = ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
-            .select(col("e1.u").as("u"), col("e2.w").as("w"))
-            .filter(call_function("bloom_might_contain",
-              lit(bos.toByteArray), expr("xxhash64(u, w)")))
-            .join(ori.hint("shuffle_hash"), Seq("u", "w"), "left_semi")
-          val n = wedgeClose.agg(count(lit(1))).head().getLong(0)
-          println(s"[prof]   triangles=$n")
+        val pairs = t("  phase: pair frame + checkpoint") {
+          daily.as("a")
+            .join(broadcast(daily.as("b")), col("a.di") < col("b.di"))
+            .select(
+              ((col("b.rc") - col("a.rc")).cast("double")
+                / (lit(100.0) * (col("b.di") - col("a.di")).cast("double"))).as("slope"),
+              signum((col("b.rc") - col("a.rc")).cast("double")).cast("long").as("sgn"))
+            .localCheckpoint(true)
         }
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
+        t("  phase: median via two-stage rank") {
+          TwoStageOrder.withGlobalRank(
+              pairs.select("slope"), Seq(asc("slope")), "r", "tot")
+            .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
+            .agg(avg(col("slope")).as("theil_sen_slope")).count()
+        }
+        t("  phase: MK agg") {
+          pairs.agg(sum(col("sgn")).as("mk_s"))
+            .crossJoin(daily.agg(count(lit(1)).as("n_days"))).count()
+        }
+        settle()
       }
+    }
+
+    if (what == "all" || what == "ckpt") {
+      // --- does localCheckpoint carry partitioning downstream? ---------
+      val df = graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        .repartition(col("k"))
+        .localCheckpoint(true)
+      val agg = df.groupBy("k").agg(count(lit(1)).as("n"))
+      val nEx = agg.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      println(s"[prof] ckpt: groupBy-after-repartition+checkpoint exchanges=$nEx")
+      println(agg.queryExecution.executedPlan.toString.split("\n").take(12).mkString("\n"))
     }
     spark.stop()
   }

@@ -91,17 +91,23 @@ object StatsExtra {
   val copurchaseLift: QueryDef = QueryDef(
     "rec_copurchase_lift",
     (s, dir) => {
+      // per-order sorted part sets, built by ONE keyed aggregation of
+      // lineitem; pairs explode codegen-side from each set (the shared
+      // GraphIterative.orderedPairsFromSet idiom, r18) — the former
+      // distinct + self-equi-join paid a (order, part) distinct
+      // exchange plus a re-shuffle of both sides onto the order key to
+      // generate the identical Σ_orders k² pair stream.
       val basket = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .localCheckpoint(false)
-      val pairs = basket.as("a")
-        .join(basket.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      val pairs = basket
+        .select(explode(GraphIterative.orderedPairsFromSet("ps")).as("p"))
+        .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
         .agg(count(lit(1)).as("n_ab"))
-      val partOrders = basket.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-      val nOrders = basket.select("l_orderkey").distinct()
-        .agg(count(lit(1)).as("n_orders"))
+      val partOrders = basket.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+      val nOrders = basket.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_a")
           .withColumnRenamed("n_part", "n_a")), "part_a")
@@ -237,10 +243,17 @@ object StatsExtra {
         .localCheckpoint(true) // the day-pair frame feeds BOTH arms (median
                                // rank + Mann-Kendall S); unmaterialized, the
                                // O(days²) pair join ran twice
-      val med = TwoStageOrder.withGlobalRank(
-          pairs.select("slope"), Seq(asc("slope")), "r", "tot")
-        .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
-        .agg(avg(col("slope")).as("theil_sen_slope"))
+      // exact median WITHOUT ranking all ~n²/2 pair slopes: only ranks
+      // (tot+1)/2 and (tot+2)/2 are ever read, so the two order
+      // statistics come from TwoStageOrder.orderStatistics — two
+      // aggregation-only passes over the checkpointed pair frame, zero
+      // full-width exchanges (r18; was: range exchange + checkpoint +
+      // offset join of the whole pair frame). avg of the two middle
+      // values is (v1+v2)/2 — bit-identical to AVG over the one or two
+      // median rows (odd tot: v1 = v2 and (v1+v1)/2 is IEEE-exact).
+      val med = TwoStageOrder.orderStatistics(pairs.select("slope"), "slope",
+          Seq(("v1", 0.5, "(n + 1) DIV 2"), ("v2", 0.5, "(n + 2) DIV 2")))
+        .select(((col("v1") + col("v2")) / 2.0).as("theil_sen_slope"))
       val stat = pairs
         .agg(sum(col("sgn")).as("mk_s"))
         .crossJoin(daily.agg(count(lit(1)).as("n_days")))

@@ -172,6 +172,76 @@ object TwoStageOrder {
            |END AS INT)""".stripMargin))
       .drop("__rank", "__ntot")
 
+  /** Exact multiset order statistics at a FEW target ranks — the
+    * replacement for "rank the whole table, then read k rows of it"
+    * when the consumer only probes a handful of ranks (the Theil–Sen
+    * median, tail quantiles): [[withGlobalRank]] pays one full-width
+    * range exchange plus a materialization so that EVERY row gets a
+    * rank; when only r₁..r_t are read, the exact value at each target
+    * rank can be found with ZERO data exchanges in two aggregation-only
+    * passes (guide §2.4 — remove shuffles outright):
+    *
+    *  1. bracket pass: n = COUNT(*) plus, per target, an
+    *     `approx_percentile(v, q ± 3ε, 1/ε)` value bracket [lo, hi].
+    *     Greenwald–Khanna summaries carry a HARD rank-error bound ≤ ε·n
+    *     (not probabilistic), so rank(lo) ≤ (q−2ε)·n < target and
+    *     rank(hi) ≥ (q+2ε)·n ≥ target — the bracket provably contains
+    *     the target-ranked value (and when ε·n < 1 the sketch is exact).
+    *     Fraction edges clamp to exact MIN/MAX.
+    *  2. selection pass (bracket broadcast as a 1-row frame): per
+    *     target, cnt_lt = Σ[v < lo] and the SORTED in-band values
+    *     [lo ≤ v ≤ hi]; the exact multiset order statistic is
+    *     band[rank − cnt_lt]. Any valid bracket yields the same value,
+    *     so the result is deterministic even though the GK merge order
+    *     is not.
+    *
+    * The in-band collect is bounded by ~8ε·n + the tie-runs at the two
+    * bracket endpoints (ε = 1/accuracy, default 10⁻⁴ ⇒ ~0.08 % of n).
+    * Callers whose value column can mass-tie AT the probed quantile
+    * (e.g. small-integer counts) should not use this form — the band
+    * inherits the tie-run. The value column must be non-null.
+    *
+    * `targets` = (outCol, q, rankSql): `rankSql` is a SQL expression
+    * over `n` giving the 1-based target rank (e.g. "(n + 1) DIV 2");
+    * `q` centers the bracket and must satisfy
+    * ⌈(q−ε)·n⌉ ≤ rank ≤ ⌊(q+ε)·n⌋ at every n where ε·n ≥ 1 — true for
+    * the usual rank = ⌈q·n⌉ / (n+1) DIV 2 forms. Returns ONE row:
+    * `n` (LONG) plus one column per target, typed like `valueCol`.
+    */
+  def orderStatistics(df: DataFrame, valueCol: String,
+                      targets: Seq[(String, Double, String)],
+                      accuracy: Int = 10000): DataFrame = {
+    require(df.columns.forall(!_.startsWith("__")),
+      s"input uses reserved __-prefixed columns: ${df.columns.filter(_.startsWith("__")).mkString(",")}")
+    val delta = 3.0 / accuracy
+    val bracketAggs: Seq[Column] = count(lit(1)).as("__n") +:
+      targets.flatMap { case (out, q, _) =>
+        val loQ = q - delta
+        val hiQ = q + delta
+        val lo = if (loQ <= 0.0) min(col(valueCol))
+                 else expr(s"approx_percentile($valueCol, $loQ, $accuracy)")
+        val hi = if (hiQ >= 1.0) max(col(valueCol))
+                 else expr(s"approx_percentile($valueCol, $hiQ, $accuracy)")
+        Seq(lo.as(s"__lo_$out"), hi.as(s"__hi_$out"))
+      }
+    val bracket = df.agg(bracketAggs.head, bracketAggs.tail: _*)
+    val selAggs: Seq[Column] = max(col("__n")).as("n") +:
+      targets.flatMap { case (out, _, _) =>
+        Seq(
+          sort_array(collect_list(when(
+            col(valueCol) >= col(s"__lo_$out") && col(valueCol) <= col(s"__hi_$out"),
+            col(valueCol)))).as(s"__band_$out"),
+          sum(when(col(valueCol) < col(s"__lo_$out"), 1L).otherwise(0L))
+            .as(s"__blw_$out"))
+      }
+    df.crossJoin(broadcast(bracket))
+      .agg(selAggs.head, selAggs.tail: _*)
+      .select(col("n") +: targets.map { case (out, _, rankSql) =>
+        element_at(col(s"__band_$out"),
+          (expr(rankSql) - col(s"__blw_$out")).cast("int")).as(out)
+      }: _*)
+  }
+
   /** Per-group K-minimum-values reduction over a DISTINCT-per-group
     * value column `hCol` (string-ordered): returns one row per group —
     * `vk` = the K-th smallest value (null when the group has fewer than

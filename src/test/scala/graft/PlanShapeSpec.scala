@@ -84,6 +84,7 @@ class PlanShapeSpec extends SparkSpec {
     "event_markov_stationary",        // 1-row type-count crossJoin seeding the uniform x0
     "pipeline_dsir_domain_votes",     // 1-row token-totals + 1-row en-mean crossJoins
     "audit_guard_engaged_parity",     // 1-row corpus-count + 1-row AuditGuard census crossJoins
+    "scale_exact_quantiles",          // 1-row order-statistics bracket frame crossJoin (r18)
     "stats_theil_sen_mann_kendall")   // day-pair theta join + 1-row stat frames — the day
                                       // grain is bounded by the fixed date span, so the
                                       // broadcast NL pair join is over a constant-size frame

@@ -152,6 +152,50 @@ class TwoStageOrderSpec extends SparkSpec {
     assert(a.values.toSeq.sorted == (1L to 1201L), "rank is not a permutation of 1..n")
   }
 
+  test("orderStatistics equals sorted-multiset selection at every probed rank") {
+    // the r18 bracketed-selection primitive: exact order statistics at a
+    // few target ranks with zero data exchanges. Adversarial shapes:
+    // single row, tie-heavy values (duplicate-heavy randomDf v), n where
+    // ε·n < 1 (sketch exact) and n where ε·n > 1 (bracket load-bearing
+    // at accuracy 100 ⇒ ε = 1 %), plus rank = 1 / median / n edges.
+    for ((n, acc, seed) <- Seq((1, 10000, 51L), (9, 10000, 52L),
+        (257, 100, 53L), (4096, 100, 54L))) {
+      val df = randomDf(n, seed).select("v")
+      val sorted = df.as[Long].collect().sorted
+      val got = TwoStageOrder.orderStatistics(df, "v",
+        Seq(
+          ("lo", 0.0, "1"),
+          ("med1", 0.5, "(n + 1) DIV 2"),
+          ("med2", 0.5, "(n + 2) DIV 2"),
+          ("p90", 0.9, "CAST(CEIL(0.9 * n) AS BIGINT)"),
+          ("hi", 1.0, "n")), acc).collect().head
+      assert(got.getLong(0) == n.toLong, s"n mismatch at n=$n")
+      val expect = Seq(
+        sorted(0), sorted(((n + 1) / 2) - 1), sorted(((n + 2) / 2) - 1),
+        sorted(math.ceil(0.9 * n).toInt - 1), sorted(n - 1))
+      val vals = (1 to 5).map(got.getLong)
+      assert(vals == expect, s"order statistics mismatch at n=$n acc=$acc: $vals vs $expect")
+    }
+  }
+
+  test("orderStatistics matches withGlobalRank's median on a double column") {
+    // the theil-sen consumer shape: median of a double column with ties,
+    // answered identically by the full rank and the bracketed selection
+    val rnd = new scala.util.Random(71L)
+    val df = (1 to 3001).map(_ => math.rint(rnd.nextGaussian() * 50) / 7.0)
+      .toDF("slope").repartition(7)
+    val viaRank = TwoStageOrder
+      .withGlobalRank(df, Seq(asc("slope")), "r", "tot")
+      .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
+      .agg(avg(col("slope"))).as[Double].collect().head
+    val viaSel = TwoStageOrder.orderStatistics(df, "slope",
+        Seq(("v1", 0.5, "(n + 1) DIV 2"), ("v2", 0.5, "(n + 2) DIV 2")))
+      .select((col("v1") + col("v2")) / 2.0).as[Double].collect().head
+    assert(java.lang.Double.doubleToRawLongBits(viaRank) ==
+      java.lang.Double.doubleToRawLongBits(viaSel),
+      s"median mismatch: $viaRank vs $viaSel")
+  }
+
   test("the primitives plan no unpartitioned Window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = randomDf(100, 13L)
