@@ -384,11 +384,16 @@ object Bench {
     // min, so a round-over-round drift can be adjudicated from data.
     def timedPass(order: Seq[String]): Map[String, Double] = order.map { name =>
       settle()
+      // label the jobs (guide §1.5) so an event-log/UI profile can map
+      // stages back to queries; description setting is thread-local and
+      // costs nothing in the timed window
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       name -> (if (ok) dt else -1.0)
     }.toMap
     val calibStart = calibrationProbe()
