@@ -71,7 +71,7 @@ object GraphIterative {
     * them and it builds its own — pinning an unread table would burn
     * executor memory for the whole session.)
     */
-  private def graphSurface(s: SparkSession, dir: String): DataFrame =
+  private[operators] def graphSurface(s: SparkSession, dir: String): DataFrame =
     graphCache.getOrElseUpdate(s, dir) {
       graft.PinnedStorage.pin(s)(buildEdges(s, dir))
     }
@@ -167,9 +167,16 @@ object GraphIterative {
       var visited = seeds.withColumn("hop", lit(0))
       var frontier = seeds
       for (h <- 1 to 3) {
-        frontier = edges.join(frontier, edges("src") === frontier("node"))
+        // broadcast the node-sized sides (guide §3.1, the pagerank r18
+        // lesson): frontier and visited are O(reached nodes); un-hinted,
+        // the RDD-backed edge surface carries no stats and the planner
+        // shuffled the 1.1M-row edge list against them each hop
+        // (measured 1.6-1.8 → 1.0-1.2 s at sf0.1). Past the broadcast
+        // budget the hop becomes a shuffled join against the
+        // bucketed-by-src edge table — identical algebra.
+        frontier = edges.join(broadcast(frontier), edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
+          .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
           .localCheckpoint()
         visited = visited.unionByName(frontier.withColumn("hop", lit(h)))
       }
@@ -220,13 +227,13 @@ object GraphIterative {
     * density bounded by order width (~4 items), so edges grow linearly
     * with the fact table and the census stays joinable at any SF.
     *
-    * The triangle join uses DEGREE-ORDERED orientation — each undirected
-    * edge is directed from its (degree, id)-smaller endpoint — the
-    * standard skew guard (Suri & Vassilvitskii's MR triangle counting):
-    * a hub of degree d contributes oriented out-edges only toward
-    * higher-degree nodes, so the wedge join is bounded by Σ out-deg²
-    * with out-degrees ≤ O(√m), never by the hub's full d². Every step
-    * is an equi-join keyed by a vertex id.
+    * The census uses DEGREE-ORDERED orientation — each undirected edge
+    * is directed from its (degree, id)-smaller endpoint — the standard
+    * skew guard (Suri & Vassilvitskii's MR triangle counting): a hub of
+    * degree d contributes oriented out-edges only toward higher-degree
+    * nodes, so out-degrees are ≤ O(√m) and the per-edge adjacency
+    * intersection work is bounded by Σ out-deg², never by the hub's
+    * full d². Every step is an equi-join keyed by a vertex id.
     */
   /** THE co-order parts edge list (a < b, distinct, materialized):
     * shared by [[triangleCount]] (which builds it inline — the family's
@@ -245,6 +252,13 @@ object GraphIterative {
     s"""flatten(transform($setCol, (x, i) ->
         transform(slice($setCol, i + 2, size($setCol)), y -> struct(x AS a, y AS b))))""")
 
+  /** Size guard for broadcasting the oriented out-adjacency arrays in
+    * [[triangleCount]]'s census (array mass = |oriented edges|): within
+    * the cap the two adjacency joins broadcast (~16 bytes/edge framed);
+    * past it the hints drop and the planner keys both joins — the
+    * candBroadcaster pattern (r8 advice). */
+  private val AdjBroadcastCap = 4000000L
+
   private[operators] def buildCoOrderEdges(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
@@ -262,7 +276,7 @@ object GraphIterative {
 
   private val coOrderCache = new graft.SessionCache[DataFrame]
 
-  private def coOrderSurface(s: SparkSession, dir: String): DataFrame =
+  private[operators] def coOrderSurface(s: SparkSession, dir: String): DataFrame =
     coOrderCache.getOrElseUpdate(s, dir) {
       graft.PinnedStorage.pin(s)(buildCoOrderEdges(s, dir))
     }
@@ -291,27 +305,31 @@ object GraphIterative {
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             col("b")).otherwise(col("a")).as("w"))
         .localCheckpoint(true)
-      // Closure check, A/B'd across four physical shapes at sf0.1 (49M
-      // wedges, 1.2M edges — DESIGN.md §round 10): plain SMJ sorts the
-      // full wedge stream (4.5-9 s); a driver-built bloom filter over
-      // xxhash64(u,w) of the edge set prunes ~96% of wedges MAP-SIDE
-      // before any shuffle, and a shuffled-hash semi-join (build = the
-      // edge-sized side, stream = survivors) replaces the sort
-      // (1.9-2.8 s). False positives cost nothing — the exact semi-join
-      // behind the bloom removes them; hash collisions in the key only
-      // ever ADD false positives, never drop a true pair. Same
-      // dim-filter-pushed-to-fact pattern as scale_bloom_prune_join.
-      graft.functions.BloomExpressions.register(s)
-      val bf = ori.withColumn("k", expr("xxhash64(u, w)"))
-        .stat.bloomFilter("k", 2000000L, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val wedgeClose = ori.as("e1").join(ori.as("e2"), col("e1.w") === col("e2.u"))
-        .select(col("e1.u").as("u"), col("e2.w").as("w"))
-        .filter(call_function("bloom_might_contain",
-          lit(bos.toByteArray), expr("xxhash64(u, w)")))
-        .join(ori.hint("shuffle_hash"), Seq("u", "w"), "left_semi")
-      val tri = wedgeClose.agg(count(lit(1)).as("n_triangles"))
+      // Closure check = the EDGE ITERATOR over the oriented DAG: each
+      // oriented edge (u,w) contributes |N⁺(u) ∩ N⁺(w)| — every triangle
+      // a→b→c (+a→c) is counted exactly once, at its (a,b) edge with
+      // common out-neighbor c, identically to the wedge-close count the
+      // oracle runs. r18 (guide §2.4 — remove shuffles outright): the
+      // previous shape GENERATED the 49M-row wedge stream (ori ⋈ ori on
+      // w=u), bloom-pruned it map-side, then semi-joined the survivors
+      // back against the edge set; the adjacency-intersection form never
+      // materializes a wedge — one groupBy builds the out-adjacency
+      // arrays (Σ|array| = |ori|, per-node arrays ≤ O(√m) by the degree
+      // orientation) and the intersection runs codegen-side inside the
+      // edge scan. Measured 4.6 → 2.8 s full-query at sf0.1 (the census
+      // half ~2.4 → ~0.7 s; the rest is the honest surface build).
+      // The adjacency side is broadcast behind the same size guard as
+      // Dedup.candBroadcaster: past the cap the hints drop and both
+      // joins stay keyed equi-joins (shuffle by u / by w) — the standard
+      // bucketed-adjacency layout at 100 TB, identical algebra.
+      val adj = ori.groupBy(col("u")).agg(collect_list(col("w")).as("ns"))
+      val adjBc: DataFrame => DataFrame =
+        if (ori.count() <= AdjBroadcastCap) broadcast _ else identity[DataFrame] _
+      val tri = ori
+        .join(adjBc(adj.select(col("u"), col("ns").as("nu"))), Seq("u"))
+        .join(adjBc(adj.select(col("u").as("w"), col("ns").as("nw"))), Seq("w"))
+        .agg(coalesce(sum(size(array_intersect(col("nu"), col("nw"))).cast("long")),
+          lit(0L)).as("n_triangles"))
       val scalars = deg.agg(
         count(lit(1)).as("n_nodes"),
         expr("SUM(d) DIV 2").as("n_edges"),

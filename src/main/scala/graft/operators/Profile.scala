@@ -1,14 +1,16 @@
 package graft.operators
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scratch profiling main — contents vary per investigation (currently:
-  * round-18 optimization A/Bs — (a) pagerank superstep build side:
-  * edges-broadcast [declared] vs node-sized-contrib-broadcast; (b) the
-  * co-occurrence pair generator: distinct+self-join vs groupBy+sorted-
-  * array pair explosion; (c) theil-sen phase attribution; (d) whether
-  * localCheckpoint preserves outputPartitioning for downstream
-  * exchange reuse. Prior rounds' measured numbers live in DESIGN.md.)
+  * round-18 batch-2 optimization A/Bs — (a) kcore/bfs/ppr iterative
+  * joins: un-hinted vs broadcast-the-node-sized-side [the pagerank
+  * batch-1 lesson]; (b) triangle census: wedge-explosion+bloom vs
+  * adjacency-array intersection; (c) kmeans assignment: crossJoin(8)+
+  * groupBy(vec_id) vs map-side array_min fold; (d) subsample-merge
+  * quantile phase attribution; (e) generic declared-query timer `q`.
+  * Prior rounds' measured numbers live in DESIGN.md / OPTIMIZATION_*.md.)
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -22,7 +24,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $name%-46s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      println(f"[prof] $name%-52s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       r
     }
     def settle(): Unit = {
@@ -31,154 +33,269 @@ object Profile {
     }
     val what = args.headOption.getOrElse("all")
 
-    if (what == "all" || what == "pr") {
-      // --- pagerank: which side should each superstep build? ---------
+    if (what == "q") {
+      // generic declared-query timer: Profile q <n_passes> <name>[,name...]
+      val passes = args(1).toInt
+      val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+      for (pass <- 1 to passes) {
+        println(s"-- q pass $pass")
+        names.foreach { n =>
+          settle()
+          t(n) { graft.SparkEntry.queries(n)(spark, dir).count() }
+        }
+      }
+    }
+
+    if (what == "kcore") {
+      // --- kcore: un-hinted semi-joins vs broadcast(keep) --------------
       for (pass <- 1 to 3) {
-        println(s"-- pr pass $pass")
-        t("declared graph_pagerank_bipartite") {
-          GraphIterative.pagerank.run(spark, dir).count()
+        println(s"-- kcore pass $pass")
+        settle()
+        t("declared graph_kcore_peel") {
+          GraphIterative.kcorePeel.run(spark, dir).count()
         }
         settle()
-        t("variant: broadcast(contrib) supersteps") {
-          val e0 = graft.Tables.lineitem(spark, dir)
-            .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-            .distinct()
-          val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-            .localCheckpoint()
+        t("variant: broadcast(keep) semi-joins") {
+          val k = 3
+          var edges = GraphIterative.graphSurface(spark, dir)
+          val rounds = (1 to 3).map { round =>
+            val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+            val keep = deg.filter(col("d") >= k).select(col("src").as("v"))
+              .localCheckpoint(true)
+            edges = edges
+              .join(broadcast(keep.select(col("v").as("src"))), Seq("src"), "left_semi")
+              .join(broadcast(keep.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+              .select("src", "dst")
+              .localCheckpoint(true)
+            keep.agg(
+              count(when(col("v") % 2 === 0, 1)).as("n_suppliers"),
+              count(when(col("v") % 2 === 1, 1)).as("n_parts"))
+              .crossJoin(broadcast(edges.agg(
+                expr("COUNT(1) DIV 2").as("n_edges_remaining"))))
+              .select(lit(round.toLong).as("round"), col("n_suppliers"),
+                col("n_parts"), col("n_edges_remaining"))
+          }
+          rounds.reduce(_.unionByName(_)).orderBy("round").count()
+        }
+      }
+    }
+
+    if (what == "bfs") {
+      for (pass <- 1 to 3) {
+        println(s"-- bfs pass $pass")
+        settle()
+        t("declared graph_bfs_reachability") {
+          GraphIterative.bfsReachability.run(spark, dir).count()
+        }
+        settle()
+        t("variant: broadcast(frontier)/broadcast(visited)") {
+          val edges = GraphIterative.graphSurface(spark, dir)
+          val seeds = graft.Tables.supplier(spark, dir)
+            .filter(col("s_nationkey") === 1)
+            .select((col("s_suppkey") * 2).as("node"))
+          var visited = seeds.withColumn("hop", lit(0))
+          var frontier = seeds
+          for (h <- 1 to 3) {
+            frontier = edges.join(broadcast(frontier), edges("src") === frontier("node"))
+              .select(col("dst").as("node")).distinct()
+              .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+              .localCheckpoint()
+            visited = visited.unionByName(frontier.withColumn("hop", lit(h)))
+          }
+          visited.groupBy("hop")
+            .agg(count(when(col("node") % 2 === 0, 1)).as("n_suppliers"),
+              count(when(col("node") % 2 === 1, 1)).as("n_parts"))
+            .select(col("hop").cast("long").as("hop"), col("n_suppliers"), col("n_parts"))
+            .orderBy("hop").count()
+        }
+      }
+    }
+
+    if (what == "ppr") {
+      for (pass <- 1 to 3) {
+        println(s"-- ppr pass $pass")
+        settle()
+        t("declared graph_ppr_seeded") {
+          GraphIterative.pprSeeded.run(spark, dir).count()
+        }
+        settle()
+        t("variant: broadcast(contrib) + union-agg ranks") {
+          val edges = GraphIterative.graphSurface(spark, dir)
           val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .select(col("src").as("node"), col("deg"))
-            .localCheckpoint()
-          var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+            .localCheckpoint(false)
+          val scalars = deg.agg(count(lit(1)).as("ntot")).crossJoin(
+            broadcast(deg.join(graft.Tables.supplier(spark, dir)
+                .filter(col("s_suppkey") <= 5)
+                .select((col("s_suppkey") * 2).as("node")), "node")
+              .agg(count(lit(1)).as("nseeds"))))
+          val tele = deg.join(graft.Tables.supplier(spark, dir)
+              .filter(col("s_suppkey") <= 5)
+              .select((col("s_suppkey") * 2).as("node")), "node")
+            .crossJoin(broadcast(scalars))
+            .select(col("node"), expr("(150000 * ntot) DIV nseeds").as("t"))
+            .localCheckpoint(false)
+          var ranks = tele.select(col("node"), col("t").as("rank"))
           for (_ <- 1 to 3) {
             val contrib = ranks.join(deg, "node")
               .select(col("node"), expr("rank DIV deg").as("c"))
-            ranks = edges.join(broadcast(contrib), edges("src") === contrib("node"))
+            val spread = edges.join(broadcast(contrib), edges("src") === contrib("node"))
               .groupBy(col("dst").as("node"))
-              .agg(expr("CAST(150000 + (85 * SUM(c)) DIV 100 AS BIGINT)").as("rank"))
+              .agg(expr("(85 * SUM(c)) DIV 100").as("sp"))
+            ranks = tele.select(col("node"), col("t").as("m"))
+              .unionByName(spread.select(col("node"), col("sp").as("m")))
+              .groupBy("node").agg(sum(col("m")).as("rank"))
           }
           ranks.select(
               when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("node_type"),
               expr("node DIV 2").as("key"), col("node").as("node_id"), col("rank"))
             .orderBy(desc("rank"), asc("node_id")).limit(20).count()
         }
-        settle()
       }
     }
 
-    if (what == "all" || what == "pairs") {
-      // --- co-purchase pair generation ---------------------------------
-      for (pass <- 1 to 3) {
-        println(s"-- pairs pass $pass")
-        t("declared rec_copurchase_lift") {
-          StatsExtra.copurchaseLift.run(spark, dir).count()
-        }
-        settle()
-        t("variant: groupBy+array pair explosion") {
-          val sets = graft.Tables.lineitem(spark, dir)
-            .groupBy("l_orderkey")
-            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-            .localCheckpoint(false)
-          val pairs = sets.select(explode(expr(
-              """flatten(transform(ps, (x, i) ->
-                 transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
-              .as("p"))
-            .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
-            .agg(count(lit(1)).as("n_ab"))
-          val partOrders = sets.select(explode(col("ps")).as("l_partkey"))
-            .groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-          val nOrders = sets.agg(count(lit(1)).as("n_orders"))
-          pairs
-            .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_a")
-              .withColumnRenamed("n_part", "n_a")), "part_a")
-            .join(broadcast(partOrders.withColumnRenamed("l_partkey", "part_b")
-              .withColumnRenamed("n_part", "n_b")), "part_b")
-            .crossJoin(broadcast(nOrders))
-            .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
-              expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)
-                          DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
-                .as("lift_ppm"))
-            .orderBy(desc("n_ab"), desc("lift_ppm"), asc("part_a"), asc("part_b"))
-            .limit(20).count()
-        }
-        settle()
-      }
-    }
-
-    if (what == "all" || what == "tri2") {
-      // --- triangle surface build: join vs explosion -------------------
+    if (what == "tri") {
+      // --- triangle census: wedge explosion + bloom vs adjacency arrays
       graft.functions.BloomExpressions.register(spark)
       for (pass <- 1 to 3) {
-        println(s"-- tri2 pass $pass")
-        t("declared: buildCoOrderEdges (join)") {
-          GraphIterative.buildCoOrderEdges(spark, dir).count()
+        println(s"-- tri pass $pass")
+        settle()
+        t("declared graph_triangle_count") {
+          GraphIterative.triangleCount.run(spark, dir).count()
         }
         settle()
-        t("variant: explode pairs + distinct") {
-          graft.Tables.lineitem(spark, dir)
-            .groupBy(col("l_orderkey"))
-            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-            .select(explode(expr(
-              """flatten(transform(ps, (x, i) ->
-                 transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
-              .as("p"))
-            .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-            .localCheckpoint(true).count()
-        }
-        settle()
-      }
-    }
-
-    if (what == "all" || what == "ts") {
-      // --- theil-sen phase attribution ---------------------------------
-      for (pass <- 1 to 3) {
-        println(s"-- ts pass $pass")
-        t("declared stats_theil_sen_mann_kendall") {
-          StatsExtra.theilSenMk.run(spark, dir).count()
-        }
-        settle()
-        val daily = t("  phase: daily grain + checkpoint") {
-          graft.Tables.orders(spark, dir)
-            .groupBy(to_date(col("o_orderdate")).as("d"))
-            .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
-              .as("rc"))
-            .select(datediff(col("d"), lit("1992-01-01")).cast("long").as("di"),
-              col("rc"))
+        t("variant: adjacency-array intersection census") {
+          val und = GraphIterative.buildCoOrderEdges(spark, dir)
+          val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("d"))
             .localCheckpoint(true)
-        }
-        val pairs = t("  phase: pair frame + checkpoint") {
-          daily.as("a")
-            .join(broadcast(daily.as("b")), col("a.di") < col("b.di"))
+          val ori = und
+            .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+            .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
             .select(
-              ((col("b.rc") - col("a.rc")).cast("double")
-                / (lit(100.0) * (col("b.di") - col("a.di")).cast("double"))).as("slope"),
-              signum((col("b.rc") - col("a.rc")).cast("double")).cast("long").as("sgn"))
+              when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+                col("a")).otherwise(col("b")).as("u"),
+              when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+                col("b")).otherwise(col("a")).as("w"))
             .localCheckpoint(true)
+          val adj = ori.groupBy(col("u")).agg(collect_list(col("w")).as("ns"))
+          val tri = ori
+            .join(broadcast(adj.select(col("u"), col("ns").as("nu"))), Seq("u"))
+            .join(broadcast(adj.select(col("u").as("w"), col("ns").as("nw"))), Seq("w"))
+            .agg(sum(size(array_intersect(col("nu"), col("nw")))).cast("long")
+              .as("n_triangles"))
+          val scalars = deg.agg(
+            count(lit(1)).as("n_nodes"),
+            expr("SUM(d) DIV 2").as("n_edges"),
+            expr("SUM(d * (d - 1) DIV 2)").as("n_wedges"))
+          scalars.crossJoin(broadcast(tri))
+            .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+              expr("""CAST((CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000)
+                      DIV n_wedges AS BIGINT)""").as("closure_ppm")).count()
         }
-        t("  phase: median via two-stage rank") {
-          TwoStageOrder.withGlobalRank(
-              pairs.select("slope"), Seq(asc("slope")), "r", "tot")
-            .filter(col("r") === expr("(tot + 1) DIV 2") || col("r") === expr("(tot + 2) DIV 2"))
-            .agg(avg(col("slope")).as("theil_sen_slope")).count()
-        }
-        t("  phase: MK agg") {
-          pairs.agg(sum(col("sgn")).as("mk_s"))
-            .crossJoin(daily.agg(count(lit(1)).as("n_days"))).count()
-        }
-        settle()
       }
     }
 
-    if (what == "all" || what == "ckpt") {
-      // --- does localCheckpoint carry partitioning downstream? ---------
-      val df = graft.Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-        .repartition(col("k"))
-        .localCheckpoint(true)
-      val agg = df.groupBy("k").agg(count(lit(1)).as("n"))
-      val nEx = agg.queryExecution.executedPlan.toString
-        .split("\n").count(_.contains("Exchange"))
-      println(s"[prof] ckpt: groupBy-after-repartition+checkpoint exchanges=$nEx")
-      println(agg.queryExecution.executedPlan.toString.split("\n").take(12).mkString("\n"))
+    if (what == "km") {
+      for (pass <- 1 to 3) {
+        println(s"-- km pass $pass")
+        settle()
+        t("declared ann_ivf_kmeans_train") {
+          AnnSearch.kmeansTrain.run(spark, dir).count()
+        }
+        settle()
+        t("variant: map-side array_min assignment") {
+          val kC = 8
+          val vecs = graft.Tables.embeddings(spark, dir)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+            .localCheckpoint(true)
+          val seeds = TwoStageOrder.kSmallestRows(
+              vecs.select(md5(col("vec_id").cast("string").cast("binary")).as("h"),
+                col("vec_id"), col("v")), "h", kC)
+            .withColumn("cid", row_number().over(Window.orderBy(asc("h"))).cast("long"))
+            .select(col("cid"), col("v").as("c"))
+          def centsRow(cents: DataFrame): DataFrame =
+            cents.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cs"))
+          def assign(cr: DataFrame): DataFrame =
+            vecs.crossJoin(broadcast(cr))
+              .withColumn("m", expr(
+                """array_min(transform(cs, s -> struct(
+                  |  aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),
+                  |            0.0D, (a, b) -> a + b) AS dist2,
+                  |  s.cid AS cid)))""".stripMargin))
+              .select(col("vec_id"), col("m.cid").as("cid"),
+                col("m.dist2").as("dist2"), col("v"))
+          def update(assigned: DataFrame): DataFrame =
+            assigned
+              .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+              .groupBy("cid", "pos")
+              .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+                .as("cx"))
+              .groupBy("cid")
+              .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+                .as("c"))
+          val c1 = centsRow(update(assign(centsRow(seeds))))
+          val c2 = centsRow(update(assign(c1)))
+          assign(c2)
+            .groupBy("cid")
+            .agg(count(lit(1)).as("n_vectors"),
+              sum(expr("CAST(FLOOR(dist2 * 1000000.0D) AS BIGINT)")).as("inertia_e6"))
+            .select(col("cid").as("cluster"), col("n_vectors"), col("inertia_e6"))
+            .orderBy("cluster").count()
+        }
+      }
+    }
+
+    if (what == "sqm") {
+      // --- subsample-merge quantile: phase attribution ------------------
+      import graft.Tables
+      for (pass <- 1 to 3) {
+        println(s"-- sqm pass $pass")
+        settle()
+        t("declared sketch_quantile_subsample_merge") {
+          SketchOps.quantileSubsampleMerge.run(spark, dir).count()
+        }
+        settle()
+        val QP = 32; val QM = 64
+        val base = t("  phase: base checkpoint") {
+          Tables.lineitem(spark, dir)
+            .select(
+              expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v"),
+              col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+            .localCheckpoint(true)
+        }
+        val kept = t("  phase: pid window subsample + checkpoint") {
+          base.withColumn("pid", expr(ScalePatterns.hexIntSpark(
+              "md5(CAST(CONCAT(CAST(okey AS STRING), ':', CAST(lnum AS STRING)) AS BINARY))"))
+              % QP)
+            .withColumn("lrank", row_number().over(
+              Window.partitionBy("pid").orderBy(asc("v"), asc("okey"), asc("lnum"))))
+            .filter(expr(s"(lrank - 1) % $QM = 0"))
+            .select("v", "okey", "lnum")
+            .localCheckpoint(true)
+        }
+        t("  phase: pooled rank + sel") {
+          val pooled = TwoStageOrder.withGlobalRank(kept,
+            Seq(col("v").asc, col("okey").asc, col("lnum").asc), "j", "k_tot")
+          val qFrame = base.agg(count(lit(1)).as("n_rows"))
+            .select(col("n_rows"),
+              explode(array(Seq(25, 50, 75, 90, 99).map(lit): _*)).as("q_pct"))
+            .withColumn("target_rank", expr("(q_pct * n_rows + 99) DIV 100"))
+            .withColumn("j_star", expr(s"(target_rank + $QM - 2) DIV $QM + 1"))
+          pooled.join(broadcast(qFrame),
+              col("j") === least(col("j_star"), col("k_tot"))).count()
+        }
+        t("  phase: audit pass (crossJoin x5 + agg)") {
+          // stand-in: the x5 expansion + grouped count-below over base
+          base.crossJoin(broadcast(
+              base.limit(5).select(col("v").as("s_v"), col("okey").as("s_okey"),
+                col("lnum").as("s_lnum"), monotonically_increasing_id().as("q"))))
+            .groupBy("q", "s_v")
+            .agg(sum(when(col("v") < col("s_v"), 1L).otherwise(0L)).as("below"))
+            .count()
+        }
+      }
     }
     spark.stop()
   }

@@ -64,7 +64,7 @@ class PlanShapeSpec extends SparkSpec {
     "text_bpe_apply_merge",           // 1-row top-pair / replaced-count crossJoins
     "privacy_t_closeness",            // classes × ~6-row band grid + 1-row corpus total
     "scale_skew_salt_plan",           // 1-row threshold (τ) crossJoin into the key census
-    "ann_ivf_kmeans_train",           // 8-row centroid frame crossJoined per Lloyd pass
+    "ann_ivf_kmeans_train",           // 1-row centroid-array frame crossJoined per Lloyd pass
     "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
