@@ -705,14 +705,19 @@ object EventOps {
       * SQL-standard given an identical order. Output is the segment
       * census (rfm_code = r·100 + f·10 + m): user counts and exact cent
       * mass per cell — the 64-cell behavioral map a lifecycle/marketing
-      * pipeline consumes. Shape: one per-user aggregation, then three
-      * DISTRIBUTED exact NTILEs ([[TwoStageOrder.ntileExact]]: range
-      * partition + per-partition rank + closed-form bucket) — the
-      * per-user table grows with the user base, so the r10 global
-      * `ntile(4)` windows were three single-partition sorts of it; the
-      * two-stage form is bit-identical under the same tie-broken total
-      * orders and keeps every pass full-width — then one 64-cell census
-      * agg.
+      * pipeline consumes. Shape: one per-user aggregation; the R and M
+      * quartiles come from exact boundary TUPLES
+      * ([[TwoStageOrder.orderStatisticTuples]], both metrics fused into
+      * one bracket/selection aggregation pair — no range exchange:
+      * µs-grain timestamps and cent sums are tie-sparse at the probed
+      * cuts, r18) compared map-side per user; the F quartile keeps the
+      * ranked form ([[TwoStageOrder.ntileExact]]: range partition +
+      * per-partition rank + closed-form bucket) because event COUNTS
+      * are a small-integer column that can mass-tie at a quartile —
+      * exactly the band-size caveat the tuple primitive documents — so
+      * its one full-width range exchange is the honest shape. (The r10
+      * form was three single-partition global `ntile(4)` sorts; r17
+      * three range exchanges.) Then one 64-cell census agg.
       */
     QueryDef(
       "event_rfm_segments",
@@ -722,18 +727,21 @@ object EventOps {
           .agg(max(col("ts")).as("last_ts"),
             count(lit(1)).as("freq"),
             sum((col("value").cast(D) * 100).cast("long")).as("cents"))
-          // materialized once: each ntileExact's range partitioner runs a
-          // sampling pass over its input — unpinned, that pass would
-          // re-execute the events scan+agg three more times
+          // materialized once: the F ntile's range partitioner samples
+          // its input, and the R/M cut selection + the census each read
+          // it again — unpinned, each pass would re-run the events
+          // scan+agg
           .localCheckpoint(true)
-        val scored = Seq(
-          ("r", Seq(asc("last_ts"), asc("user_id"))),
-          ("f", Seq(asc("freq"), asc("user_id"))),
-          ("m", Seq(asc("cents"), asc("user_id"))))
-          .foldLeft(perUser) { case (df, (c, ord)) =>
-            TwoStageOrder.ntileExact(df, 4, ord, c)
-          }
-        scored
+        val cuts = TwoStageOrder.orderStatisticTuples(perUser,
+          Seq(("last_ts", Seq("user_id"), TwoStageOrder.ntileCutTargets(4, "rb")),
+              ("cents", Seq("user_id"), TwoStageOrder.ntileCutTargets(4, "mb"))))
+        TwoStageOrder.ntileExact(perUser, 4,
+            Seq(asc("freq"), asc("user_id")), "f")
+          .crossJoin(broadcast(cuts))
+          .withColumn("r", TwoStageOrder.bucketByCuts(4, "rb",
+            "last_ts", "user_id", col("last_ts"), col("user_id")))
+          .withColumn("m", TwoStageOrder.bucketByCuts(4, "mb",
+            "cents", "user_id", col("cents"), col("user_id")))
           .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long").as("rfm_code"))
           .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
           .orderBy("rfm_code")

@@ -297,6 +297,57 @@ object Profile {
         }
       }
     }
+
+    if (what == "zx") {
+      // --- zorder new-form phase attribution ----------------------------
+      for (pass <- 1 to 3) {
+        println(s"-- zx pass $pass")
+        settle()
+        val raw = graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("bigint").as("ck"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("bigint").as("oday"))
+        val stats = raw.agg(
+          min(col("ck")).as("ckmin"), max(col("ck")).as("ckmax"),
+          min(col("oday")).as("odmin"), max(col("oday")).as("odmax"))
+        val base = t("  phase: base checkpoint") {
+          raw.crossJoin(broadcast(stats))
+            .withColumn("cs", floor((col("ck") - col("ckmin")) * lit(1023.0)
+              / (col("ckmax") - col("ckmin"))).cast("bigint"))
+            .withColumn("os", floor((col("oday") - col("odmin")) * lit(1023.0)
+              / (col("odmax") - col("odmin"))).cast("bigint"))
+            .withColumn("z", expr(ScalePatterns.zSpark("cs", "os", 10)))
+            .localCheckpoint(true)
+        }
+        t("  phase: count") { base.count() }
+        val cuts = t("  phase: cuts (bracket+selection)") {
+          val c = TwoStageOrder.orderStatisticTuples(base,
+            Seq(("z", Seq("o_orderkey"), TwoStageOrder.ntileCutTargets(16, "zb")),
+                ("oday", Seq("o_orderkey"), TwoStageOrder.ntileCutTargets(16, "db"))))
+          c.localCheckpoint(true)
+        }
+        t("  phase: census") {
+          base.crossJoin(broadcast(cuts))
+            .select(explode(array(
+              struct(lit("zorder").as("layout"),
+                TwoStageOrder.bucketByCuts(16, "zb", "z", "o_orderkey",
+                  col("z"), col("o_orderkey")).as("bucket"),
+                col("ck"), col("oday")),
+              struct(lit("datesort").as("layout"),
+                TwoStageOrder.bucketByCuts(16, "db", "oday", "o_orderkey",
+                  col("oday"), col("o_orderkey")).as("bucket"),
+                col("ck"), col("oday")))).as("e"))
+            .select(col("e.layout").as("layout"), col("e.bucket").as("bucket"),
+              col("e.ck").as("ck"), col("e.oday").as("oday"))
+            .groupBy(col("layout"), col("bucket"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("ck")).as("min_cust"), max(col("ck")).as("max_cust"),
+              min(col("oday")).cast("int").as("min_day"),
+              max(col("oday")).cast("int").as("max_day"))
+            .orderBy("layout", "bucket").count()
+        }
+      }
+    }
     spark.stop()
   }
 }

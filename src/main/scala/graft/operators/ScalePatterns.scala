@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -95,7 +96,7 @@ object ScalePatterns {
     * same arithmetic in both dialects from one generator so the
     * definitions cannot drift. `bits` low bits of each key are
     * interleaved (x even positions, y odd). */
-  private def zSpark(x: String, y: String, bits: Int): String =
+  private[operators] def zSpark(x: String, y: String, bits: Int): String =
     (0 until bits).map(i =>
       s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
       .mkString(" + ")
@@ -156,8 +157,16 @@ object ScalePatterns {
         // sampling pass would otherwise re-run the scan + scalar join
         .localCheckpoint(true)
       // distributed exact NTILE (TwoStageOrder): the bucket assignment
-      // is now itself the range-partition + local-rank layout pass the
-      // scaladoc promises at write time — no single-partition sort
+      // is itself the range-partition + local-rank layout pass the
+      // scaladoc promises at write time — no single-partition sort.
+      // (r18 note: the boundary-tuple form (orderStatisticTuples +
+      // map-side bucket comparison) was built and oracle-verified here,
+      // then REVERTED on measurement — at sf0.1 its 30-cut selection
+      // pass + per-row comparison census ran ~3.0 s vs 2.1 s for this
+      // form, and unlike rfm's R/M quartiles the per-row rank here IS
+      // the write layout, so the range exchange is not wasted work at
+      // scale either. Kept for the consumers where the boundary form
+      // measured faster: event_rfm_segments, sketch selection.)
       val zb = TwoStageOrder.ntileExact(
         base.withColumn("layout", lit("zorder")), 16,
         Seq(asc("z"), asc("o_orderkey")), "bucket")

@@ -552,38 +552,62 @@ object SketchOps {
           Window.partitionBy("pid").orderBy(asc("v"), asc("okey"), asc("lnum"))))
         .filter(expr(s"(lrank - 1) % $QM = 0"))
         .select("v", "okey", "lnum")
-      val pooled = TwoStageOrder.withGlobalRank(kept,
-        Seq(col("v").asc, col("okey").asc, col("lnum").asc), "j", "k_tot")
-      val qFrame = base.agg(count(lit(1)).as("n_rows"))
-        .select(col("n_rows"),
-          explode(array(Seq(25, 50, 75, 90, 99).map(lit): _*)).as("q_pct"))
-        .withColumn("target_rank", expr("(q_pct * n_rows + 99) DIV 100"))
-        .withColumn("j_star", expr(s"(target_rank + $QM - 2) DIV $QM + 1"))
-      val sel = pooled.join(broadcast(qFrame),
-          col("j") === least(col("j_star"), col("k_tot")))
-        .withColumn("est_rank", expr(s"(j - 1) * $QM + 1"))
+        // consumed by the boundary selection's count + selection passes
+        .localCheckpoint(false)
+      // The five probed summary ranks come from exact boundary TUPLES
+      // over the kept summary ([[TwoStageOrder.orderStatisticTuples]] —
+      // aggregation-only, r18) instead of ranking EVERY summary row
+      // (withGlobalRank: range exchange + checkpoint + offset join) to
+      // read 5 of the ranks. The target rank j* derives from the FACT
+      // table's row count, so n_rows is counted once here (base is the
+      // query's own checkpointed projection — the count is its
+      // materializing action, not an extra scan) and baked into the
+      // rank expressions; the bracket centers q = j*·QM/n_rows sit
+      // within QP+2 summary ranks of q·k_tot (k_tot ∈
+      // [n/QM, n/QM + QP]), declared via maxRankDev.
+      val nRows = base.count()
+      val targets = Seq(25, 50, 75, 90, 99).map { qp =>
+        val targetRank = (qp * nRows + 99) / 100
+        val jStar = (targetRank + QM - 2) / QM + 1
+        (qp, targetRank, jStar)
+      }
+      val sel = TwoStageOrder.orderStatisticTuples(kept,
+        Seq(("v", Seq("okey", "lnum"), targets.map { case (qp, _, jStar) =>
+          (s"t$qp", jStar.toDouble * QM / nRows, s"LEAST(${jStar}L, n)")
+        })),
+        maxRankDev = QP + 2)
       // (v, okey, lnum) need not be UNIQUE in the fact table (the
       // synthetic lineitem duplicates line numbers); the exact rank of a
       // released tuple t is its MIN rank over the duplicate run, which
-      // equals |{rows < t}| + 1 — computable as ONE map-side broadcast
-      // comparison over the fact instead of a full two-stage global rank
-      // of every row (the audit was this query's dominant cost: ranking
-      // 100% of the table to locate 5 tuples).
-      base.crossJoin(broadcast(sel.select(col("q_pct"), col("n_rows"),
-          col("target_rank"), col("j").as("kept_rank"), col("est_rank"),
-          col("v").as("s_v"), col("okey").as("s_okey"), col("lnum").as("s_lnum"))))
-        .groupBy(col("q_pct"), col("n_rows"), col("target_rank"),
-          col("kept_rank"), col("est_rank"), col("s_v"))
-        .agg((sum(when(col("v") < col("s_v") ||
-            (col("v") === col("s_v") && (col("okey") < col("s_okey") ||
-              (col("okey") === col("s_okey") && col("lnum") < col("s_lnum")))),
-            1L).otherwise(0L)) + 1L).as("exact_rank"))
-        .select(col("q_pct").cast("long").as("q_pct"), col("n_rows"),
-          col("target_rank"), col("kept_rank"), col("est_rank"),
-          col("s_v").as("value_cents"), col("exact_rank"),
-          abs(col("exact_rank") - col("est_rank")).as("rank_err"),
+      // equals |{rows < t}| + 1 — ONE conditional-sum pass over the fact
+      // against the broadcast 1-row selection (r18: the previous form
+      // crossJoined the 5 selected rows into the fact, pushing 5× the
+      // rows through the audit aggregation).
+      val flatAggs: Seq[org.apache.spark.sql.Column] =
+        targets.map { case (qp, _, _) =>
+          sum(when(col("v") < col(s"t$qp.v") ||
+              (col("v") === col(s"t$qp.v") && (col("okey") < col(s"t$qp.okey") ||
+                (col("okey") === col(s"t$qp.okey") && col("lnum") < col(s"t$qp.lnum")))),
+            1L).otherwise(0L)).as(s"blw$qp")
+        } ++ targets.map { case (qp, _, _) => max(col(s"t$qp.v")).as(s"v$qp") } :+
+          max(col("n")).as("k_tot")
+      base.crossJoin(broadcast(sel))
+        .agg(flatAggs.head, flatAggs.tail: _*)
+        .select(explode(array(targets.map { case (qp, targetRank, jStar) =>
+          val keptRank = least(lit(jStar), col("k_tot"))
+          struct(lit(qp.toLong).as("q_pct"), lit(nRows).as("n_rows"),
+            lit(targetRank).as("target_rank"), keptRank.as("kept_rank"),
+            ((keptRank - 1L) * QM + 1L).as("est_rank"),
+            col(s"v$qp").as("value_cents"),
+            (col(s"blw$qp") + 1L).as("exact_rank"))
+        }: _*)).as("e"))
+        .select(col("e.q_pct").as("q_pct"), col("e.n_rows").as("n_rows"),
+          col("e.target_rank").as("target_rank"), col("e.kept_rank").as("kept_rank"),
+          col("e.est_rank").as("est_rank"), col("e.value_cents").as("value_cents"),
+          col("e.exact_rank").as("exact_rank"),
+          abs(col("e.exact_rank") - col("e.est_rank")).as("rank_err"),
           lit(QM.toLong * QP).as("err_bound"),
-          (abs(col("exact_rank") - col("est_rank")) <= QM.toLong * QP).as("ok"))
+          (abs(col("e.exact_rank") - col("e.est_rank")) <= QM.toLong * QP).as("ok"))
         .orderBy("q_pct")
     },
     Some(s"""

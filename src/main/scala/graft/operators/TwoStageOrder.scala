@@ -242,6 +242,187 @@ object TwoStageOrder {
       }: _*)
   }
 
+  /** Exact order-statistic TUPLES at a few target ranks under COMPOSITE
+    * total orders (valueCol asc, tieCols asc…) — the bucket-boundary
+    * sibling of [[orderStatistics]], for consumers that never read a
+    * per-row rank but only compare rows AGAINST a handful of ranked
+    * boundary tuples (NTILE-bucketed censuses, write-layout bucket
+    * audits, sketch-summary selection). Same two aggregation-only
+    * passes, ZERO data exchanges (guide §2.4):
+    *
+    *  1. bracket pass: n = COUNT(*) plus per target a GK value bracket
+    *     [lo, hi] on valueCol at q ± deltaUnits·ε. The composite rank ρ
+    *     of the target tuple t* satisfies cnt(v < t*.v) < ρ ≤
+    *     cnt(v ≤ t*.v), so the single-column bracket contains t*.v by
+    *     the same hard GK rank bound as [[orderStatistics]]: if
+    *     t*.v < lo then cnt(v ≤ t*.v) ≤ rank(lo) ≤ (q−(Δ−1)ε)·n < ρ,
+    *     contradiction, and symmetrically for hi (Δ = deltaUnits).
+    *  2. selection pass: per target, the band of FULL (value, tie…)
+    *     structs with lo ≤ v ≤ hi, sorted (struct ordering IS the
+    *     composite order), plus cnt_lt = Σ[v < lo]; the exact tuple is
+    *     band[ρ − cnt_lt].
+    *
+    * Validity contract: each target's runtime rank (rankSql over `n`)
+    * must deviate from q·n by at most `maxRankDev` ranks — NTILE(t) cut
+    * ranks c_j = j·(n DIV t) + LEAST(j, n % t) at q = j/t deviate by
+    * ≤ ⌈t/4⌉ (|LEAST(j,r) − j·r/t| maximizes at r ≈ t/2). The GK
+    * bracket's rank slack is (deltaUnits−1)·ε·n, so the primitive
+    * COUNTS its input once (callers pass a materialized frame) and only
+    * uses the bracket path when 5εn ≥ maxRankDev + 1; below that
+    * threshold the quantile step per rank (1/n) exceeds the bracket
+    * width and a "correct" GK answer can still sit maxRankDev ranks
+    * off-target (live sighting: NTILE(16) cuts at n = 1.5k), so the
+    * selection falls back to ONE exact aggregation collecting the whole
+    * (≤ (maxRankDev+1)·accuracy/5-row) sorted tuple list — bounded by
+    * the same threshold that disables it.
+    *
+    * Band size is ~(2·deltaUnits+2)·ε·n plus the tie runs at the two
+    * bracket endpoints AT THE VALUE GRAIN — the [[orderStatistics]]
+    * mass-tie caveat applies to valueCol exactly as there (tiebreak
+    * columns bound correctness, not band size): do not probe a quantile
+    * where valueCol mass-ties. valueCol must be non-null and
+    * GK-sketchable (numeric/date/timestamp).
+    *
+    * `specs` = (valueCol, tieCols, targets); targets = (outCol, q,
+    * rankSql). Returns ONE row: `n` (LONG) plus per target a struct
+    * column `outCol` with fields (valueCol, tieCols…) — compare with
+    * `struct(valueCol, tieCols…)` rows downstream (struct comparison is
+    * lexicographic, i.e. the composite order itself).
+    */
+  def orderStatisticTuples(df: DataFrame,
+      specs: Seq[(String, Seq[String], Seq[(String, Double, String)])],
+      accuracy: Int = 10000, deltaUnits: Int = 6,
+      maxRankDev: Int = 4): DataFrame = {
+    require(df.columns.forall(!_.startsWith("__")),
+      s"input uses reserved __-prefixed columns: ${df.columns.filter(_.startsWith("__")).mkString(",")}")
+    require(deltaUnits >= 6, "deltaUnits < 6 leaves no slack over the GK bound")
+    val nIn = df.count()
+    val gkValid =
+      (deltaUnits - 1).toDouble * nIn / accuracy >= (maxRankDev + 1).toDouble
+    def out(withBands: DataFrame): DataFrame =
+      withBands.select(col("n") +: specs.flatMap { case (_, _, targets) =>
+        targets.map { case (o, _, rankSql) =>
+          // n = 0 guard: an empty input yields empty bands and rank 0 —
+          // emit NULL instead of an invalid element_at index
+          when(col("n") > 0L, element_at(col(s"__band_$o"),
+            (expr(rankSql) - col(s"__blw_$o")).cast("int"))).as(o)
+        }
+      }: _*)
+    if (!gkValid) {
+      // exact path: one aggregation collecting each spec's full sorted
+      // tuple list ONCE, aliased per target (cnt-below = 0)
+      val collectAggs: Seq[Column] = count(lit(1)).as("n") +:
+        specs.map { case (valueCol, tieCols, _) =>
+          val tup = struct((valueCol +: tieCols).map(col): _*)
+          sort_array(collect_list(tup)).as(s"__full_$valueCol")
+        }
+      val collected = df.agg(collectAggs.head, collectAggs.tail: _*)
+      val aliased = specs.foldLeft(collected) { case (d, (valueCol, _, targets)) =>
+        targets.foldLeft(d) { case (dd, (o, _, _)) =>
+          dd.withColumn(s"__band_$o", col(s"__full_$valueCol"))
+            .withColumn(s"__blw_$o", lit(0L))
+        }
+      }
+      out(aliased)
+    } else {
+      val delta = deltaUnits.toDouble / accuracy
+      // ONE GK sketch per value column, queried at every target's two
+      // bracket quantiles via the array form — approx_percentile with a
+      // scalar percentage builds an independent summary per CALL, so the
+      // per-target form paid 2·|targets| sketch passes over every row
+      // (measured: the 16-bucket two-dimension zorder bracket ran 60
+      // sketches); the array form pays one insert per row per column.
+      // Quantiles are clamped to [0, 1] (the sketch retains exact
+      // min/max at the edges); every current caller's q ± δ is interior.
+      val bracketAggs: Seq[Column] = count(lit(1)).as("__n") +:
+        specs.map { case (valueCol, _, targets) =>
+          val qs = targets.flatMap { case (_, q, _) =>
+            Seq(math.max(q - delta, 0.0), math.min(q + delta, 1.0))
+          }
+          expr(s"approx_percentile($valueCol, array(${qs.mkString(", ")}), $accuracy)")
+            .as(s"__brk_$valueCol")
+        }
+      val bracket = df.agg(bracketAggs.head, bracketAggs.tail: _*)
+        .select(col("__n") +: specs.flatMap { case (valueCol, _, targets) =>
+          targets.zipWithIndex.flatMap { case ((o, _, _), i) =>
+            Seq(element_at(col(s"__brk_$valueCol"), 2 * i + 1).as(s"__lo_$o"),
+              element_at(col(s"__brk_$valueCol"), 2 * i + 2).as(s"__hi_$o"))
+          }
+        }: _*)
+      // ONE combined band per spec (the union of its targets' brackets —
+      // a single collect buffer instead of one per target; measured: 30
+      // per-target collect_lists made the zorder selection the dominant
+      // phase) plus two codegen'd LONG sums per target. The position of
+      // target o's tuple in the combined sorted band is
+      // (#band elements with v < lo_o) + (rank_o − #all rows with
+      // v < lo_o): every band element with lo_o ≤ v ≤ hi_o is in o's own
+      // bracket, so the within-bracket offset is the target's bracket
+      // position and the cross-bracket prefix is the first sum.
+      // the any-bracket membership and per-target below-flags are
+      // PROJECTED once per row (codegen'd booleans) so no aggregate
+      // re-evaluates the 2(t−1)-way range disjunction
+      val projected = df.crossJoin(broadcast(bracket))
+        .select(Seq(col("*")) ++ specs.flatMap { case (valueCol, _, targets) =>
+          targets.map { case (o, _, _) =>
+            (col(valueCol) >= col(s"__lo_$o") && col(valueCol) <= col(s"__hi_$o"))
+              .as(s"__in_$o")
+          } ++ targets.map { case (o, _, _) =>
+            (col(valueCol) < col(s"__lo_$o")).as(s"__lt_$o")
+          }
+        }: _*)
+      val selAggs: Seq[Column] = max(col("__n")).as("n") +:
+        specs.flatMap { case (valueCol, tieCols, targets) =>
+          val tup = struct((valueCol +: tieCols).map(col): _*)
+          val inAny = targets.map { case (o, _, _) => col(s"__in_$o") }
+            .reduce(_ || _)
+          sort_array(collect_list(when(inAny, tup))).as(s"__band_$valueCol") +:
+            targets.flatMap { case (o, _, _) =>
+              Seq(
+                // band elements BELOW o's bracket (union-band prefix)
+                sum(when(inAny && col(s"__lt_$o"), 1L).otherwise(0L))
+                  .as(s"__inb_$o"),
+                sum(when(col(s"__lt_$o"), 1L).otherwise(0L)).as(s"__blw_$o"))
+            }
+        }
+      val selected = projected.agg(selAggs.head, selAggs.tail: _*)
+      val aliased = specs.foldLeft(selected) { case (d, (valueCol, _, targets)) =>
+        targets.foldLeft(d) { case (dd, (o, _, _)) =>
+          dd.withColumn(s"__band_$o", col(s"__band_$valueCol"))
+            .withColumn(s"__blw2_$o", col(s"__blw_$o") - col(s"__inb_$o"))
+            .drop(s"__blw_$o")
+            .withColumnRenamed(s"__blw2_$o", s"__blw_$o")
+        }
+      }
+      out(aliased)
+    }
+  }
+
+  /** The t−1 NTILE(t) cut-rank targets for [[orderStatisticTuples]]:
+    * c_j = j·(n DIV t) + LEAST(j, n % t) at q = j/t (the SQL-standard
+    * bucket sizes: first n%t buckets hold ⌈n/t⌉ rows). A row's bucket is
+    * then 1 + #{j : boundary_j < row} — a map-side struct comparison
+    * against the broadcast boundary row (bit-identical to
+    * [[ntileExact]]: boundary_j is the tuple AT rank c_j, and
+    * boundary_j < row ⟺ rank(row) > c_j under a total order). */
+  def ntileCutTargets(t: Int, prefix: String): Seq[(String, Double, String)] =
+    (1 until t).map { j =>
+      (s"$prefix$j", j.toDouble / t, s"$j * (n DIV $t) + LEAST($j, n % $t)")
+    }
+
+  /** The bucket expression over [[ntileCutTargets]] boundary columns:
+    * 1 + #{j : boundary_j < row} (INT, 1-based), evaluated map-side
+    * against the broadcast boundary row. The composite comparison is
+    * spelled over SCALAR fields (value, then one tiebreak) rather than
+    * `struct < struct` — same ordering, but whole-stage-codegen-friendly
+    * with no per-row struct allocation (t−1 comparisons per row). */
+  def bucketByCuts(t: Int, prefix: String, valueField: String,
+      tieField: String, rowValue: Column, rowTie: Column): Column =
+    ((1 until t).map { j =>
+      val bv = col(s"$prefix$j.$valueField")
+      val bt = col(s"$prefix$j.$tieField")
+      when(bv < rowValue || (bv === rowValue && bt < rowTie), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)).cast("int")
+
   /** Per-group K-minimum-values reduction over a DISTINCT-per-group
     * value column `hCol` (string-ordered): returns one row per group —
     * `vk` = the K-th smallest value (null when the group has fewer than

@@ -67,6 +67,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivf_kmeans_train",           // 1-row centroid-array frame crossJoined per Lloyd pass
     "stats_bootstrap_ci_poisson",     // 1-row CI-bounds frame crossJoined into the summary row
     "rec_copurchase_lift",            // 1-row order-count crossJoin feeding the lift denominator
+    "event_rfm_segments",             // 1-row R/M boundary-tuple frame crossJoined into the census
     "graph_ppr_seeded",               // 1-row node/seed-count crossJoins feeding the teleport share
     "ann_knn_graph_ivf",              // 1-row AuditGuard census crossJoin (r16 scale guard)
     "ann_recall_knn_capped_vs_exact", // composes the guarded exact arm above

@@ -196,6 +196,82 @@ class TwoStageOrderSpec extends SparkSpec {
       s"median mismatch: $viaRank vs $viaSel")
   }
 
+  // ---- orderStatisticTuples: the r18 boundary-tuple primitive ----------
+
+  /** NTILE buckets via cut tuples vs the ntile() window — the full
+    * consumer contract (boundary selection AND the map-side comparison
+    * count), on both primitive paths. */
+  private def checkNtileByCuts(n: Int, t: Int, seed: Long): Unit = {
+    val df = randomDf(n, seed).localCheckpoint(true)
+    val cuts = TwoStageOrder.orderStatisticTuples(df,
+      Seq(("v", Seq("id"), TwoStageOrder.ntileCutTargets(t, "c"))))
+    val got = df.crossJoin(broadcast(cuts))
+      .withColumn("b", TwoStageOrder.bucketByCuts(t, "c", "v", "id",
+        col("v"), col("id")))
+      .select("id", "b")
+    val expected = df.withColumn("b",
+        ntile(t).over(Window.orderBy(asc("v"), asc("id"))))
+      .select("id", "b")
+    val diff = got.except(expected).union(expected.except(got))
+    assert(diff.isEmpty, s"bucket mismatch at n=$n t=$t")
+  }
+
+  test("ntile-by-cut-tuples matches ntile() on the EXACT path (small n)") {
+    // below the GK-validity threshold 5εn >= maxRankDev+1 (n < 10k at
+    // the defaults) the primitive must fall back to full-collect
+    // selection — the live zorder sighting at n=1.5k was exactly a GK
+    // bracket missing a cut rank that deviates t/4 from q·n
+    for ((n, t, seed) <- Seq((1, 4, 1L), (3, 16, 2L), (103, 4, 3L),
+      (1500, 16, 4L), (5000, 7, 5L))) checkNtileByCuts(n, t, seed)
+  }
+
+  test("ntile-by-cut-tuples matches ntile() on the GK-BRACKET path (large n)") {
+    // n = 60k > 10k: the bracket path runs for real, with the
+    // duplicate-heavy v column making tie handling load-bearing
+    checkNtileByCuts(60000, 16, 6L)
+    checkNtileByCuts(60000, 4, 7L)
+  }
+
+  test("orderStatisticTuples selects exact tuples on a TIMESTAMP value column (GK path)") {
+    // the rfm R-metric shape: microsecond timestamps + long tiebreak
+    val n = 30000
+    val rnd = new scala.util.Random(8L)
+    val df = (1 to n).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L))
+    }.toDF("id", "ts").repartition(7).localCheckpoint(true)
+    val cuts = TwoStageOrder.orderStatisticTuples(df,
+      Seq(("ts", Seq("id"), TwoStageOrder.ntileCutTargets(4, "c"))))
+    val got = df.crossJoin(broadcast(cuts))
+      .withColumn("b", TwoStageOrder.bucketByCuts(4, "c", "ts", "id",
+        col("ts"), col("id")))
+      .select("id", "b")
+    val expected = df.withColumn("b",
+        ntile(4).over(Window.orderBy(asc("ts"), asc("id"))))
+      .select("id", "b")
+    val diff = got.except(expected).union(expected.except(got))
+    assert(diff.isEmpty, "timestamp bucket mismatch")
+  }
+
+  test("orderStatisticTuples honors externally-derived ranks within maxRankDev (GK path)") {
+    // the subsample-merge shape: the probed rank comes from ANOTHER
+    // table's count, deviating from q·n by up to maxRankDev ranks
+    val n = 80000
+    val df = randomDf(n, 9L).localCheckpoint(true)
+    val sorted = df.orderBy(asc("v"), asc("id"))
+      .select("v", "id").collect()
+    for (dev <- Seq(-30, 0, 30)) {
+      val q = 0.5
+      val rank = (q * n).toLong + dev
+      val got = TwoStageOrder.orderStatisticTuples(df,
+          Seq(("v", Seq("id"), Seq(("t", q, rank.toString)))),
+          maxRankDev = 34)
+        .select(col("t.v"), col("t.id")).collect()(0)
+      val exp = sorted(rank.toInt - 1)
+      assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1),
+        s"dev=$dev: got $got expected $exp")
+    }
+  }
+
   test("the primitives plan no unpartitioned Window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = randomDf(100, 13L)
