@@ -1097,11 +1097,30 @@ object TextAnalysis {
       val gramDoc = grams.groupBy("doc_id", "source", "gram")
         .agg(count(lit(1)).as("m"))
         .localCheckpoint(true)
-      val df = gramDoc.groupBy("gram").agg(sum(col("m")).as("gdf"))
-      gramDoc.join(df, "gram")
+      // a gram with gdf = 1 has exactly ONE contributing (doc, source)
+      // row, so carrying min(struct(doc_id, source)) through the df
+      // aggregate recovers the novel gram's OWNER — the join-back of the
+      // full gram table against the df table (its widest remaining
+      // exchange: 5-gram strings moving a second time / a vocabulary-
+      // sized broadcast build) collapses to a doc-keyed count of the
+      // df=1 rows, folded into the per-doc totals by union + keyed agg
+      // (no doc-proportional broadcast side — sums over the union are
+      // exactly the left join + COALESCE 0: docs with no novel gram get
+      // only their totals row; r18, guide §2.3: shuffle keys and
+      // metadata, not payloads)
+      val novel = gramDoc.groupBy("gram")
+        .agg(sum(col("m")).as("gdf"),
+          min(struct(col("doc_id"), col("source"))).as("own"))
+        .filter(col("gdf") === 1)
+        .select(col("own.doc_id").as("doc_id"), col("own.source").as("source"),
+          lit(0L).as("n_grams"), lit(1L).as("n_novel"))
+      gramDoc
         .groupBy("doc_id", "source")
-        .agg(sum(col("m")).as("n_grams"),
-          coalesce(sum(when(col("gdf") === 1, col("m"))), lit(0L)).as("n_novel"))
+        .agg(sum(col("m")).as("n_grams"))
+        .withColumn("n_novel", lit(0L))
+        .unionByName(novel)
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n_grams")).as("n_grams"), sum(col("n_novel")).as("n_novel"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           // widen the summed numerator before *1e6: wraps int64 past ~9.2e12

@@ -347,7 +347,14 @@ object Dedup {
       val shC = sh.join(bc(candDocs), Seq("doc_id"))
         .localCheckpoint(true) // referenced 2× (intersections, sizes)
       val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shC.as("ca").join(shC.as("cb"),
+      // candidate-pruned shingles are small by construction — broadcast
+      // one side of the intersection self-join behind the same row-count
+      // guard (r18: un-hinted this planned a SortMergeJoin, exchanging +
+      // sorting the shingle strings twice; past the cap the hint drops
+      // and the join stays keyed)
+      val shBc: DataFrame => DataFrame =
+        if (shC.count() <= BroadcastPairCap) broadcast _ else identity[DataFrame] _
+      val inter = shC.as("ca").join(shBc(shC.as("cb")),
           col("ca.shingle") === col("cb.shingle") &&
           col("ca.doc_id") < col("cb.doc_id"))
         .select(col("ca.doc_id").as("ia"), col("cb.doc_id").as("ib"))

@@ -457,18 +457,24 @@ object GraphIterative {
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
       val seedAdj = adj.filter(col("u") < 10)
-      val twoHop = seedAdj.as("e1")
+      // every frame on the seed side is O(Σ_seed deg) — broadcast it so
+      // the corpus-sized adjacency/degree tables stream in place (guide
+      // §3.1; un-hinted, the stats-less checkpoint surface planned FOUR
+      // SortMergeJoins here, each exchanging+sorting the big side —
+      // measured 2.1-2.3 → 1.9-2.1 s at sf0.1, and the exchanges of the
+      // adjacency/degree tables are gone from the plan)
+      val twoHop = broadcast(seedAdj.as("e1"))
         .join(adj.as("e2"), col("e1.v") === col("e2.u"))
         .select(col("e1.u").as("seed"), col("e2.v").as("cand"))
         .filter(col("seed") =!= col("cand"))
       val cn = twoHop
-        .join(seedAdj.select(col("u").as("seed"), col("v").as("cand")),
+        .join(broadcast(seedAdj.select(col("u").as("seed"), col("v").as("cand"))),
           Seq("seed", "cand"), "left_anti")
         .groupBy("seed", "cand").agg(count(lit(1)).as("common_neighbors"))
       val w = Window.partitionBy("seed")
         .orderBy(desc("common_neighbors"), asc("cand"))
-      cn
-        .join(deg.select(col("u").as("seed"), col("d").as("ds")), "seed")
+      broadcast(broadcast(cn)
+        .join(deg.select(col("u").as("seed"), col("d").as("ds")), "seed"))
         .join(deg.select(col("u").as("cand"), col("d").as("dc")), "cand")
         .withColumn("jaccard_ppm", expr(
           """CAST((CAST(common_neighbors AS DECIMAL(38,0)) * 1000000)
