@@ -1507,18 +1507,30 @@ object AnnSearch {
 
   /** Keyed subspace assignment: each (vec_id, s) slice against its
     * subspace's broadcast ≤KC-row codebook, argmin by (dist2, cid). */
+  /** Nearest-codeword assignment, MAP-SIDE (r18, the [[kmeansTrain]]
+    * fusion per subspace): the ≤K·M-row codebook collapses to one
+    * cid-sorted struct array per subspace (an M-row broadcast), and
+    * array_min over per-codeword (dist2, cid) structs IS the previous
+    * min(struct(dist2, cid)) groupBy — lexicographic struct ordering,
+    * identical dist2 fold, bit-identical doubles — minus the K×
+    * row explosion and its groupBy(vec_id, s) shuffle per pass. The
+    * output CARRIES `vcol` so the update / residual / encode consumers
+    * read it directly instead of joining back to the data. */
   private def pqAssign(data: DataFrame, vcol: String, cb: DataFrame): DataFrame =
-    data.join(broadcast(cb), "s")
-      .withColumn("dist2", expr(
-        s"aggregate(zip_with($vcol, c, (x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+    data.join(broadcast(cb.groupBy("s")
+        .agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("__cs"))), "s")
+      .withColumn("__m", expr(
+        s"""array_min(transform(__cs, t -> struct(
+           |  aggregate(zip_with($vcol, t.c, (x, y) -> (x - y) * (x - y)),
+           |            0.0D, (a, b) -> a + b) AS dist2,
+           |  t.cid AS cid)))""".stripMargin))
+      .select(data.columns.map(col) :+ col("__m.cid").as("cid"): _*)
 
   /** Per-(subspace, centroid, dim) decimal-mean codebook update — the
-    * [[kmeansTrain]] centroid discipline per subspace. */
-  private def pqUpdate(assigned: DataFrame, data: DataFrame, vcol: String): DataFrame =
-    assigned.join(data, Seq("vec_id", "s"))
+    * [[kmeansTrain]] centroid discipline per subspace. `assigned` is a
+    * [[pqAssign]] output and carries the vector column itself. */
+  private def pqUpdate(assigned: DataFrame, vcol: String): DataFrame =
+    assigned
       .select(col("s"), col("cid"), posexplode(col(vcol)).as(Seq("pos", "x")))
       .groupBy("s", "cid", "pos")
       .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)))
@@ -1558,11 +1570,12 @@ object AnnSearch {
         val cb0 = seeds.select(col("cid"), explode(array((0 until PqM).map(m =>
             struct(lit(m).as("s"), slice(col("v"), m * PqSD + 1, PqSD).as("c"))): _*)).as("e"))
           .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
-        val cb1 = pqUpdate(pqAssign(sub, "vs", cb0), sub, "vs")
+        val cb1 = pqUpdate(pqAssign(sub, "vs", cb0), "vs")
           .localCheckpoint(true) // encode pass + distance table + residual build
-        val codes = pqAssign(sub, "vs", cb1)
-          .localCheckpoint(true) // PQ's ADC scan + RQ's residual build
-        val res = codes.join(sub, Seq("vec_id", "s"))
+        val codesFull = pqAssign(sub, "vs", cb1) // carries vs (map-side)
+        val codes = codesFull.select("vec_id", "s", "cid")
+          .localCheckpoint(true) // PQ's ADC scan reads the slim artifact
+        val res = codesFull
           .join(broadcast(cb1), Seq("s", "cid"))
           .select(col("vec_id"), col("s"),
             expr("zip_with(vs, c, (x, y) -> x - y)").as("r"))
@@ -1743,9 +1756,9 @@ object AnnSearch {
       val res = l1.res
       val cb20 = res.join(broadcast(l1.seeds.select(col("cid"), col("vec_id"))), "vec_id")
         .select(col("s"), col("cid"), col("r").as("c"))
-      val cb2 = pqUpdate(pqAssign(res, "r", cb20), res, "r")
-      val codes2 = pqAssign(res, "r", cb2)
-      codes2.join(res, Seq("vec_id", "s"))
+      val cb2 = pqUpdate(pqAssign(res, "r", cb20), "r")
+      val codes2 = pqAssign(res, "r", cb2) // carries r — no join-back
+      codes2
         .join(broadcast(cb2), Seq("s", "cid"))
         .withColumn("e1", expr(
           "CAST(FLOOR(aggregate(zip_with(r, r, (x, y) -> x * y), 0.0D, (a, b) -> a + b) * 1000000.0D) AS BIGINT)"))
@@ -1889,10 +1902,10 @@ object AnnSearch {
       .select("vec_id", "cid")
     val cb0 = rsub.join(broadcast(seeds), "vec_id")
       .select(col("s"), col("cid"), col("rs").as("c"))
-    val cb1 = pqUpdate(pqAssign(rsub, "rs", cb0), rsub, "rs")
+    val cb1 = pqUpdate(pqAssign(rsub, "rs", cb0), "rs")
       .localCheckpoint(true) // encode pass + the per-cell distance tables
-    val codes0 = pqAssign(rsub, "rs", cb1)
-      .join(vecs.select("vec_id", "label"), "vec_id")
+    val codes0 = pqAssign(rsub, "rs", cb1) // rsub carries label already
+      .select(col("vec_id"), col("s"), col("cid"), col("label"))
     val codes = if (pinned) codes0.localCheckpoint(true) else codes0
     // codes is eagerly materialized above, so rsub has no reader left in
     // the pinned path — release it NOW, inside the pin block, so the
