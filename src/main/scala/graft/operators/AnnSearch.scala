@@ -1572,10 +1572,14 @@ object AnnSearch {
           .select(col("e.s").as("s"), col("cid"), col("e.c").as("c"))
         val cb1 = pqUpdate(pqAssign(sub, "vs", cb0), "vs")
           .localCheckpoint(true) // encode pass + distance table + residual build
-        val codesFull = pqAssign(sub, "vs", cb1) // carries vs (map-side)
-        val codes = codesFull.select("vec_id", "s", "cid")
-          .localCheckpoint(true) // PQ's ADC scan reads the slim artifact
-        val res = codesFull
+        // the assignment fold (16 codewords × every subspace row) runs
+        // ONCE into the slim checkpoint; res re-attaches vs through the
+        // pinned sub instead of re-evaluating the fold (the first r18
+        // cut derived codes and res from the un-checkpointed assignment
+        // and paid the fold twice — visible as an in-suite rq bump)
+        val codes = pqAssign(sub, "vs", cb1).select("vec_id", "s", "cid")
+          .localCheckpoint(true) // PQ's ADC scan + RQ's residual build
+        val res = codes.join(sub, Seq("vec_id", "s"))
           .join(broadcast(cb1), Seq("s", "cid"))
           .select(col("vec_id"), col("s"),
             expr("zip_with(vs, c, (x, y) -> x - y)").as("r"))
