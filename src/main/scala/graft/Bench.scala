@@ -519,16 +519,15 @@ object Bench {
     // n_compared comes back from crossRunStat itself so the reported
     // denominator can never drift from the population actually counted
     val (hostShift, crossOver, crossMed, crossCompared) = crossRunStat(crossPairs)
-    // Sub-second corroboration bound (r17 verdict item 2): a would-be
-    // CODE flag whose baseline sits within ~3× of the 0.15 s noise
-    // floor is exactly where one unlucky sample pair can clear both the
-    // ratio gate and the absolute floor on an untouched query (the r17
-    // driver artifact's four n_code flags were all in this band on
-    // unchanged files). Such a flag earns one extra measured sample
-    // before it may be declared code; the min over all samples is the
-    // query's floor, so corroboration can only retract noise, never
-    // hide a real regression that reproduces.
-    val corroboratePrevMax = 0.45
+    // Corroboration (r17 verdict item 2; widened per r18 verdict item
+    // 6): EVERY would-be CODE flag earns one extra measured sample
+    // before it may be declared code — the r18 capture's six n_code
+    // flags all read corroborated:false because the old `prev ≤ 0.45 s`
+    // bound excluded their 0.5–2 s baselines, so the gate never fired
+    // in its first live outing. The min over all samples is the query's
+    // floor, so corroboration can only retract noise, never hide a real
+    // regression that reproduces; worst-case cost is one extra pass
+    // over exactly the flagged queries.
     val regressions: Seq[(String, String)] = names.flatMap { n =>
       (results.get(n), prevMins.get(n)) match {
         case (Some(cur0), Some(prev)) if prev > 0 =>
@@ -551,7 +550,7 @@ object Bench {
             val prevShift = prev * hostShift
             val wouldBeCode = trips(cur0, prevShift)
             val (cur, corroborated) =
-              if (wouldBeCode && prev <= corroboratePrevMax) {
+              if (wouldBeCode) {
                 settle()
                 val t0 = System.nanoTime()
                 val ok =

@@ -348,12 +348,13 @@ object Dedup {
         .localCheckpoint(true) // referenced 2× (intersections, sizes)
       val sz = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // candidate-pruned shingles are small by construction — broadcast
-      // one side of the intersection self-join behind the same row-count
-      // guard (r18: un-hinted this planned a SortMergeJoin, exchanging +
+      // one side of the intersection self-join behind a row-count guard
+      // (r18: un-hinted this planned a SortMergeJoin, exchanging +
       // sorting the shingle strings twice; past the cap the hint drops
-      // and the join stays keyed)
+      // and the join stays keyed). The cap is the SHINGLE-row cap, not
+      // the slim-pair cap — these rows carry the strings (r18 advice)
       val shBc: DataFrame => DataFrame =
-        if (shC.count() <= BroadcastPairCap) broadcast _ else identity[DataFrame] _
+        if (shC.count() <= BroadcastShingleRowCap) broadcast _ else identity[DataFrame] _
       val inter = shC.as("ca").join(shBc(shC.as("cb")),
           col("ca.shingle") === col("cb.shingle") &&
           col("ca.doc_id") < col("cb.doc_id"))
@@ -457,6 +458,14 @@ object Dedup {
   private def candBroadcaster(materializedCands: DataFrame): DataFrame => DataFrame =
     if (materializedCands.count() <= BroadcastPairCap) broadcast _
     else identity[DataFrame] _
+
+  /** Separate, smaller cap for broadcasting candidate-pruned SHINGLE
+    * rows (r18 advice): a (doc_id, shingle) row carries the shingle
+    * STRING (~40–60 framed bytes vs ~16 for a slim id pair), so reusing
+    * BroadcastPairCap admitted a ~4× larger broadcast than the pair
+    * guard was sized for. 250k shingle rows ≈ the byte budget 1M pair
+    * rows was calibrated to. */
+  private val BroadcastShingleRowCap = 250000L
 
   /** Session-pinned sketch surface: the (shingle table, 16-hash minhash
     * signature table) pair memoized per (session, corpus) — the persisted

@@ -28,6 +28,22 @@ object GraphIterative {
 
   private val graphCache = new graft.SessionCache[DataFrame]
 
+  /** Row-count guard for broadcasting NODE-proportional frames in the
+    * iterative queries (pagerank contribs, BFS frontier/visited, the
+    * link-prediction seed/candidate frames) — the candBroadcaster
+    * pattern (r8 advice; r18 verdict item 2). Spark honors an explicit
+    * broadcast() hint regardless of size, so past ~8 GB / driver memory
+    * an unguarded hint hard-fails instead of degrading; within the cap
+    * the hint ships the slim node rows (~16 bytes framed), past it the
+    * hint drops and the join stays keyed (the bucketed-edge-table
+    * layout at 100 TB — identical algebra). Counts are taken off
+    * checkpointed/pinned frames or maintained incrementally, never by
+    * re-running a corpus-sized subtree.
+    */
+  private[operators] val NodeBroadcastCap = 4000000L
+  private[operators] def nodeBc(n: Long): DataFrame => DataFrame =
+    if (n <= NodeBroadcastCap) broadcast _ else identity[DataFrame] _
+
   /** THE single edge-list definition (shared-single-definition
     * discipline): distinct supplier↔part pairs mapped to disjoint even/
     * odd node ids, symmetrized, hash-partitioned by src and
@@ -94,19 +110,24 @@ object GraphIterative {
       // iteration while the ~13k-row rank table streamed; the explicit
       // hint flips it, so per superstep only the rank table moves and
       // the big operand is scanned in place — measured 1.9 → 1.5 s).
-      // Deployment note: contrib is O(nodes); at corpus sizes where the
-      // node table outgrows the broadcast budget the superstep becomes
-      // a shuffled join against a bucketed-by-src edge table — the
-      // standard Pregel layout — with identical algebra.
+      // Deployment note: contrib is O(nodes); the broadcast is gated on
+      // the node count ([[NodeBroadcastCap]], r18 verdict item 2) — past
+      // the cap the hint drops and the superstep becomes a shuffled join
+      // against a bucketed-by-src edge table — the standard Pregel
+      // layout — with identical algebra. ONE count of the checkpointed
+      // degree table decides all three supersteps: every superstep's
+      // contrib has exactly |deg| rows (iteration output re-keys on dst,
+      // and in the symmetric graph every node is a dst).
       val edges = buildEdges(s, dir)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
         .localCheckpoint()
+      val contribBc = nodeBc(deg.count())
       var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         val contrib = ranks.join(deg, "node")
           .select(col("node"), expr("rank DIV deg").as("c"))
-        ranks = edges.join(broadcast(contrib), edges("src") === contrib("node"))
+        ranks = edges.join(contribBc(contrib), edges("src") === contrib("node"))
           .groupBy(col("dst").as("node"))
           .agg(expr("CAST(150000 + (85 * SUM(c)) DIV 100 AS BIGINT)").as("rank"))
       }
@@ -166,18 +187,26 @@ object GraphIterative {
         // members of the visited set but expand nothing — keep them
       var visited = seeds.withColumn("hop", lit(0))
       var frontier = seeds
+      // broadcast the node-sized sides (guide §3.1, the pagerank r18
+      // lesson): frontier and visited are O(reached nodes); un-hinted,
+      // the RDD-backed edge surface carries no stats and the planner
+      // shuffled the 1.1M-row edge list against them each hop
+      // (measured 1.6-1.8 → 1.0-1.2 s at sf0.1). Both hints are gated
+      // on [[NodeBroadcastCap]] (r18 verdict item 2); the counts are
+      // maintained incrementally — seeds once (dimension-sized scan),
+      // then each hop's frontier count off its own eager checkpoint —
+      // so no corpus-sized frame is ever re-counted. Past the cap the
+      // hints drop and the hop becomes a keyed join against the
+      // bucketed-by-src edge table — identical algebra.
+      var frontierCount = seeds.count()
+      var visitedCount = frontierCount
       for (h <- 1 to 3) {
-        // broadcast the node-sized sides (guide §3.1, the pagerank r18
-        // lesson): frontier and visited are O(reached nodes); un-hinted,
-        // the RDD-backed edge surface carries no stats and the planner
-        // shuffled the 1.1M-row edge list against them each hop
-        // (measured 1.6-1.8 → 1.0-1.2 s at sf0.1). Past the broadcast
-        // budget the hop becomes a shuffled join against the
-        // bucketed-by-src edge table — identical algebra.
-        frontier = edges.join(broadcast(frontier), edges("src") === frontier("node"))
+        frontier = edges.join(nodeBc(frontierCount)(frontier), edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-          .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+          .join(nodeBc(visitedCount)(visited.select("node")), Seq("node"), "left_anti")
           .localCheckpoint()
+        frontierCount = frontier.count()
+        visitedCount += frontierCount
         visited = visited.unionByName(frontier.withColumn("hop", lit(h)))
       }
       visited
@@ -456,24 +485,34 @@ object GraphIterative {
       val adj = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+      // every frame on the seed side is O(Σ_seed deg) or O(seed two-hop)
+      // — broadcast it so the corpus-sized adjacency/degree tables
+      // stream in place (guide §3.1; un-hinted, the stats-less
+      // checkpoint surface planned FOUR SortMergeJoins here, each
+      // exchanging+sorting the big side — measured 2.1-2.3 → 1.9-2.1 s
+      // at sf0.1, and the exchanges of the adjacency/degree tables are
+      // gone from the plan). Both seed-side frames are unbounded on
+      // hub-heavy graphs, so the hints are gated on [[NodeBroadcastCap]]
+      // (r18 verdict item 2): seedAdj and cn are eagerly checkpointed
+      // (each feeds two consumers anyway — seedAdj the expansion and the
+      // anti-join, cn the count and the join chain) and their counts
+      // decide the hints; past the cap the joins stay keyed.
       val seedAdj = adj.filter(col("u") < 10)
-      // every frame on the seed side is O(Σ_seed deg) — broadcast it so
-      // the corpus-sized adjacency/degree tables stream in place (guide
-      // §3.1; un-hinted, the stats-less checkpoint surface planned FOUR
-      // SortMergeJoins here, each exchanging+sorting the big side —
-      // measured 2.1-2.3 → 1.9-2.1 s at sf0.1, and the exchanges of the
-      // adjacency/degree tables are gone from the plan)
-      val twoHop = broadcast(seedAdj.as("e1"))
+        .localCheckpoint(true)
+      val seedBc = nodeBc(seedAdj.count())
+      val twoHop = seedBc(seedAdj.as("e1"))
         .join(adj.as("e2"), col("e1.v") === col("e2.u"))
         .select(col("e1.u").as("seed"), col("e2.v").as("cand"))
         .filter(col("seed") =!= col("cand"))
       val cn = twoHop
-        .join(broadcast(seedAdj.select(col("u").as("seed"), col("v").as("cand"))),
+        .join(seedBc(seedAdj.select(col("u").as("seed"), col("v").as("cand"))),
           Seq("seed", "cand"), "left_anti")
         .groupBy("seed", "cand").agg(count(lit(1)).as("common_neighbors"))
+        .localCheckpoint(true)
+      val cnBc = nodeBc(cn.count())
       val w = Window.partitionBy("seed")
         .orderBy(desc("common_neighbors"), asc("cand"))
-      broadcast(broadcast(cn)
+      cnBc(cnBc(cn)
         .join(deg.select(col("u").as("seed"), col("d").as("ds")), "seed"))
         .join(deg.select(col("u").as("cand"), col("d").as("dc")), "cand")
         .withColumn("jaccard_ppm", expr(

@@ -348,6 +348,58 @@ object Profile {
         }
       }
     }
+    if (what == "sdm") {
+      // --- stream_delta_dedup_minhash: phase attribution + per-batch plan
+      import graft.Tables
+      for (pass <- 1 to 3) {
+        println(s"-- sdm pass $pass")
+        settle()
+        t("declared stream_delta_dedup_minhash") {
+          Dedup.streamDeltaDedup.run(spark, dir).count()
+        }
+        settle()
+        val (sh, mh) = t("  phase: sketchSurface (pinned)") {
+          Dedup.sketchSurface(spark, dir)
+        }
+        val isNew = col("doc_id") % 10 === 0
+        val corpusSh = sh.filter(!isNew)
+        val corpusBands = Dedup.bandsOf(mh).filter(!isNew)
+        val deltaDocs = Tables.documents(spark, dir).filter(isNew)
+          .select("doc_id", "text")
+        val base = graft.TmpDirs.create("graft-sdmprof")
+        t("  phase: two drop writes (ParallelStage)") {
+          graft.ParallelStage(
+            () => deltaDocs.filter(expr("(doc_id div 10) % 2 = 0"))
+              .coalesce(1).write.parquet(s"$base/in/drop0"),
+            () => deltaDocs.filter(expr("(doc_id div 10) % 2 = 1"))
+              .coalesce(1).write.parquet(s"$base/in/drop1"))
+        }
+        t("  phase: stream run (2 micro-batches)") {
+          val arrivals = spark.readStream.schema(deltaDocs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+          graft.streaming.DeltaDedupStream.start(spark, arrivals, corpusSh,
+            corpusBands, s"$base/pairs", s"$base/ckpt").awaitTermination()
+        }
+        t("  phase: read-back + orderBy + count") {
+          spark.read.parquet(s"$base/pairs")
+            .select("new_id", "old_id", "jaccard")
+            .orderBy("new_id", "old_id").count()
+        }
+        if (pass == 1 && args.length > 1 && args(1) == "plan") {
+          // the per-batch DAG, under the foreachBatch session conf
+          val batch0 = deltaDocs.filter(expr("(doc_id div 10) % 2 = 0"))
+            .localCheckpoint(true)
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          val d = Dedup.deltaNearDups(batch0, corpusSh, corpusBands, eager = false)
+          println("-- per-batch plan --")
+          println(d.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -195,8 +195,18 @@ object TwoStageOrder {
     *     so the result is deterministic even though the GK merge order
     *     is not.
     *
-    * The in-band collect is bounded by ~8ε·n + the tie-runs at the two
-    * bracket endpoints (ε = 1/accuracy, default 10⁻⁴ ⇒ ~0.08 % of n).
+    * Single-task state is BOUNDED AT ANY n (r18 verdict item 3): the
+    * in-band collect at sketch accuracy A holds ~8·t·n/A values (plus
+    * the tie-runs at the two bracket endpoints) and the GK summary
+    * itself holds O(A·log(n/A)) entries, so a FIXED A makes the band
+    * linear in n — at 10¹¹ rows a multi-GB single aggregation row. The
+    * bracket pass therefore runs at the caller's `accuracy` first (its
+    * own count column makes n known for free), and when the projected
+    * band exceeds [[BandMaxValues]] a SECOND bracket pass re-sketches at
+    * A' = √(8·t·n) — the balance point of the two ~inverse costs — so
+    * band and sketch are both O(√(t·n)): ~3×10⁶ entries at n = 10¹¹,
+    * never the old ε·n. At bench scale (n/A below the bound) the
+    * refinement never fires and the cost is exactly the two passes.
     * Callers whose value column can mass-tie AT the probed quantile
     * (e.g. small-integer counts) should not use this form — the band
     * inherits the tie-run. The value column must be non-null.
@@ -205,26 +215,57 @@ object TwoStageOrder {
     * over `n` giving the 1-based target rank (e.g. "(n + 1) DIV 2");
     * `q` centers the bracket and must satisfy
     * ⌈(q−ε)·n⌉ ≤ rank ≤ ⌊(q+ε)·n⌋ at every n where ε·n ≥ 1 — true for
-    * the usual rank = ⌈q·n⌉ / (n+1) DIV 2 forms. Returns ONE row:
-    * `n` (LONG) plus one column per target, typed like `valueCol`.
+    * the usual rank = ⌈q·n⌉ / (n+1) DIV 2 forms (refinement only ever
+    * RAISES accuracy, shrinking ε, and the rank forms deviate from q·n
+    * by O(1), so the contract survives it). A rank that lands outside
+    * its band — a contract violation (mass-tie, bad rankSql) — raises
+    * a runtime error instead of silently reading a wrong element
+    * (r18 advice: element_at with a negative index reads from the END
+    * of the array). Returns ONE row: `n` (LONG) plus one column per
+    * target, typed like `valueCol`.
     */
+  private[operators] val BandMaxValues = 4000000L
+
+  /** Clamped band lookup shared by [[orderStatistics]] and
+    * [[orderStatisticTuples]]: element_at only when 1 ≤ idx ≤
+    * size(band), else raise_error — out-of-band is a broken caller
+    * contract and must fail loudly, not fold a wrong/NULL value into
+    * downstream buckets (r18 advice). */
+  private def bandAt(band: Column, idx: Column, what: String): Column =
+    when(idx >= 1 && idx <= size(band), element_at(band, idx))
+      .otherwise(raise_error(concat(
+        lit(s"TwoStageOrder: rank for '$what' outside its band (idx="),
+        idx.cast("string"), lit(", band="), size(band).cast("string"),
+        lit(") — caller contract violated (mass-tie at the quantile?)"))))
+
   def orderStatistics(df: DataFrame, valueCol: String,
                       targets: Seq[(String, Double, String)],
-                      accuracy: Int = 10000): DataFrame = {
+                      accuracy: Int = 10000,
+                      bandMax: Long = BandMaxValues): DataFrame = {
     require(df.columns.forall(!_.startsWith("__")),
       s"input uses reserved __-prefixed columns: ${df.columns.filter(_.startsWith("__")).mkString(",")}")
-    val delta = 3.0 / accuracy
-    val bracketAggs: Seq[Column] = count(lit(1)).as("__n") +:
-      targets.flatMap { case (out, q, _) =>
-        val loQ = q - delta
-        val hiQ = q + delta
-        val lo = if (loQ <= 0.0) min(col(valueCol))
-                 else expr(s"approx_percentile($valueCol, $loQ, $accuracy)")
-        val hi = if (hiQ >= 1.0) max(col(valueCol))
-                 else expr(s"approx_percentile($valueCol, $hiQ, $accuracy)")
-        Seq(lo.as(s"__lo_$out"), hi.as(s"__hi_$out"))
-      }
-    val bracket = df.agg(bracketAggs.head, bracketAggs.tail: _*)
+    def bracketAt(acc: Int): DataFrame = {
+      val delta = 3.0 / acc
+      val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+        targets.flatMap { case (out, q, _) =>
+          val loQ = q - delta
+          val hiQ = q + delta
+          val lo = if (loQ <= 0.0) min(col(valueCol))
+                   else expr(s"approx_percentile($valueCol, $loQ, $acc)")
+          val hi = if (hiQ >= 1.0) max(col(valueCol))
+                   else expr(s"approx_percentile($valueCol, $hiQ, $acc)")
+          Seq(lo.as(s"__lo_$out"), hi.as(s"__hi_$out"))
+        }
+      // checkpointed 1-row frame: executed once, read by the n-probe
+      // below AND broadcast into the selection pass
+      df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    }
+    val bracket0 = bracketAt(accuracy)
+    val n = bracket0.select(col("__n")).first().getLong(0)
+    val cBand = 8.0 * targets.size
+    val bracket =
+      if (cBand * n / accuracy <= bandMax) bracket0
+      else bracketAt(math.max(accuracy, math.ceil(math.sqrt(cBand * n)).toInt))
     val selAggs: Seq[Column] = max(col("__n")).as("n") +:
       targets.flatMap { case (out, _, _) =>
         Seq(
@@ -237,8 +278,9 @@ object TwoStageOrder {
     df.crossJoin(broadcast(bracket))
       .agg(selAggs.head, selAggs.tail: _*)
       .select(col("n") +: targets.map { case (out, _, rankSql) =>
-        element_at(col(s"__band_$out"),
-          (expr(rankSql) - col(s"__blw_$out")).cast("int")).as(out)
+        // n NULL/0 guard (empty input): emit NULL, not a raised error
+        when(col("n") > 0L, bandAt(col(s"__band_$out"),
+          (expr(rankSql) - col(s"__blw_$out")).cast("int"), out)).as(out)
       }: _*)
   }
 
@@ -276,12 +318,18 @@ object TwoStageOrder {
     * (≤ (maxRankDev+1)·accuracy/5-row) sorted tuple list — bounded by
     * the same threshold that disables it.
     *
-    * Band size is ~(2·deltaUnits+2)·ε·n plus the tie runs at the two
-    * bracket endpoints AT THE VALUE GRAIN — the [[orderStatistics]]
-    * mass-tie caveat applies to valueCol exactly as there (tiebreak
-    * columns bound correctness, not band size): do not probe a quantile
-    * where valueCol mass-ties. valueCol must be non-null and
-    * GK-sketchable (numeric/date/timestamp).
+    * Band size is ~(2·deltaUnits+2)·ε·n per spec plus the tie runs at
+    * the two bracket endpoints AT THE VALUE GRAIN — the
+    * [[orderStatistics]] mass-tie caveat applies to valueCol exactly as
+    * there (tiebreak columns bound correctness, not band size): do not
+    * probe a quantile where valueCol mass-ties. valueCol must be
+    * non-null and GK-sketchable (numeric/date/timestamp). Single-task
+    * state is bounded at any n like [[orderStatistics]] (r18 verdict
+    * item 3): the primitive already counts its input for the validity
+    * gate, so the EFFECTIVE accuracy is max(accuracy, √(c·n)) with
+    * c = Σ_specs (2·deltaUnits+2)·|targets| — band and GK summary both
+    * O(√(c·n)), never the old ε·n; at bench scale the caller's accuracy
+    * wins and nothing changes.
     *
     * `specs` = (valueCol, tieCols, targets); targets = (outCol, q,
     * rankSql). Returns ONE row: `n` (LONG) plus per target a struct
@@ -297,15 +345,23 @@ object TwoStageOrder {
       s"input uses reserved __-prefixed columns: ${df.columns.filter(_.startsWith("__")).mkString(",")}")
     require(deltaUnits >= 6, "deltaUnits < 6 leaves no slack over the GK bound")
     val nIn = df.count()
+    // n-independent single-task state (r18 verdict item 3): raise the
+    // sketch accuracy to the band/sketch balance point √(c·n) once the
+    // input outgrows the caller's resolution — see the scaladoc bound
+    val cBand = specs.map { case (_, _, targets) =>
+      (2.0 * deltaUnits + 2) * targets.size }.sum
+    val accEff = math.max(accuracy,
+      math.ceil(math.sqrt(cBand * nIn)).toInt)
     val gkValid =
-      (deltaUnits - 1).toDouble * nIn / accuracy >= (maxRankDev + 1).toDouble
+      (deltaUnits - 1).toDouble * nIn / accEff >= (maxRankDev + 1).toDouble
     def out(withBands: DataFrame): DataFrame =
       withBands.select(col("n") +: specs.flatMap { case (_, _, targets) =>
         targets.map { case (o, _, rankSql) =>
           // n = 0 guard: an empty input yields empty bands and rank 0 —
-          // emit NULL instead of an invalid element_at index
-          when(col("n") > 0L, element_at(col(s"__band_$o"),
-            (expr(rankSql) - col(s"__blw_$o")).cast("int"))).as(o)
+          // emit NULL instead of an invalid index; a non-empty input
+          // whose rank lands outside its band raises (bandAt, r18 advice)
+          when(col("n") > 0L, bandAt(col(s"__band_$o"),
+            (expr(rankSql) - col(s"__blw_$o")).cast("int"), o)).as(o)
         }
       }: _*)
     if (!gkValid) {
@@ -325,7 +381,7 @@ object TwoStageOrder {
       }
       out(aliased)
     } else {
-      val delta = deltaUnits.toDouble / accuracy
+      val delta = deltaUnits.toDouble / accEff
       // ONE GK sketch per value column, queried at every target's two
       // bracket quantiles via the array form — approx_percentile with a
       // scalar percentage builds an independent summary per CALL, so the
@@ -339,7 +395,7 @@ object TwoStageOrder {
           val qs = targets.flatMap { case (_, q, _) =>
             Seq(math.max(q - delta, 0.0), math.min(q + delta, 1.0))
           }
-          expr(s"approx_percentile($valueCol, array(${qs.mkString(", ")}), $accuracy)")
+          expr(s"approx_percentile($valueCol, array(${qs.mkString(", ")}), $accEff)")
             .as(s"__brk_$valueCol")
         }
       val bracket = df.agg(bracketAggs.head, bracketAggs.tail: _*)

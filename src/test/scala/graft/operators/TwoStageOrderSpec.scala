@@ -272,6 +272,61 @@ class TwoStageOrderSpec extends SparkSpec {
     }
   }
 
+  test("orderStatistics stays exact when the band-bound refinement pass fires (r19)") {
+    // the r18-verdict scale-safety fix: at a forced-tiny bandMax the
+    // projected band 8·t·n/accuracy exceeds the bound, so the second
+    // bracket pass re-sketches at √(8·t·n) — results must be the same
+    // exact multiset order statistics either way
+    val n = 4096
+    val df = randomDf(n, 54L).select("v")
+    val sorted = df.as[Long].collect().sorted
+    val targets = Seq(
+      ("lo", 0.0, "1"),
+      ("med1", 0.5, "(n + 1) DIV 2"),
+      ("p90", 0.9, "CAST(CEIL(0.9 * n) AS BIGINT)"),
+      ("hi", 1.0, "n"))
+    val got = TwoStageOrder.orderStatistics(df, "v", targets,
+      accuracy = 100, bandMax = 100L).collect().head
+    assert(got.getLong(0) == n.toLong)
+    val expect = Seq(sorted(0), sorted(((n + 1) / 2) - 1),
+      sorted(math.ceil(0.9 * n).toInt - 1), sorted(n - 1))
+    assert((1 to 4).map(got.getLong) == expect,
+      "refined-path order statistics mismatch")
+  }
+
+  test("orderStatisticTuples stays exact when √(c·n) scaling raises a tiny accuracy (r19)") {
+    // forced-small caller accuracy (100) at n = 60k: the effective
+    // accuracy becomes √(c·n) ≈ 3.5k — the n-independent-band scaling
+    // must leave the selected tuples bit-identical
+    val df = randomDf(60000, 61L).localCheckpoint(true)
+    val t = 16
+    val cuts = TwoStageOrder.orderStatisticTuples(df,
+      Seq(("v", Seq("id"), TwoStageOrder.ntileCutTargets(t, "c"))),
+      accuracy = 100)
+    val got = df.crossJoin(broadcast(cuts))
+      .withColumn("b", TwoStageOrder.bucketByCuts(t, "c", "v", "id",
+        col("v"), col("id")))
+      .select("id", "b")
+    val expected = df.withColumn("b",
+        ntile(t).over(Window.orderBy(asc("v"), asc("id"))))
+      .select("id", "b")
+    val diff = got.except(expected).union(expected.except(got))
+    assert(diff.isEmpty, "scaled-accuracy bucket mismatch")
+  }
+
+  test("an out-of-band rank fails loudly instead of reading a wrong element (r19)") {
+    // r18 advice: element_at with a negative index silently reads from
+    // the END of the band — the clamp must raise instead
+    val df = randomDf(257, 77L).select("v")
+    val bad = TwoStageOrder.orderStatistics(df, "v",
+      Seq(("med", 0.5, "n DIV 2 - 200"))) // rank far below the bracket
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("outside its band")),
+      s"expected the band-clamp error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("the primitives plan no unpartitioned Window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = randomDf(100, 13L)
