@@ -134,19 +134,33 @@ object EntityResolution {
         .distinct()
       val greedy = matches.groupBy(col("kb").as("doc_id"))
         .agg(count(lit(1)).as("n_smaller"))
+      // r19 (verdict item 5): the three per-record joins key on doc_id
+      // over match-proportional stats-less frames — un-hinted they
+      // planned SortMergeJoins (exchange + SORT each side); the
+      // shuffle_hash hints keep the exchanges but drop every sort
+      // (broadcast would trip the broadcast-growth canary: all three
+      // sides grow with the match count). perRecord is then
+      // checkpointed: un-materialized, BOTH aggregation consumers
+      // (per-nation census and component sizes) re-ran the whole
+      // nations⋈comp⋈greedy chain including the union-find aggregate —
+      // the before-plan carried the full subtree twice.
       val perRecord = nations
-        .join(comp, Seq("doc_id"))
-        .join(greedy, Seq("doc_id"), "left_outer")
+        .join(comp.hint("shuffle_hash"), Seq("doc_id"))
+        .join(greedy.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
         .select(col("nation").cast("long").as("nation"), col("doc_id"),
           col("comp"), col("n_smaller").isNull.as("greedy_kept"))
+        .localCheckpoint(true)
       val compSizes = perRecord.groupBy("nation", "comp")
         .agg(count(lit(1)).as("sz"))
       perRecord.groupBy("nation")
         .agg(count(lit(1)).as("n_matched"),
           countDistinct(col("comp")).as("n_components"),
           count(when(col("greedy_kept"), 1)).as("greedy_kept"))
-        .join(compSizes.groupBy("nation").agg(max(col("sz")).as("max_component_size")),
-          Seq("nation"))
+        // nation-grain side: bounded by the nation dimension (≤ 25 rows
+        // at any corpus), so the broadcast is safe where the
+        // match-proportional frames above are not
+        .join(broadcast(compSizes.groupBy("nation")
+          .agg(max(col("sz")).as("max_component_size"))), Seq("nation"))
         .select(col("nation"), col("n_matched"), col("n_components"),
           col("max_component_size"), col("greedy_kept"),
           (col("greedy_kept") - col("n_components")).as("over_retained"))

@@ -348,6 +348,26 @@ object Profile {
         }
       }
     }
+    if (what == "er") {
+      // er_customer_components: the perRecord BUILD plan (hidden from
+      // Explain by the eager checkpoint) — proves the shuffle_hash hints
+      val (_, matches) = EntityResolution.erMatches(spark, dir)
+      val comp = EntityResolution.blockComponents(matches)
+      val nations = matches.select(col("ka").as("doc_id"), col("nation"))
+        .union(matches.select(col("kb").as("doc_id"), col("nation")))
+        .distinct()
+      val greedy = matches.groupBy(col("kb").as("doc_id"))
+        .agg(count(lit(1)).as("n_smaller"))
+      val perRecord = nations
+        .join(comp.hint("shuffle_hash"), Seq("doc_id"))
+        .join(greedy.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+        .select(col("nation").cast("long").as("nation"), col("doc_id"),
+          col("comp"), col("n_smaller").isNull.as("greedy_kept"))
+      println("-- perRecord build plan (pre-checkpoint) --")
+      println(perRecord.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
     if (what == "sdm") {
       // --- stream_delta_dedup_minhash: phase attribution + per-batch plan
       import graft.Tables
